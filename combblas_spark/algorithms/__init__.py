@@ -1,0 +1,16 @@
+"""Graph algorithms — the engine's "queries" (SURVEY.md §2.6)."""
+
+from combblas_spark.algorithms.pagerank import pagerank
+from combblas_spark.algorithms.components import connected_components
+from combblas_spark.algorithms.labelprop import label_propagation
+from combblas_spark.algorithms.triangles import triangle_count
+from combblas_spark.algorithms.bfs import bfs_levels, bfs_parents
+
+__all__ = [
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "bfs_levels",
+    "bfs_parents",
+]

@@ -1,0 +1,80 @@
+"""BFS — Graph500 kernel 2 (top-down), reference
+Applications/TopDownBFS.cpp:435-447.
+
+Per superstep the reference runs
+    fringe  = SpMV<Select2nd>(A, fringe, indexisvalue)
+    fringe  = EWiseMult(fringe, parents, exclude=true)   # drop visited
+    parents.Set(fringe)
+which maps 1:1 onto: broadcast/shuffle join frontier with edges ->
+groupBy(dst) min parent -> anti-join visited -> union into parents.
+The frontier is small relative to edges, so it is explicitly broadcast
+when below a threshold (the driver-side analogue of the reference's
+adaptive SpMSpV path, CC.h:1251-1294 / direction-switch heuristic in
+DirOptBFS.cpp:376-443).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from combblas_spark.graph import symmetrize
+
+
+def _bfs(edges: DataFrame, root: int, directed: bool,
+         broadcast_threshold: int, max_depth: int, want_parents: bool,
+         metrics: list | None = None) -> DataFrame:
+    adj = (edges.select("src", "dst") if directed else symmetrize(edges).select("src", "dst"))
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    spark = edges.sparkSession
+
+    # visited: (id, level, parent)
+    visited = spark.createDataFrame([(root, 0, root)], "id long, level int, parent long").persist()
+    frontier = visited.select("id")
+    frontier_n = 1
+
+    level = 0
+    while frontier_n > 0 and level < max_depth:
+        level += 1
+        f = F.broadcast(frontier) if frontier_n <= broadcast_threshold else frontier
+        nxt = (
+            adj.join(f.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("src").alias("parent"))     # deterministic parent: min id
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("level", F.lit(level))
+            .select("id", "level", "parent")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        frontier_n = nxt.count()
+        if metrics is not None:
+            metrics.append({"level": level, "frontier": frontier_n})
+        if frontier_n == 0:
+            break
+        new_visited = visited.unionByName(nxt).persist()
+        new_visited.count()
+        visited.unpersist()
+        visited = new_visited
+        frontier = nxt.select("id")
+
+    adj.unpersist()
+    if want_parents:
+        return visited.select("id", "parent")
+    return visited.select("id", "level")
+
+
+def bfs_levels(edges: DataFrame, root: int, directed: bool = False,
+               broadcast_threshold: int = 1_000_000, max_depth: int = 1000,
+               metrics: list | None = None) -> DataFrame:
+    """(id, level) for vertices reachable from root."""
+    return _bfs(edges, root, directed, broadcast_threshold, max_depth, False, metrics)
+
+
+def bfs_parents(edges: DataFrame, root: int, directed: bool = False,
+                broadcast_threshold: int = 1_000_000, max_depth: int = 1000) -> DataFrame:
+    """(id, parent) — the Graph500 parent tree (parent = min-id
+    predecessor at the discovering level; root's parent is itself,
+    matching parents.Set semantics TopDownBFS.cpp:433)."""
+    return _bfs(edges, root, directed, broadcast_threshold, max_depth, True)

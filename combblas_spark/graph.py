@@ -1,0 +1,139 @@
+"""Graph (edge-table) construction and preparation.
+
+The reference builds a matrix from a DistEdgeList by summing duplicates
+and optionally removing loops (SpParMat ctor, SpParMat.h:85-86;
+TopDownBFS.cpp:309-324), symmetrizes with A += A^T (CC.cpp:147-153), and
+maps string vertex labels to dense ids (ReadGeneralizedTuples,
+SpParMat.cpp:3895). Same semantics here over DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash constant — used by the deterministic
+# events->edges derivation (kept SQL-expressible so the DuckDB oracle
+# can reproduce it bit-for-bit).
+HASH_C = 2654435761
+
+
+def build_graph(
+    raw_edges: DataFrame,
+    drop_loops: bool = True,
+    sum_duplicates: bool = True,
+    symmetrize: bool = False,
+) -> DataFrame:
+    """Edge list -> canonical graph triples (src, dst, val:double).
+
+    Mirrors the reference's matrix-construction pipeline:
+    dedup-with-sum (SpParMat.h:85-86), RemoveLoops (TopDownBFS.cpp:324),
+    Symmetricize A += A^T (CC.cpp:147-153).
+    """
+    e = raw_edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        (F.col("val").cast("double") if "val" in raw_edges.columns else F.lit(1.0)).alias("val"),
+    )
+    if drop_loops:
+        e = e.filter(F.col("src") != F.col("dst"))
+    if symmetrize:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "val"))
+    if sum_duplicates or symmetrize:
+        e = e.groupBy("src", "dst").agg(F.sum("val").alias("val"))
+    return e
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """A = max(A, A^T) on the boolean pattern — undirected view."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sym.distinct().withColumn("val", F.lit(1.0))
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """All vertex ids appearing as src or dst: (id)."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame, dim: str = "out") -> DataFrame:
+    """(id, val=degree); dim in {out,in} (Reduce(Row/Column) with plus,
+    SpParMat.cpp:888; TopDownBFS.cpp:315)."""
+    key = "src" if dim == "out" else "dst"
+    return edges.groupBy(F.col(key).alias("id")).agg(F.count(F.lit(1)).cast("double").alias("val"))
+
+
+def relabel_to_dense_ids(edges_by_label: DataFrame, label_cols=("src_url", "dst_url")) -> tuple[DataFrame, DataFrame]:
+    """String-labeled edges -> dense int64 ids + the label dictionary.
+
+    The analogue of ReadGeneralizedTuples' distributed label->id pass
+    (SpParMat.cpp:3895). Ids are assigned by sorted label order so the
+    mapping is deterministic and resume-stable. Returns
+    (edges(src,dst), dict(id, label)).
+
+    Scale note: the dictionary is built with a window row_number over
+    sorted labels — a full-shuffle rank. At 10^12 urls one would switch
+    to zipWithIndex-per-partition + offset (same result, no global
+    sort); sorted-order ids are kept here for deterministic tests.
+    """
+    s, d = label_cols
+    labels = (
+        edges_by_label.select(F.col(s).alias("label"))
+        .unionByName(edges_by_label.select(F.col(d).alias("label")))
+        .distinct()
+    )
+    w = Window.orderBy("label")
+    dict_df = labels.withColumn("id", F.row_number().over(w) - F.lit(1)).select("id", "label")
+    e = (
+        edges_by_label
+        .join(dict_df.select(F.col("label").alias(s), F.col("id").alias("src")), s)
+        .join(dict_df.select(F.col("label").alias(d), F.col("id").alias("dst")), d)
+        .select("src", "dst")
+    )
+    return e, dict_df
+
+
+def events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical deterministic link graph derived from the events table.
+
+    Rule (exactly reproducible in ANSI SQL for the DuckDB oracle):
+        src = user_id
+        dst = (event_id * 2654435761) % (max(user_id)+1)
+        drop loops, sum duplicate edges into val (double).
+
+    This is the sandbox stand-in for the Common-Crawl edge extraction
+    (BASELINE.json input_hint) on driver-provided data: a deterministic
+    function of a real table, giving a multigraph with duplicate edges
+    (exercising the sum-duplicates build) over a dense vertex space.
+    """
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nv = events.agg(F.max("user_id")).collect()[0][0] + 1
+    raw = events.select(
+        F.col("user_id").alias("src"),
+        ((F.col("event_id") * F.lit(HASH_C)) % F.lit(int(nv))).alias("dst"),
+    )
+    return build_graph(raw, drop_loops=True, sum_duplicates=True)
+
+
+def events_graph_sql(with_val: bool = True) -> str:
+    """The DuckDB-side twin of events_graph() as a CTE body.
+
+    Returns SQL text for a derived table named nothing (caller wraps it
+    in ``WITH edges AS (...)``). Kept in one place so every oracle uses
+    the identical rule.
+    """
+    val = ", CAST(count(*) AS DOUBLE) AS val" if with_val else ""
+    return f"""
+    SELECT src, dst{val}
+    FROM (
+      SELECT user_id AS src,
+             (event_id * {HASH_C}) % (SELECT max(user_id) + 1 FROM events) AS dst
+      FROM events
+    ) WHERE src <> dst
+    GROUP BY src, dst
+    """

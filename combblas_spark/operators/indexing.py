@@ -1,0 +1,175 @@
+"""Indexing / assignment / permutation — the "joins family" (SURVEY.md §2.5).
+
+The reference implements general indexing as SpGEMM with permutation
+matrices (SubsRef_SR = Pr * A * Pc^T, SpParMat.cpp:2030-2264). In Spark
+each of these is one or two joins — no matrix algebra detour needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transpose(edges: DataFrame) -> DataFrame:
+    """Global transpose (SpParMat::Transpose, SpParMat.cpp:3541-3601).
+    A pairwise block exchange in the reference; a free column swap here."""
+    cols = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+    if "val" in edges.columns:
+        cols.append(F.col("val"))
+    return edges.select(*cols)
+
+
+def remove_loops(edges: DataFrame) -> DataFrame:
+    """Delete the diagonal (SpParMat::RemoveLoops, SpParMat.cpp:3270)."""
+    return edges.filter(F.col("src") != F.col("dst"))
+
+
+def add_loops(edges: DataFrame, verts: DataFrame, loop_val: float = 1.0) -> DataFrame:
+    """Insert diagonal entries for every vertex id in ``verts`` that lacks
+    one (SpParMat::AddLoops, SpParMat.cpp:3290-3307)."""
+    existing = edges.filter(F.col("src") == F.col("dst")).select(F.col("src").alias("id"))
+    missing = verts.select("id").join(existing, "id", "left_anti")
+    loops = missing.select(
+        F.col("id").alias("src"), F.col("id").alias("dst"),
+        F.lit(float(loop_val)).alias("val"))
+    base = edges if "val" in edges.columns else edges.withColumn("val", F.lit(1.0))
+    return base.unionByName(loops)
+
+
+def subsref(edges: DataFrame, ri: DataFrame | None, ci: DataFrame | None) -> DataFrame:
+    """A(ri, ci) submatrix extraction with relabeling
+    (SpParMat::SubsRef_SR / operator(), SpParMat.cpp:2030, SpParMat.h:219-238).
+
+    ri/ci: (pos long, id long) — pos is the new index, id the old one.
+    Pass None to keep a dimension whole (SpParMat.cpp:2266 row/col-only).
+    Implemented as two relabeling joins, the Spark form of Pr*A*Pc^T.
+    """
+    out = edges
+    if ri is not None:
+        r = ri.select(F.col("id").alias("src"), F.col("pos").alias("_nsrc"))
+        out = out.join(r, "src", "inner").drop("src").withColumnRenamed("_nsrc", "src")
+    if ci is not None:
+        c = ci.select(F.col("id").alias("dst"), F.col("pos").alias("_ndst"))
+        out = out.join(c, "dst", "inner").drop("dst").withColumnRenamed("_ndst", "dst")
+    cols = ["src", "dst"] + (["val"] if "val" in edges.columns else [])
+    return out.select(*cols)
+
+
+def spasgn(A: DataFrame, ri: DataFrame, ci: DataFrame, B: DataFrame) -> DataFrame:
+    """A(ri,ci) = B — submatrix assignment = zero-out region + insert
+    relabeled B (SpParMat::SpAsgn, SpParMat.cpp:2436-2483).
+
+    ri/ci: (pos, id) maps from B's coordinates (pos) to A's (id).
+    """
+    cleared = A.join(ri.select(F.col("id").alias("src")), "src", "left_anti").unionByName(
+        A.join(ri.select(F.col("id").alias("src")), "src", "left_semi")
+         .join(ci.select(F.col("id").alias("dst")), "dst", "left_anti")
+         .select(*A.columns)
+    )
+    r = ri.select(F.col("pos").alias("src"), F.col("id").alias("_asrc"))
+    c = ci.select(F.col("pos").alias("dst"), F.col("id").alias("_adst"))
+    placed = (
+        B.join(r, "src", "inner").join(c, "dst", "inner")
+        .select(F.col("_asrc").alias("src"), F.col("_adst").alias("dst"), F.col("val"))
+    )
+    return cleared.select("src", "dst", "val").unionByName(placed)
+
+
+def vector_subsref(v: DataFrame, ri: DataFrame) -> DataFrame:
+    """Gather v[ri] (FullyDistVec::operator(), FullyDistVec.cpp:934).
+    ri: (pos, id); returns (id=pos, val=v[id])."""
+    return (
+        ri.join(v.withColumnRenamed("id", "_vid"), ri["id"] == F.col("_vid"), "inner")
+        .select(F.col("pos").alias("id"), F.col("val"))
+    )
+
+
+def vector_assign(v: DataFrame, updates: DataFrame, combine=F.min) -> DataFrame:
+    """Scatter with duplicate combining — dense[ind] op= val
+    (FastSV::Assign / ReduceAssign, Applications/FastSV.h:68-200;
+    FullyDistVec::Set, FullyDistVec.h:153-157).
+
+    The groupBy pre-combine IS the reference's adaptive skew fix (it
+    MPI-reduces duplicates before the scatter); Spark's partial
+    aggregation does the same map-side.
+    """
+    u = updates.groupBy("id").agg(combine(F.col("val")).alias("_uval"))
+    return (
+        v.join(u, "id", "left")
+        .select("id", F.coalesce(F.col("_uval"), F.col("val")).alias("val"))
+    )
+
+
+def vector_extract(v: DataFrame, idx: DataFrame) -> DataFrame:
+    """q[i] = v[idx[i]] gather (FastSV::Extract, Applications/FastSV.h:252-333).
+    idx: (id, val=index-to-read). Adaptive bcast-vs-alltoall in the
+    reference; AQE's broadcast decision here."""
+    return (
+        idx.select(F.col("id"), F.col("val").alias("_ptr"))
+        .join(v.select(F.col("id").alias("_ptr"), F.col("val")), "_ptr", "inner")
+        .select("id", "val")
+    )
+
+
+def invert(v: DataFrame, combine=F.min) -> DataFrame:
+    """Sparse-vector index<->value inversion (FullyDistSpVec::Invert,
+    FullyDistSpVec.cpp:1799), duplicate values combined."""
+    return (
+        v.select(F.col("val").cast("long").alias("id"), F.col("id").cast("double").alias("val"))
+        .groupBy("id").agg(combine(F.col("val")).alias("val"))
+    )
+
+
+def rand_perm(v: DataFrame, seed: int = 42) -> DataFrame:
+    """Seeded random permutation (FullyDistVec::RandPerm,
+    FullyDistVec.cpp:784): returns (pos, id) mapping. Used for load
+    balancing (CC.cpp:161-171). Deterministic under a fixed seed via
+    hash ordering rather than rand() so resume replays identically."""
+    w = Window.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+    return v.select("id").withColumn("pos", F.row_number().over(w) - F.lit(1))
+
+
+def uniq(v: DataFrame, combine=F.min) -> DataFrame:
+    """Distinct values with a combiner on ids (FullyDistSpVec::Uniq,
+    FullyDistSpVec.cpp:890): keeps one (id,val) per distinct val."""
+    return (
+        v.groupBy("val").agg(combine(F.col("id")).alias("id")).select("id", "val")
+    )
+
+
+def setminus(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sparse-vector set difference on ids (FullyDistSpVec::Setminus,
+    FullyDistSpVec.h:96-107)."""
+    return a.join(b.select("id"), "id", "left_anti")
+
+
+def concatenate(vecs: list[DataFrame]) -> DataFrame:
+    """Stack vectors with id offsets (Concatenate, ParFriends.h:61-159)."""
+    out = None
+    offset = 0
+    for v in vecs:
+        n = v.agg(F.max("id")).collect()[0][0]
+        shifted = v.select((F.col("id") + F.lit(offset)).alias("id"), F.col("val"))
+        out = shifted if out is None else out.unionByName(shifted)
+        offset += int(n) + 1
+    return out
+
+
+def find(edges: DataFrame) -> DataFrame:
+    """Matrix -> (I,J,V) triples (SpParMat::Find, SpParMat.cpp:4773).
+    Identity here: the edge DataFrame already IS the triples."""
+    return edges
+
+
+def induced_subgraphs(edges: DataFrame, assign: DataFrame) -> DataFrame:
+    """Partition a graph by a vertex->group assignment, keeping edges
+    whose endpoints share a group (InducedSubgraphs2Procs, SpParMat.h:108;
+    ReleaseTests/InducedSubgraphsTest.cpp). assign: (id, val=group)."""
+    s = assign.select(F.col("id").alias("src"), F.col("val").alias("_gs"))
+    d = assign.select(F.col("id").alias("dst"), F.col("val").alias("_gd"))
+    return (
+        edges.join(s, "src").join(d, "dst")
+        .filter(F.col("_gs") == F.col("_gd"))
+        .select(*edges.columns, F.col("_gs").alias("group"))
+    )

@@ -1,0 +1,116 @@
+"""Reductions: matrix->vector, vector->scalar, k-select, skew metrics
+(SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def reduce_dim(
+    edges: DataFrame,
+    dim: str,
+    agg: Callable[[Column], Column] = F.sum,
+    unop: Callable[[Column], Column] | None = None,
+    val_col: str = "val",
+) -> DataFrame:
+    """Row-/column-wise reduce of a matrix to a vector — degrees, column
+    sums (SpParMat::Reduce, SpParMat.h:110-123, SpParMat.cpp:888-1118).
+
+    dim='row' groups by src (reduce along each row); dim='col' by dst.
+    Map-side partial aggregation gives the skew resilience the reference
+    gets from its tree-reduce.
+    """
+    key = "src" if dim == "row" else "dst"
+    v = F.col(val_col) if val_col in edges.columns else F.lit(1.0)
+    if unop is not None:
+        v = unop(v)
+    return edges.groupBy(F.col(key).alias("id")).agg(agg(v).alias("val"))
+
+
+def masked_reduce(edges: DataFrame, dim: str, mask: DataFrame,
+                  agg: Callable[[Column], Column] = F.sum,
+                  exclude: bool = False) -> DataFrame:
+    """Reduce restricted to (or excluding) masked ids
+    (SpParMat::MaskedReduce, SpParMat.cpp:1849-1993). mask: (id) rows;
+    the mask selects which OTHER-dimension ids participate."""
+    other = "dst" if dim == "row" else "src"
+    how = "left_anti" if exclude else "left_semi"
+    filtered = edges.join(mask.select(F.col(mask.columns[0]).alias(other)), other, how)
+    return reduce_dim(filtered, dim, agg)
+
+
+def reduce_scalar(v: DataFrame, agg: Callable[[Column], Column] = F.sum,
+                  unop: Callable[[Column], Column] | None = None):
+    """Global fold to a driver-side scalar (FullyDistVec::Reduce,
+    FullyDistVec.h:265-269). The collect() IS the MPI_Allreduce."""
+    c = F.col("val") if unop is None else unop(F.col("val"))
+    return v.agg(agg(c).alias("v")).collect()[0]["v"]
+
+
+def count_pred(v: DataFrame, pred: Column) -> int:
+    """Count elements satisfying a predicate (FullyDistVec::Count,
+    FullyDistVec.h:181-182)."""
+    return v.filter(pred).count()
+
+
+def min_element(v: DataFrame) -> tuple[int, float]:
+    """Global argmin -> (id, val) (FullyDistVec::MinElement,
+    FullyDistVec.h:262). Deterministic tie-break on id."""
+    row = v.orderBy(F.col("val").asc(), F.col("id").asc()).limit(1).collect()[0]
+    return row["id"], row["val"]
+
+
+def kselect(edges: DataFrame, k: int, dim: str = "col",
+            ascending: bool = False) -> DataFrame:
+    """Per-column (or per-row) k largest values — distributed top-k
+    (SpParMat::Kselect, SpParMat.h:125-137, SpParMat.cpp:1120-1413).
+
+    The reference needs ~700 LoC of median-of-medians; here it is a
+    window rank. Returns the retained (src, dst, val) triples. Ties are
+    broken deterministically on the other coordinate.
+    """
+    key = "dst" if dim == "col" else "src"
+    other = "src" if dim == "col" else "dst"
+    order = [F.col("val").asc() if ascending else F.col("val").desc(), F.col(other).asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        edges.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kth_value(edges: DataFrame, k: int, dim: str = "col") -> DataFrame:
+    """Per-column k-th largest value as a vector (Kselect's scalar form)."""
+    key = "dst" if dim == "col" else "src"
+    w = Window.partitionBy(key).orderBy(F.col("val").desc())
+    return (
+        edges.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == k)
+        .select(F.col(key).alias("id"), "val")
+    )
+
+
+def nnz(df: DataFrame) -> int:
+    """Global nonzero count (getnnz, SpParMat.h:209-211)."""
+    return df.count()
+
+
+def load_imbalance(df: DataFrame) -> float:
+    """max/avg rows per partition — the reference's skew metric
+    (SpParMat::LoadImbalance, SpParMat.cpp:762). North-rule metric."""
+    counts = (
+        df.groupBy(F.spark_partition_id().alias("p")).count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+        .collect()[0]
+    )
+    return float(counts["mx"]) / float(counts["av"]) if counts["av"] else 1.0
+
+
+def bandwidth(edges: DataFrame) -> int:
+    """Matrix bandwidth max|i-j| (SpParMat::Bandwidth, SpParMat.h:139-140)."""
+    return edges.agg(F.max(F.abs(F.col("src") - F.col("dst"))).alias("b")).collect()[0]["b"]

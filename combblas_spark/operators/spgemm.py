@@ -1,0 +1,85 @@
+"""SpGEMM — sparse matrix x sparse matrix over a semiring.
+
+Reference: 2D Sparse SUMMA ``Mult_AnXBn_Synch``/``PSpGEMM``
+(SpParMat.h:458-471; ParFriends.h:1448-1560): sqrt(p) stages of row/col
+block broadcasts + local hybrid heap/hash multiply (mtSpGEMM.h:75-660)
++ multiway merge (MultiwayMerge.h:429). In Spark the whole pipeline is
+one shuffle join on the inner dimension + one aggregating shuffle:
+
+    C(i,k) = ADD_j MULT( A(i,j), B(j,k) )
+
+Catalyst picks broadcast-hash vs sort-merge (the analogue of the
+stage-broadcast choice); Tungsten's hash aggregate with sort fallback
+replaces the per-column heap-vs-hash kernel choice (mtSpGEMM.h:310-311);
+map-side partial aggregation replaces MultiwayMerge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from combblas_spark.operators.semiring import Semiring, PLUS_TIMES
+
+
+def _val(df: DataFrame, alias: str):
+    return F.col(f"{alias}.val") if "val" in df.columns else F.lit(1.0)
+
+
+def spgemm(
+    A: DataFrame,
+    B: DataFrame,
+    sr: Semiring = PLUS_TIMES,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """C = A (x) B: join on A.dst == B.src, semiring-aggregate on (A.src, B.dst).
+
+    Both inputs are edge triples (src, dst[, val]); missing val = 1.0
+    (boolean matrix). Output is (src, dst, val) triples.
+    """
+    b = B.alias("b")
+    if broadcast_right:
+        b = F.broadcast(b)
+    joined = A.alias("a").join(b, F.col("a.dst") == F.col("b.src"), "inner")
+    return (
+        joined.select(
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
+            sr.mult(_val(A, "a"), _val(B, "b")).alias("_prod"),
+        )
+        .groupBy("src", "dst")
+        .agg(sr.add(F.col("_prod")).alias("val"))
+    )
+
+
+def square(A: DataFrame, sr: Semiring = PLUS_TIMES) -> DataFrame:
+    """A^2 — the MCL expand step (SpParMat::Square, SpParMat.cpp:3469)."""
+    return spgemm(A, A, sr)
+
+
+def masked_spgemm(
+    A: DataFrame,
+    B: DataFrame,
+    mask: DataFrame,
+    sr: Semiring = PLUS_TIMES,
+    complement: bool = False,
+) -> DataFrame:
+    """C = (A (x) B) .* M  — SpGEMM with an output mask.
+
+    The reference composes this from PSpGEMM + EWiseMult(exclude)
+    (ParFriends.h:2630-2647); it is the standard CombBLAS trick behind
+    triangle counting. In Spark the mask is pushed INTO the plan as a
+    semi/anti join BEFORE the aggregation, so masked-out products are
+    never aggregated (cheaper than the reference, which materializes C
+    first).
+    """
+    b = B.alias("b")
+    joined = A.alias("a").join(b, F.col("a.dst") == F.col("b.src"), "inner")
+    prods = joined.select(
+        F.col("a.src").alias("src"),
+        F.col("b.dst").alias("dst"),
+        sr.mult(_val(A, "a"), _val(B, "b")).alias("_prod"),
+    )
+    how = "left_anti" if complement else "left_semi"
+    masked = prods.join(mask.select("src", "dst"), ["src", "dst"], how)
+    return masked.groupBy("src", "dst").agg(sr.add(F.col("_prod")).alias("val"))

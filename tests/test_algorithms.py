@@ -1,0 +1,247 @@
+"""Algorithm tests vs numpy/scipy oracles on FIXTURES.md §4 known-answer
+graphs + a seeded RMAT graph (mirrors the reference's application-level
+validators, e.g. CC::Correctness CC.h:1356-1374 and the Graph500 parent
+validation TopDownBFS.cpp:455-462)."""
+
+import numpy as np
+import pytest
+
+from combblas_spark.algorithms import (
+    pagerank, connected_components, label_propagation, triangle_count,
+    bfs_levels, bfs_parents,
+)
+from combblas_spark.algorithms.triangles import triangles_per_vertex
+from combblas_spark.graph import build_graph
+from combblas_spark.sources.rmat import rmat_edges
+from tests.conftest import df_edges
+
+
+def numpy_pagerank(edges, n, alpha=0.85, iters=200, tol=1e-12):
+    """Reference power iteration (FIXTURES.md §5 oracle)."""
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    out = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        contrib = np.zeros(n)
+        nz = out > 0
+        contrib = (A[nz] / out[nz, None] * r[nz, None]).sum(axis=0)
+        r_new = (1 - alpha) / n + alpha * (contrib + dangling / n)
+        if np.abs(r_new - r).sum() < tol:
+            return r_new
+        r = r_new
+    return r
+
+
+def ranks_of(df, n):
+    out = np.zeros(n)
+    for r in df.collect():
+        out[r["id"]] = r["rank"]
+    return out
+
+
+# ------------------------------------------------------------------ PageRank
+
+def test_pagerank_directed_cycle(spark):
+    e = df_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    r = ranks_of(pagerank(e, tol=1e-10), 4)
+    np.testing.assert_allclose(r, 0.25, atol=1e-6)
+
+
+def test_pagerank_dangling(spark):
+    edges = [(0, 1), (1, 2)]
+    e = df_edges(spark, edges)
+    r = ranks_of(pagerank(e, tol=1e-12), 3)
+    expect = numpy_pagerank(edges, 3)
+    np.testing.assert_allclose(r, expect, atol=1e-6, rtol=1e-6)
+
+
+def test_pagerank_rmat_vs_numpy(spark):
+    raw = rmat_edges(spark, scale=6, edgefactor=4, seed=7)
+    g = build_graph(raw).persist()
+    pairs = [(r["src"], r["dst"]) for r in g.select("src", "dst").collect()]
+    ids = sorted({x for p in pairs for x in p})
+    remap = {v: i for i, v in enumerate(ids)}
+    expect = numpy_pagerank([(remap[s], remap[d]) for s, d in pairs], len(ids))
+    got = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-12).collect()}
+    got_arr = np.array([got[v] for v in ids])
+    np.testing.assert_allclose(got_arr, expect, atol=1e-6, rtol=1e-6)
+    assert abs(got_arr.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_fixed_iters_matches_unrolled(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    e = df_edges(spark, edges)
+    got = ranks_of(pagerank(e, n_iter=5), 4)
+    # manual 5-iteration recurrence
+    n, alpha = 4, 0.85
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    out = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        dang = r[out == 0].sum()
+        nz = out > 0
+        contrib = (A[nz] / out[nz, None] * r[nz, None]).sum(axis=0)
+        r = (1 - alpha) / n + alpha * (contrib + dang / n)
+    np.testing.assert_allclose(got, r, atol=1e-12)
+
+
+# ------------------------------------------------------------------------ CC
+
+def cc_oracle(edges, n):
+    """Union-find (scipy is not in the container); labels = component min id."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {v: find(v) for v in range(n)}
+
+
+def test_cc_three_components(spark):
+    # path 0-1-2, star 3-{4,5,6}; vertex 7 is isolated (not in edge table,
+    # converges immediately per CC.h:1415-1417 — represented by absence)
+    edges = [(0, 1), (1, 2), (3, 4), (3, 5), (3, 6)]
+    got = {r["id"]: r["comp"] for r in connected_components(df_edges(spark, edges)).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 3}
+
+
+def test_cc_two_triangles_bridge(spark):
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    got = {r["id"]: r["comp"] for r in connected_components(df_edges(spark, edges)).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_cc_rmat_vs_scipy(spark):
+    raw = rmat_edges(spark, scale=7, edgefactor=3, seed=11)
+    g = build_graph(raw).persist()
+    pairs = [(r["src"], r["dst"]) for r in g.select("src", "dst").collect()]
+    n = 1 << 7
+    oracle = cc_oracle(pairs, n)
+    got = {r["id"]: r["comp"] for r in connected_components(g).collect()}
+    for v, c in got.items():
+        assert c == oracle[v], f"vertex {v}: got {c} expect {oracle[v]}"
+
+
+# ---------------------------------------------------------------- Label prop
+
+def labelprop_oracle(edges, n_rounds):
+    """Pure-Python synchronous label prop, min tie-break (FIXTURES.md §5)."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)  # undirected, with multiplicity collapsed
+    und = set()
+    for s, d in edges:
+        und.add((s, d))
+        und.add((d, s))
+    for s, d in und:
+        nbrs[d].append(s)
+    verts = sorted({x for e in edges for x in e})
+    labels = {v: v for v in verts}
+    for _ in range(n_rounds):
+        new = {}
+        for v in verts:
+            if not nbrs[v]:
+                new[v] = labels[v]
+                continue
+            cnt = Counter(labels[u] for u in nbrs[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    return labels
+
+
+def test_labelprop_exact(spark):
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    for rounds in (1, 3):
+        got = {r["id"]: r["label"]
+               for r in label_propagation(df_edges(spark, edges), n_rounds=rounds).collect()}
+        assert got == labelprop_oracle(edges, rounds)
+
+
+def test_labelprop_rmat(spark):
+    raw = rmat_edges(spark, scale=6, edgefactor=3, seed=5)
+    g = build_graph(raw).persist()
+    pairs = [(r["src"], r["dst"]) for r in g.select("src", "dst").collect()]
+    got = {r["id"]: r["label"] for r in label_propagation(g, n_rounds=3).collect()}
+    assert got == labelprop_oracle(pairs, 3)
+
+
+# ----------------------------------------------------------------- Triangles
+
+def tri_oracle(edges, n):
+    A = np.zeros((n, n))
+    for s, d in edges:
+        if s != d:
+            A[s, d] = 1
+            A[d, s] = 1
+    return int(np.trace(A @ A @ A) / 6)
+
+
+def test_triangles_known(spark):
+    # two triangles + bridge = 2 triangles
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    assert triangle_count(df_edges(spark, edges)) == 2
+    per_v = {r["id"]: r["tri"] for r in triangles_per_vertex(df_edges(spark, edges)).collect()}
+    assert per_v == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_triangles_rmat(spark):
+    raw = rmat_edges(spark, scale=6, edgefactor=4, seed=3)
+    g = build_graph(raw).persist()
+    pairs = [(r["src"], r["dst"]) for r in g.select("src", "dst").collect()]
+    assert triangle_count(g) == tri_oracle(pairs, 1 << 6)
+
+
+# ----------------------------------------------------------------------- BFS
+
+def bfs_oracle(edges, root, n):
+    from collections import deque
+    adj = {v: set() for v in range(n)}
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    dist = {root: 0}
+    q = deque([root])
+    while q:
+        u = q.popleft()
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    return dist
+
+
+def test_bfs_levels(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)]
+    got = {r["id"]: r["level"] for r in bfs_levels(df_edges(spark, edges), root=0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_parents_valid_tree(spark):
+    raw = rmat_edges(spark, scale=6, edgefactor=4, seed=13)
+    g = build_graph(raw).persist()
+    pairs = [(r["src"], r["dst"]) for r in g.select("src", "dst").collect()]
+    levels = bfs_oracle(pairs, 0, 1 << 6)
+    got_lv = {r["id"]: r["level"] for r in bfs_levels(g, root=0).collect()}
+    assert got_lv == levels
+    # parent validation (Graph500 style): parent is a neighbor one level up
+    parents = {r["id"]: r["parent"] for r in bfs_parents(g, root=0).collect()}
+    und = {(s, d) for s, d in pairs} | {(d, s) for s, d in pairs}
+    for v, p in parents.items():
+        if v == 0:
+            assert p == 0
+        else:
+            assert (p, v) in und
+            assert levels[p] == levels[v] - 1

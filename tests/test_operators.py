@@ -1,0 +1,312 @@
+"""Operator unit tests vs scipy/numpy oracles on the A_small fixture
+(FIXTURES.md §3 — the analogue of the reference's golden-file CTest
+suite, ReleaseTests/CMakeLists.txt:44-61)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from combblas_spark.operators.semiring import PLUS_TIMES, MIN_PLUS, SELECT2ND_MIN
+from combblas_spark.operators.spmv import spmv
+from combblas_spark.operators.spgemm import spgemm, square, masked_spgemm
+from combblas_spark.operators.ewise import (
+    apply_values, prune, ewise_mult, set_difference, ewise_apply, dim_apply,
+    prune_rows_cols, prune_column,
+)
+from combblas_spark.operators.reduce import (
+    reduce_dim, reduce_scalar, kselect, load_imbalance, bandwidth, min_element,
+    masked_reduce,
+)
+from combblas_spark.operators.indexing import (
+    transpose, remove_loops, add_loops, subsref, spasgn, vector_subsref,
+    vector_assign, vector_extract, invert, rand_perm, uniq, setminus,
+    induced_subgraphs,
+)
+from tests.conftest import df_edges, df_vec
+
+N = 60
+RNG = np.random.default_rng(42)
+
+
+def _rand_sparse(n, density, seed):
+    """Dense numpy matrix with ~density fill, integer-ish values (scipy
+    is not in the container; numpy dense stands in at n=60)."""
+    rng = np.random.default_rng(seed)
+    M = np.where(rng.random((n, n)) < density, np.round(rng.random((n, n)) * 10) + 1.0, 0.0)
+    return M
+
+
+@pytest.fixture(scope="module")
+def A_np():
+    return _rand_sparse(N, 0.1, 42)
+
+
+@pytest.fixture(scope="module")
+def A_df(spark, A_np):
+    r, c = np.nonzero(A_np)
+    return df_edges(spark, list(zip(r.tolist(), c.tolist(), A_np[r, c].tolist())))
+
+
+@pytest.fixture(scope="module")
+def x_np():
+    return np.round(RNG.random(N) * 10) + 1.0
+
+
+@pytest.fixture(scope="module")
+def x_df(spark, x_np):
+    return df_vec(spark, list(enumerate(x_np.tolist())))
+
+
+def vec_of(df, n, default=0.0, val="val"):
+    out = np.full(n, default, dtype=float)
+    for r in df.collect():
+        out[r["id"]] = r[val]
+    return out
+
+
+def mat_of(df, n):
+    M = np.zeros((n, n))
+    for r in df.collect():
+        M[r["src"], r["dst"]] = r["val"]
+    return M
+
+
+def test_spmv_plus_times_is_ATx(A_df, A_np, x_np):
+    # default orientation: y(dst) = sum over src  ->  y = A^T x
+    y = vec_of(spmv(A_df, df_vec(A_df.sparkSession, list(enumerate(x_np))), PLUS_TIMES), N)
+    np.testing.assert_allclose(y, A_np.T @ x_np, rtol=1e-12)
+
+
+def test_spmv_transpose_is_Ax(A_df, A_np, x_df, x_np):
+    y = vec_of(spmv(A_df, x_df, PLUS_TIMES, transpose=True), N)
+    np.testing.assert_allclose(y, A_np @ x_np, rtol=1e-12)
+
+
+def test_spmv_min_plus(A_df, A_np, x_df, x_np):
+    y = spmv(A_df, x_df, MIN_PLUS)
+    dense = A_np
+    expect = {}
+    for j in range(N):
+        vals = [dense[i, j] + x_np[i] for i in range(N) if dense[i, j] != 0]
+        if vals:
+            expect[j] = min(vals)
+    got = {r["id"]: r["val"] for r in y.collect()}
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k])
+
+
+def test_spmv_sparse_frontier_select2nd_min(A_df, A_np):
+    frontier = df_vec(A_df.sparkSession, [(3, 3.0), (7, 7.0)])
+    y = {r["id"]: r["val"] for r in spmv(A_df, frontier, SELECT2ND_MIN, broadcast_vector=True).collect()}
+    dense = A_np
+    expect = {}
+    for s, v in [(3, 3.0), (7, 7.0)]:
+        for j in np.nonzero(dense[s])[0]:
+            expect[j] = min(expect.get(j, np.inf), v)
+    assert y == {int(k): pytest.approx(v) for k, v in expect.items()}
+
+
+def test_spmv_index_is_value(A_df, A_np):
+    frontier = df_vec(A_df.sparkSession, [(3, 99.0)])  # val ignored
+    y = {r["id"]: r["val"] for r in spmv(A_df, frontier, SELECT2ND_MIN, index_is_value=True).collect()}
+    for k, v in y.items():
+        assert v == 3.0
+
+
+def test_spgemm_matches_scipy(A_df, A_np):
+    C = mat_of(spgemm(A_df, A_df), N)
+    np.testing.assert_allclose(C, A_np @ A_np, rtol=1e-12)
+
+
+def test_square(A_df, A_np):
+    C = mat_of(square(A_df), N)
+    np.testing.assert_allclose(C, A_np @ A_np, rtol=1e-12)
+
+
+def test_masked_spgemm(A_df, A_np):
+    C = masked_spgemm(A_df, A_df, A_df)
+    expect = A_np @ A_np * (A_np != 0)
+    np.testing.assert_allclose(mat_of(C, N), expect, rtol=1e-12)
+
+
+def test_apply_prune(A_df, A_np):
+    doubled = mat_of(apply_values(A_df, lambda c: c * 2), N)
+    np.testing.assert_allclose(doubled, A_np * 2)
+    pruned = mat_of(prune(A_df, F.col("val") > 5.0).withColumn("val", F.col("val")), N)
+    expect = A_np.copy()
+    expect[expect > 5.0] = 0
+    np.testing.assert_allclose(pruned, expect)
+
+
+def test_prune_rows_cols(spark, A_df, A_np):
+    ri = spark.createDataFrame([(1,), (2,)], "id long")
+    ci = spark.createDataFrame([(3,), (4,)], "id long")
+    got_and = mat_of(prune_rows_cols(A_df, ri, ci).withColumn("val", F.col("val")), N)
+    expect = A_np.copy()
+    expect[np.ix_([1, 2], [3, 4])] = 0
+    np.testing.assert_allclose(got_and, expect)
+    got_or = mat_of(prune_rows_cols(A_df, ri, ci, full=True), N)
+    expect2 = A_np.copy()
+    expect2[[1, 2], :] = 0
+    expect2[:, [3, 4]] = 0
+    np.testing.assert_allclose(got_or, expect2)
+
+
+def test_prune_column(spark, A_df, A_np):
+    colmax = reduce_dim(A_df, "col", F.max)
+    kept = prune_column(A_df, colmax, lambda v, p: v >= p)
+    dense = A_np
+    mx = dense.max(axis=0)
+    expect = dense * (dense >= mx[None, :]) * (dense != 0)
+    np.testing.assert_allclose(mat_of(kept, N), expect)
+
+
+def test_ewise_mult_and_exclude(A_df, A_np, spark):
+    B_np = _rand_sparse(N, 0.1, 7)
+    r, c = np.nonzero(B_np)
+    B_df = df_edges(spark, list(zip(r.tolist(), c.tolist(), B_np[r, c].tolist())))
+    got = mat_of(ewise_mult(A_df, B_df), N)
+    np.testing.assert_allclose(got, A_np * B_np, rtol=1e-12)
+    excl = mat_of(ewise_mult(A_df, B_df, exclude=True), N)
+    expect = A_np * (B_np == 0)
+    np.testing.assert_allclose(excl, expect)
+    sd = mat_of(set_difference(A_df, B_df), N)
+    np.testing.assert_allclose(sd, expect)
+
+
+def test_ewise_apply_union_intersect(spark):
+    a = df_vec(spark, [(0, 1.0), (1, 2.0), (2, 3.0)])
+    b = df_vec(spark, [(1, 10.0), (2, 20.0), (3, 30.0)])
+    inter = {r["id"]: r["val"] for r in ewise_apply(a, b, lambda x, y: x + y).collect()}
+    assert inter == {1: 12.0, 2: 23.0}
+    union = {r["id"]: r["val"] for r in
+             ewise_apply(a, b, lambda x, y: x + y, True, True, 0.0, 0.0).collect()}
+    assert union == {0: 1.0, 1: 12.0, 2: 23.0, 3: 30.0}
+    kept = {r["id"]: r["val"] for r in
+            ewise_apply(a, b, lambda x, y: x + y, True, True, 0.0, 0.0,
+                        keep=lambda x, y: y > 15.0).collect()}
+    assert kept == {2: 23.0, 3: 30.0}
+
+
+def test_dim_apply_colstochastic(A_df, A_np):
+    colsums = reduce_dim(A_df, "col", F.sum)
+    norm = dim_apply(A_df, colsums, "col", lambda v, s: v / s)
+    M = mat_of(norm, N)
+    nz_cols = np.array((A_np.sum(axis=0) != 0))
+    np.testing.assert_allclose(M.sum(axis=0)[nz_cols], 1.0, rtol=1e-9)
+
+
+def test_reduce_dim(A_df, A_np):
+    rows = vec_of(reduce_dim(A_df, "row", F.sum), N)
+    np.testing.assert_allclose(rows, A_np.sum(axis=1))
+    cols = vec_of(reduce_dim(A_df, "col", F.max), N)
+    dense = A_np
+    np.testing.assert_allclose(cols, np.where(dense.any(axis=0), dense.max(axis=0), 0.0))
+
+
+def test_masked_reduce(spark, A_df, A_np):
+    mask = spark.createDataFrame([(i,) for i in range(0, N, 2)], "id long")
+    got = vec_of(masked_reduce(A_df, "row", mask), N)
+    dense = A_np
+    np.testing.assert_allclose(got, dense[:, ::2].sum(axis=1))
+
+
+def test_reduce_scalar_and_min_element(x_df, x_np):
+    assert reduce_scalar(x_df, F.sum) == pytest.approx(x_np.sum())
+    i, v = min_element(x_df)
+    assert v == pytest.approx(x_np.min())
+    assert x_np[i] == pytest.approx(x_np.min())
+
+
+def test_kselect(A_df, A_np):
+    k = 2
+    kept = kselect(A_df, k, dim="col")
+    dense = A_np
+    for j in range(N):
+        col = dense[:, j][dense[:, j] != 0]
+        got = sorted(r["val"] for r in kept.collect() if r["dst"] == j)
+        expect = sorted(sorted(col, reverse=True)[:k])
+        assert got == pytest.approx(expect)
+
+
+def test_transpose_roundtrip(A_df, A_np):
+    np.testing.assert_allclose(mat_of(transpose(A_df), N), A_np.T)
+
+
+def test_loops(spark):
+    e = df_edges(spark, [(0, 0, 5.0), (0, 1, 1.0), (1, 2, 1.0)])
+    assert remove_loops(e).count() == 2
+    verts = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    withloops = add_loops(remove_loops(e), verts, loop_val=9.0)
+    diag = {r["src"]: r["val"] for r in withloops.filter("src=dst").collect()}
+    assert diag == {0: 9.0, 1: 9.0, 2: 9.0}
+
+
+def test_subsref_and_spasgn(spark, A_df, A_np):
+    ri = spark.createDataFrame([(p, i) for p, i in enumerate([5, 1, 9])], "pos long, id long")
+    ci = spark.createDataFrame([(p, i) for p, i in enumerate([2, 8])], "pos long, id long")
+    sub = subsref(A_df, ri, ci)
+    dense = A_np
+    expect = dense[np.ix_([5, 1, 9], [2, 8])]
+    got = np.zeros((3, 2))
+    for r in sub.collect():
+        got[r["src"], r["dst"]] = r["val"]
+    np.testing.assert_allclose(got, expect)
+
+    B = df_edges(spark, [(0, 0, 100.0), (2, 1, 200.0)])
+    assigned = spasgn(A_df, ri, ci, B)
+    expect2 = dense.copy()
+    expect2[np.ix_([5, 1, 9], [2, 8])] = 0
+    expect2[5, 2] = 100.0
+    expect2[9, 8] = 200.0
+    np.testing.assert_allclose(mat_of(assigned, N), expect2)
+
+
+def test_vector_ops(spark, x_df, x_np):
+    ri = spark.createDataFrame([(0, 4), (1, 7)], "pos long, id long")
+    g = {r["id"]: r["val"] for r in vector_subsref(x_df, ri).collect()}
+    assert g == {0: pytest.approx(x_np[4]), 1: pytest.approx(x_np[7])}
+
+    upd = df_vec(spark, [(4, -1.0), (4, -5.0), (9, 0.5)])
+    assigned = vec_of(vector_assign(x_df, upd, F.min), N)
+    expect = x_np.copy()
+    expect[4] = -5.0
+    expect[9] = min(0.5, x_np[9])
+    np.testing.assert_allclose(assigned, expect)
+
+    ptr = df_vec(spark, [(0, 4.0), (1, 7.0)])
+    ext = {r["id"]: r["val"] for r in vector_extract(x_df, ptr).collect()}
+    assert ext == {0: pytest.approx(x_np[4]), 1: pytest.approx(x_np[7])}
+
+
+def test_invert_uniq_setminus(spark):
+    v = df_vec(spark, [(0, 5.0), (1, 5.0), (2, 7.0)])
+    inv = {r["id"]: r["val"] for r in invert(v, F.min).collect()}
+    assert inv == {5: 0.0, 7: 2.0}
+    u = {r["val"] for r in uniq(v).collect()}
+    assert u == {5.0, 7.0}
+    sm = setminus(v, df_vec(spark, [(1, 0.0)]))
+    assert {r["id"] for r in sm.collect()} == {0, 2}
+
+
+def test_rand_perm_deterministic(spark):
+    v = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    p1 = {(r["pos"], r["id"]) for r in rand_perm(v, seed=1).collect()}
+    p2 = {(r["pos"], r["id"]) for r in rand_perm(v, seed=1).collect()}
+    assert p1 == p2
+    assert {p for p, _ in p1} == set(range(20))
+    p3 = {(r["pos"], r["id"]) for r in rand_perm(v, seed=2).collect()}
+    assert p1 != p3
+
+
+def test_induced_subgraphs(spark):
+    e = df_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    assign = df_vec(spark, [(0, 0.0), (1, 0.0), (2, 0.0), (3, 1.0), (4, 1.0)])
+    got = {(r["src"], r["dst"]) for r in induced_subgraphs(e, assign).collect()}
+    assert got == {(0, 1), (1, 2), (3, 4)}
+
+
+def test_load_imbalance_and_bandwidth(A_df):
+    assert load_imbalance(A_df) >= 1.0
+    assert bandwidth(A_df) >= 0
