@@ -1,0 +1,198 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every method reduces near-dup detection to an equi-join
+on a small derived key (hash / band signature / simhash prefix) so the
+candidate-pair generation is a shuffle join on that key — never an
+all-pairs comparison. This is the standard web-corpus dedup pipeline
+(shingle -> minhash -> band -> bucket-join) expressed in DataFrame ops.
+
+MinHash uses the md5-ordering trick: min(md5(seed_i || shingle)) is a
+valid min-wise-independent-ish hash family AND is reproducible in any
+engine with md5 (the DuckDB oracle shares it verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from combblas_spark.functions.text import fingerprint, shingles, word_tokens
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (whitespace/case-normalized) documents:
+    (fingerprint, n_dups, keep_id = min doc id)."""
+    return (
+        docs.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("id").alias("keep_id"))
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per fingerprint."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ------------------------------------------------------------------- MinHash
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, h0..h{n-1}) minhash signature per document.
+
+    h_i = min over shingles of md5('<i>:' || shingle) — string-min over
+    hex digests; engine-portable and exactly oracle-checkable.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    ).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) that collide in >=1 LSH band.
+
+    Signature of bands*rows_per_band minhashes; band key = md5 of its
+    concatenated rows; candidates = self-equi-join per band key (the
+    scale path: join on the band key, never all-pairs).
+    """
+    sig = minhash_signatures(docs, id_col, text_col, bands * rows_per_band, shingle_k)
+    band_rows = None
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        one = sig.select(
+            "id", F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key")
+        )
+        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """(id, simhash long): sign-sum of per-token hash bits.
+
+    Token hash = xxhash64(token); bit j of the simhash is 1 iff the sum
+    over tokens of (2*bit_j(token_hash)-1) is positive. JVM-side only:
+    explode tokens -> per-(id,bit) sum -> bit-OR assembly.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_tokens(F.col(text_col))).alias("t")
+    )
+    th = toks.select("id", F.xxhash64(F.col("t")).alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    per_bit = (
+        th.select("id", F.col("h"), bit)
+        .select(
+            "id", "b",
+            F.when(F.expr("shiftright(h, CAST(b AS INT)) & 1") == 1, 1).otherwise(-1).alias("s"),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("s").alias("tot"))
+    )
+    return (
+        per_bit.select(
+            "id",
+            F.when(F.col("tot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+            .otherwise(F.lit(0).cast("long")).alias("bitval"),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, candidate-generated by
+    band equality on 4 bit-slices (a pair within distance<=3 must agree
+    on >=1 of 4 slices — pigeonhole; max_hamming must stay < 4 for the
+    candidate generation to be complete)."""
+    sh = simhash(docs, id_col, text_col, bits).persist()
+    slice_bits = bits // 4
+    mask = (1 << slice_bits) - 1
+    bands = None
+    for s in range(4):
+        one = sh.select(
+            "id", "simhash", F.lit(s).alias("band"),
+            F.shiftright(F.col("simhash"), s * slice_bits).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(ham <= max_hamming).select("id_a", "id_b", ham.alias("hamming"))
+
+
+# ------------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity for given candidate pairs
+    (id_a, id_b) — the verification stage after LSH candidate
+    generation. Returns (id_a, id_b, jaccard)."""
+    def sh_set(docs, name):
+        return docs.select(
+            F.col(id_col).alias(name),
+            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
+        )
+
+    sa = sh_set(docs_a, "id_a")
+    sb = sh_set(docs_b, "id_b")
+    inter = (
+        pairs.join(sa, "id_a").join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = sa.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_a"))
+    cb = sb.groupBy("id_b").agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(ca, "id_a").join(cb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Text analysis: tokenization, language ID, quality scoring, fingerprints.
+
+All JVM-side Column expressions (whole-stage codegen) — deliberately
+specified in ANSI-SQL-expressible form so every function has an exact
+DuckDB oracle twin (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic English stopword list for the n-gram/stopword
+# language heuristic. Order matters nowhere; membership only.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "ein", "mit", "von", "zu", "den"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space split, empties preserved so
+    the DuckDB twin string_split(text,' ') agrees byte-for-byte)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_tokens(text: Column) -> Column:
+    """BPE-ish word tokenization: lowercase alphanumeric runs."""
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality: mean token length + punctuation ratio +
+    stopword presence, squashed to [0,1]. Deterministic, SQL-twinnable."""
+    toks = tokens(text)
+    n = F.size(toks)
+    mean_len = F.when(n > 0, (F.length(text) - (n - 1)).cast("double") / n).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    punct_ratio = F.when(F.length(text) > 0, punct / F.length(text)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(text)
+    raw = 0.4 * F.least(mean_len / F.lit(8.0), F.lit(1.0)) + 0.3 * (1 - punct_ratio) + 0.3 * F.least(sw * 5, F.lit(1.0))
+    return raw
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language heuristic: en vs de vs unknown."""
+    toks = tokens(F.lower(text))
+    en = F.size(F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in EN_STOPWORDS]), t)))
+    de = F.size(F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in DE_STOPWORDS]), t)))
+    return (
+        F.when((en == 0) & (de == 0), F.lit("unknown"))
+        .when(en >= de, F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercase text (rolling-hash analogue, exact-dup key)."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), "\\s+", " ")
+    return F.md5(normalized)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array<string> (single-space joined)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.when(n >= k, grams).otherwise(F.array())
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: append token_count / quality / lang_guess /
+    fingerprint columns to a documents table."""
+    t = F.col(text_col)
+    return (
+        docs.withColumn("n_tokens", token_count(t))
+        .withColumn("quality", F.round(quality_score(t), 6))
+        .withColumn("lang_guess", lang_id(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

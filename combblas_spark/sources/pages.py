@@ -23,6 +23,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from combblas_spark.graph import relabel_to_dense_ids
 from combblas_spark.sources.rmat import rmat_pandas
@@ -57,7 +58,7 @@ def reference_extract_links(html: bytes) -> list[str]:
 
 # ------------------------------------------------------- vectorized twin UDFs
 
-@F.pandas_udf("string")
+@F.pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched twin of reference_extract_text (no per-row Python at
     the Spark API surface; pandas vectorized str ops inside)."""
@@ -71,7 +72,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return out
 
 
-@F.pandas_udf("array<string>")
+@F.pandas_udf(T.ArrayType(T.StringType()))
 def extract_links_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched twin of reference_extract_links."""
     return html.apply(lambda b: b.decode("utf-8")).str.findall(_HREF_RE.pattern)

@@ -1,0 +1,132 @@
+"""Tests for the training-data-pipeline functions: text analysis,
+dedup (exact / minhash-LSH / simhash / jaccard), similarity search,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from combblas_spark.functions.text import analyze_documents
+from combblas_spark.functions.dedup import (
+    exact_duplicates, dedup_exact, minhash_signatures, lsh_candidate_pairs,
+    simhash, simhash_near_dups, ngram_jaccard,
+)
+from combblas_spark.functions.similarity import brute_force_topk, lsh_topk, hyperplane_lsh_buckets
+from combblas_spark.functions.multimodal import synthetic_media, extract_media_features
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs away fast to the north"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "s0"),
+        (1, BASE, "en", "s0"),                              # exact dup of 0
+        (2, BASE + " again", "en", "s1"),                   # near dup of 0
+        (3, "ein ganz anderes der die das dokument und text", "de", "s1"),
+        (4, "completely different content about spark engines", "en", "s2"),
+        (5, BASE.upper(), "en", "s2"),                      # case dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_analyze_documents(docs):
+    out = {r["doc_id"]: r for r in analyze_documents(docs).collect()}
+    assert out[0]["n_tokens"] == len(BASE.split(" "))
+    assert out[0]["lang_guess"] == "en"
+    assert out[3]["lang_guess"] == "de"
+    assert 0.0 <= out[0]["quality"] <= 1.0
+    assert out[0]["fingerprint"] == out[1]["fingerprint"] == out[5]["fingerprint"]
+    assert out[0]["fingerprint"] != out[2]["fingerprint"]
+
+
+def test_exact_dedup(docs):
+    groups = {r["fp"]: r for r in exact_duplicates(docs).collect()}
+    sizes = sorted(g["n_dups"] for g in groups.values())
+    assert sizes == [1, 1, 1, 3]
+    big = [g for g in groups.values() if g["n_dups"] == 3][0]
+    assert big["keep_id"] == 0
+    kept = dedup_exact(docs)
+    assert kept.count() == 4
+    assert {r["doc_id"] for r in kept.collect()} == {0, 2, 3, 4}
+
+
+def test_minhash_lsh(docs):
+    sig = {r["id"]: (r["h0"], r["h1"]) for r in minhash_signatures(docs, num_hashes=2).collect()}
+    assert sig[0] == sig[1]            # identical docs -> identical signatures
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(docs, bands=4, rows_per_band=1).collect()}
+    assert (0, 1) in pairs             # exact dups always collide
+    assert (0, 2) in pairs             # near dup: most shingles shared
+    assert (3, 4) not in pairs         # unrelated docs don't collide in all bands
+
+
+def test_simhash(docs, spark):
+    sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    # near dup: small hamming distance
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    assert ham <= 6
+    nd = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs, max_hamming=3).collect()}
+    assert (0, 1) in nd
+
+
+def test_ngram_jaccard(docs, spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 4)], "id_a long, id_b long")
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(docs, docs, pairs).collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.5 < j[(0, 2)] < 1.0
+    assert j[(0, 4)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 8)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(8).astype(np.float32)  # near dup of 0
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_brute_force_topk(vectors):
+    df, base = vectors
+    top = brute_force_topk(df.filter(F.col("vec_id") == 0), df, k=3)
+    rows = top.orderBy(F.col("cos").desc()).collect()
+    assert rows[0]["neighbor_id"] == 1      # planted near-duplicate
+    # verify against numpy
+    def cos(a, b):
+        a, b = a.astype(np.float64), b.astype(np.float64)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    sims = sorted(((cos(base[0], base[j]), j) for j in range(1, 20)), reverse=True)
+    expect = [j for _, j in sims[:3]]
+    assert [r["neighbor_id"] for r in rows] == expect
+    for r, (s, _) in zip(rows, sims[:3]):
+        assert r["cos"] == pytest.approx(round(s, 6), abs=2e-6)
+
+
+def test_lsh_topk_finds_planted_neighbor(vectors):
+    df, _ = vectors
+    got = lsh_topk(df, k=3, n_planes=2, dim=8)
+    by_query = {}
+    for r in got.collect():
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # near-identical vectors share all hyperplane signs -> same bucket
+    assert 1 in by_query.get(0, [])
+    b = {r["id"]: r["bucket"] for r in hyperplane_lsh_buckets(df, n_planes=4, dim=8).collect()}
+    assert b[0] == b[1]
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=30)
+    assert media.count() == 30
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert r["kind"] in ("image", "audio", "video")
+    # determinism
+    again = extract_media_features(synthetic_media(spark, n=30)).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))

@@ -1,0 +1,92 @@
+"""Web-page ingestion tests: byte-identity of the vectorized extractor
+vs the pure-Python reference (BASELINE.json input_hint per-row
+invariant), link-graph derivation, RMAT generator determinism."""
+
+from pyspark.sql import functions as F
+
+from combblas_spark.sources.pages import (
+    generate_pages, reference_extract_text, reference_extract_links,
+    extract_text_udf, extract_links_udf, pages_to_edges, extract_link_edges,
+)
+from combblas_spark.sources.rmat import rmat_edges
+from combblas_spark.graph import build_graph, relabel_to_dense_ids
+
+
+def test_extractor_byte_identity(spark):
+    """The Arrow-UDF extractor must be byte-identical per url to the
+    pure-Python reference extractor (input_hint)."""
+    pages = generate_pages(spark, n_pages=100, n_sites=7).persist()
+    got = pages.select(
+        "url", "html",
+        extract_text_udf(F.col("html")).alias("udf_text"),
+        F.col("text").alias("stored_text"),
+    ).collect()
+    assert len(got) == 100
+    for r in got:
+        ref = reference_extract_text(bytes(r["html"]))
+        assert r["udf_text"] == ref, f"udf != reference for {r['url']}"
+        assert r["stored_text"] == ref
+
+
+def test_link_extractor_identity(spark):
+    pages = generate_pages(spark, n_pages=50).persist()
+    got = pages.select("url", "html", extract_links_udf(F.col("html")).alias("links")).collect()
+    for r in got:
+        assert list(r["links"]) == reference_extract_links(bytes(r["html"]))
+
+
+def test_pages_to_edges_roundtrip(spark):
+    pages = generate_pages(spark, n_pages=64, n_sites=4).persist()
+    edges, url_dict = pages_to_edges(pages)
+    ne = edges.count()
+    assert ne > 0
+    # every edge endpoint resolves back to a url in the dictionary
+    nd = url_dict.count()
+    assert edges.agg(F.max("src")).collect()[0][0] < nd
+    assert edges.agg(F.max("dst")).collect()[0][0] < nd
+    # dictionary ids are dense 0..nd-1
+    ids = [r["id"] for r in url_dict.select("id").collect()]
+    assert sorted(ids) == list(range(nd))
+    # edges by label == edges by id mapped back
+    by_label = {(r["src_url"], r["dst_url"]) for r in extract_link_edges(pages).collect()}
+    lookup = {r["id"]: r["label"] for r in url_dict.collect()}
+    by_id = {(lookup[r["src"]], lookup[r["dst"]]) for r in edges.collect()}
+    assert by_id == by_label
+
+
+def test_rmat_deterministic_across_partitioning(spark):
+    a = sorted((r["src"], r["dst"]) for r in rmat_edges(spark, 6, 4, seed=9, num_partitions=2).collect())
+    b = sorted((r["src"], r["dst"]) for r in rmat_edges(spark, 6, 4, seed=9, num_partitions=7).collect())
+    assert a == b
+    c = sorted((r["src"], r["dst"]) for r in rmat_edges(spark, 6, 4, seed=10).collect())
+    assert a != c
+
+
+def test_rmat_skew(spark):
+    """RMAT with the Graph500 initiator must be skewed (hub vertices)."""
+    g = build_graph(rmat_edges(spark, 8, 8, seed=1))
+    degs = g.groupBy("src").count().orderBy(F.col("count").desc()).limit(1).collect()
+    n_src = g.select("src").distinct().count()
+    avg = g.count() / n_src
+    assert degs[0]["count"] > 4 * avg  # heavy hitter exists
+
+
+def test_build_graph_semantics(spark):
+    raw = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 1, 2.0), (1, 1, 5.0), (2, 0, 1.0)],
+        "src long, dst long, val double")
+    g = {(r["src"], r["dst"]): r["val"] for r in build_graph(raw).collect()}
+    assert g == {(0, 1): 3.0, (2, 0): 1.0}  # summed dup, dropped loop
+    gs = {(r["src"], r["dst"]): r["val"]
+          for r in build_graph(raw, symmetrize=True).collect()}
+    assert gs == {(0, 1): 3.0, (1, 0): 3.0, (2, 0): 1.0, (0, 2): 1.0}
+
+
+def test_relabel_deterministic(spark):
+    e = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("a", "b")], "src_url string, dst_url string")
+    edges, d = relabel_to_dense_ids(e)
+    lookup = {r["label"]: r["id"] for r in d.collect()}
+    assert lookup == {"a": 0, "b": 1, "c": 2}  # sorted-label order
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {(1, 0), (2, 0), (0, 1)}
