@@ -1,0 +1,144 @@
+"""Benchmark harness — the driver runs this per-round and records the JSON.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "pagerank": {...edges/sec-per-superstep detail...}}
+
+Headline workload (BASELINE.md protocol):
+  * PageRank, 10 supersteps, on the RMAT scale-16 ef-16 graph (the
+    reference's golden-test graph size, ReleaseTests/CMakeLists.txt:44)
+    -> edges/sec per superstep, the authoritative BASELINE.json metric.
+  * FastSV connected components on the same graph.
+  * Triangle count / label propagation / SpGEMM on the events link graph.
+  * Training-data ops (dedup, minhash, ANN top-k) on documents/embeddings.
+
+Environment: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+$SPARK_GRAFT_CPUS (default 32). scripts/scaling.py reuses run_suite() at
+two parallelism levels for the N-vs-4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RMAT_SCALE = int(os.environ.get("BENCH_RMAT_SCALE", "16"))
+PR_SUPERSTEPS = 10
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, time.perf_counter() - t0
+
+
+def run_suite(spark, sf_dir: str) -> dict:
+    """Run the headline queries; returns {"queries": {name: sec}, ...}."""
+    from pyspark.sql import functions as F
+
+    from combblas_spark.algorithms.components import connected_components
+    from combblas_spark.algorithms.labelprop import label_propagation
+    from combblas_spark.algorithms.pagerank import pagerank
+    from combblas_spark.algorithms.triangles import triangle_count
+    from combblas_spark.functions.dedup import exact_duplicates, minhash_signatures
+    from combblas_spark.functions.similarity import brute_force_topk
+    from combblas_spark.graph import build_graph, events_graph
+    from combblas_spark.sources.rmat import rmat_edges
+
+    q: dict[str, float] = {}
+    detail: dict = {}
+
+    # ---- benchmark graph: RMAT scale-16, prepared like the reference
+    # (sum duplicates, drop loops — SpParMat ctor + RemoveLoops).
+    g_rmat, t = _timed(
+        lambda: build_graph(rmat_edges(spark, RMAT_SCALE, 16)).persist()
+    )
+    nedges = g_rmat.count()
+    q["rmat_build"] = round(t, 3)
+    detail["rmat_edges"] = nedges
+
+    # ---- PageRank: fixed supersteps for comparability across runs.
+    _, t = _timed(
+        lambda: pagerank(g_rmat, alpha=0.85, n_iter=PR_SUPERSTEPS).count()
+    )
+    q["pagerank_rmat"] = round(t, 3)
+    detail["pagerank"] = {
+        "supersteps": PR_SUPERSTEPS,
+        "edges": nedges,
+        "edges_per_sec_per_superstep": round(nedges * PR_SUPERSTEPS / t, 1),
+    }
+
+    # ---- Connected components (FastSV) on the same graph.
+    _, t = _timed(lambda: connected_components(g_rmat).select("comp").distinct().count())
+    q["cc_rmat"] = round(t, 3)
+
+    g_rmat.unpersist()
+
+    # ---- events link graph workload
+    g = events_graph(spark, sf_dir).persist()
+    g.count()
+
+    _, t = _timed(lambda: triangle_count(g))
+    q["triangle_count"] = round(t, 3)
+
+    _, t = _timed(lambda: label_propagation(g, n_rounds=2).count())
+    q["labelprop"] = round(t, 3)
+
+    from combblas_spark.operators.spgemm import spgemm
+
+    _, t = _timed(lambda: spgemm(g, g).count())
+    q["spgemm_aa"] = round(t, 3)
+    g.unpersist()
+
+    # ---- training-data ops
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+    _, t = _timed(lambda: exact_duplicates(docs).count())
+    q["dedup_exact"] = round(t, 3)
+    _, t = _timed(lambda: minhash_signatures(docs, num_hashes=4).count())
+    q["minhash"] = round(t, 3)
+    docs.unpersist()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    qv = emb.filter(F.col("vec_id") < 50)
+    _, t = _timed(lambda: brute_force_topk(qv, emb, k=10).count())
+    q["embedding_topk"] = round(t, 3)
+    emb.unpersist()
+
+    return {"queries": q, "detail": detail}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from combblas_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cores)
+    try:
+        res = run_suite(spark, sf_dir)
+    finally:
+        spark.stop()
+
+    total = round(sum(res["queries"].values()), 3)
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cores": cores,
+        "rmat_scale": RMAT_SCALE,
+        "pagerank": res["detail"].get("pagerank", {}),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
