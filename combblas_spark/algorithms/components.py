@@ -12,7 +12,10 @@ transitive-closure oracle.
 
 Every step is a join or a groupBy-min; the scatter's duplicate-combining
 groupBy (vector_assign) is the skew fix the reference implements by hand
-in ReduceAssign (FastSV.h:68-130).
+in ReduceAssign (FastSV.h:68-130). The parent vector is broadcast into
+the joins while it fits (the reference's adaptive Extract path,
+FastSV.h:252-333); the heavy SpMV + mins run as ONE job per superstep
+(eager localCheckpoint), with durable resume via runtime.SuperstepRunner.
 """
 
 from __future__ import annotations
@@ -29,53 +32,74 @@ from combblas_spark.operators.spmv import spmv
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
-    checkpoint_interval: int = 3,
     metrics: list | None = None,
+    broadcast_max_vertices: int = 8_000_000,
+    vector_rows_per_partition: int = 2_000_000,
+    runner=None,
 ) -> DataFrame:
     """Returns (id, comp) where comp = min vertex id in the component."""
+    import math
+
     sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
     verts = vertices(edges)
+    n_est = verts.count()
+    can_broadcast = n_est <= broadcast_max_vertices
+    vp = max(1, math.ceil(n_est / vector_rows_per_partition))
 
-    f = verts.select("id", F.col("id").alias("val")).persist()
-    f.count()
+    start_it = 0
+    f = None
+    if runner is not None:
+        resumed = runner.resume()
+        if resumed is not None:
+            start_it, f = resumed
+    if f is None:
+        f = verts.select("id", F.col("id").alias("val")).coalesce(vp)
+    f = f.localCheckpoint(eager=True)
 
-    for it in range(max_iter):
-        # grandparent: gp[v] = f[f[v]]
+    for it in range(start_it, max_iter):
+        fv = F.broadcast(f) if can_broadcast else f
+        # grandparent: gp[v] = f[f[v]]  (gp is dense: every vertex has one)
         gp = (
-            f.select("id", F.col("val").alias("_p"))
-            .join(f.select(F.col("id").alias("_p"), F.col("val").alias("gpv")), "_p")
+            fv.select("id", F.col("val").alias("_p"))
+            .join(fv.select(F.col("id").alias("_p"), F.col("val").alias("gpv")), "_p")
             .select("id", F.col("gpv").alias("val"))
         )
         # min grandparent among neighbors (sym edges -> both directions)
-        mngp = spmv(sym, gp, SELECT2ND_MIN)
+        mngp = spmv(sym, gp, SELECT2ND_MIN, broadcast_vector=can_broadcast or None)
         # hooking: push mngp[v] onto the parent f[v]
         hooks = (
-            f.select("id", F.col("val").alias("_p"))
+            fv.select("id", F.col("val").alias("_p"))
             .join(mngp.withColumnRenamed("val", "_m"), "id")
             .select(F.col("_p").alias("id"), F.col("_m").alias("val"))
         )
-        updates = gp.unionByName(mngp).unionByName(hooks)
-        umin = updates.groupBy("id").agg(F.min("val").alias("_u"))
+        # f' = min(f, gp, mngp, hooks): gp is dense, so one UNION + one
+        # groupBy-min emits the full next vector — no left join needed
+        # (identical mngp/gp subtrees are deduped by ReuseExchange)
         new_f = (
-            f.join(umin, "id", "left")
-            .select("id", F.least(F.col("val"), F.coalesce(F.col("_u"), F.col("val"))).alias("val"))
+            f.unionByName(gp).unionByName(mngp).unionByName(hooks)
+            .groupBy("id")
+            .agg(F.min("val").alias("val"))
+            .coalesce(vp)
         )
-        if (it + 1) % checkpoint_interval == 0:
-            new_f = new_f.localCheckpoint(eager=False)
-        new_f = new_f.persist()
+        if runner is not None:
+            new_f = runner.step(it, new_f)
+        else:
+            new_f = new_f.localCheckpoint(eager=True)
 
+        # convergence check over the two cached vectors (cheap second job)
         changed = (
             new_f.join(f.withColumnRenamed("val", "_old"), "id")
             .filter(F.col("val") != F.col("_old"))
             .count()
         )
-        f.unpersist()
         f = new_f
         if metrics is not None:
             metrics.append({"iter": it, "changed": changed})
         if changed == 0:
             break
 
+    if runner is not None:
+        runner.finish(f)
     sym.unpersist()
     return f.select("id", F.col("val").alias("comp"))

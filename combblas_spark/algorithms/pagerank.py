@@ -6,23 +6,39 @@ north rule requires it. Expressed as the classic power iteration:
 
     r' = (1-a)/n + a * ( A_norm^T r + dangling_mass/n )
 
-where A_norm has each row divided by its out-degree. One SpMV
-(join + groupBy-sum) per superstep; the dangling-mass scalar is an
-aggregate collect (the driver-side analogue of MPI_Allreduce).
+where A_norm has each row divided by its out-degree.
 
-Scale design (100 TB / 10^12 docs):
-* edges are joined with out-degrees ONCE, pre-repartitioned by the join
-  key (src) and persisted — per superstep only the small rank vector
-  shuffles to meet them (the analogue of SUMMA re-using the block
-  distribution across stages).
-* the groupBy(dst).sum is THE communication step; Spark's map-side
-  partial aggregation absorbs in-degree skew (hub pages) exactly like
-  the reference's tree-reduce; AQE skew-join covers the join side.
-* lineage is truncated every ``checkpoint_interval`` supersteps via
-  localCheckpoint (durable parquet checkpoints live in plans.superstep).
+Scale design (100 TB / 10^12 docs) — measured, not guessed (see
+BENCH/BASELINE.md):
+* edges are joined with out-degrees ONCE and persisted — per superstep
+  only the rank vector moves (the analogue of SUMMA re-using the block
+  distribution across stages, ParFriends.h:1448).
+* ONE fused job per superstep. The SpMV contributions are UNIONed with
+  a zero-row per vertex before the groupBy, so the aggregation itself
+  produces the complete dense rank vector — no separate verts join, no
+  second broadcast. Dangling vertices carry an ``is_dangling`` flag in
+  the state vector, so the dangling mass is a plain filtered aggregate
+  (no semi-join) cross-joined into the plan as a broadcast 1-row table
+  — no driver collect inside the loop.
+* the rank vector is broadcast into the SpMV join while it fits
+  (driver-side density heuristic, the analogue of the reference's
+  adaptive AllGather-vs-Alltoall choice, FastSV.h:252-333, CC.h:1251);
+  beyond ``broadcast_max_vertices`` it becomes a shuffle join against
+  edges pre-partitioned by src, planned by AQE (skew-join enabled).
+* the groupBy(dst).sum is THE communication step; map-side partial
+  aggregation absorbs in-degree skew (hub pages) exactly like the
+  reference's tree-reduce.
+* the output vector is coalesced to ~``vector_rows_per_partition``-row
+  partitions: vector stages must not inherit the edge-side stage width
+  (65k rows in 64 partitions is pure scheduling overhead; measured 4x
+  superstep cost at RMAT scale-12).
+* resumable: pass a runtime.SuperstepRunner to checkpoint rank state
+  durably with config lineage + partition/skew metrics (north rule).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,9 +53,11 @@ def pagerank(
     n_iter: int | None = None,
     tol: float | None = 1e-8,
     max_iter: int = 100,
-    checkpoint_interval: int = 5,
     weighted: bool = False,
     metrics: list | None = None,
+    broadcast_max_vertices: int = 8_000_000,
+    vector_rows_per_partition: int = 2_000_000,
+    runner=None,
 ) -> DataFrame:
     """Returns (id, rank) over the vertex set src UNION dst.
 
@@ -48,79 +66,101 @@ def pagerank(
     L1 convergence (used by correctness-vs-numpy tests and bench).
     """
     spark = edges.sparkSession
-    sc = spark.sparkContext
 
-    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    verts = vertices(edges)
     n = verts.count()
+    can_broadcast = n <= broadcast_max_vertices
+    vp = max(1, math.ceil(n / vector_rows_per_partition))
 
     w = F.col("val") if weighted and "val" in edges.columns else F.lit(1.0)
     outw = edges.groupBy("src").agg(F.sum(w).alias("_outw"))
-    # Normalized transition edges, partitioned by the per-superstep join
-    # key so the big side never re-shuffles inside the loop.
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    enorm = (
-        edges.join(outw, "src")
-        .select("src", "dst", (w / F.col("_outw")).alias("w"))
-        .repartition(shuffle_n, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    enorm = edges.join(outw, "src").select("src", "dst", (w / F.col("_outw")).alias("w"))
+    if not can_broadcast:
+        # big-vector regime: pin the edge partitioning to the join key so
+        # the big side never re-shuffles inside the loop
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        enorm = enorm.repartition(shuffle_n, "src")
+    enorm = enorm.persist(StorageLevel.MEMORY_AND_DISK)
     enorm.count()
 
-    # Dangling vertices: appear as dst but have no out-edges.
-    dangling = verts.join(edges.select("src").distinct(),
-                          verts["id"] == F.col("src"), "left_anti").select("id")
-    dangling = dangling.persist(StorageLevel.MEMORY_AND_DISK)
-    dangling.count()
-
-    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).persist()
-    ranks.count()
+    # State vector (id, rank, dg): dg marks dangling vertices (appear as
+    # dst but have no out-edges) so the per-superstep dangling mass is a
+    # filtered aggregate over the state itself — no join in the loop.
+    srcs = edges.select("src").distinct()
+    start_it = 0
+    state = None
+    if runner is not None:
+        resumed = runner.resume()
+        if resumed is not None:
+            start_it, state = resumed
+    if state is None:
+        state = (
+            verts.join(srcs, verts["id"] == F.col("src"), "left")
+            .select("id", F.lit(1.0 / n).alias("rank"), F.col("src").isNull().alias("dg"))
+            .coalesce(vp)
+        )
+    state = state.localCheckpoint(eager=True)
 
     iters = n_iter if n_iter is not None else max_iter
-    for it in range(iters):
-        dmass = (
-            ranks.join(dangling, "id", "left_semi").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+    for it in range(start_it, iters):
+        # dangling mass: broadcast 1-row aggregate, stays inside the job
+        dmass = state.agg(
+            F.coalesce(F.sum(F.when(F.col("dg"), F.col("rank"))), F.lit(0.0)).alias("_dm")
         )
-        inflow = (
-            enorm.join(ranks, enorm["src"] == ranks["id"], "inner")
-            .select(F.col("dst").alias("id"), (F.col("w") * F.col("rank")).alias("_c"))
-            .groupBy("id")
-            .agg(F.sum("_c").alias("_in"))
+        rv = state.select(F.col("id").alias("_rid"), F.col("rank").alias("_r"))
+        if can_broadcast:
+            rv = F.broadcast(rv)
+        # SpMV contributions + one zero-row per vertex: the groupBy then
+        # emits the complete dense vector in a single aggregation
+        contribs = (
+            enorm.join(rv, enorm["src"] == F.col("_rid"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("w") * F.col("_r")).alias("_c"),
+                F.lit(None).cast("boolean").alias("dg"),
+            )
+            .unionByName(state.select("id", F.lit(0.0).alias("_c"), "dg"))
         )
-        new_ranks = (
-            verts.join(inflow, "id", "left")
+        new_state = (
+            contribs.groupBy("id")
+            .agg(F.sum("_c").alias("_in"), F.any_value("dg", True).alias("dg"))
+            .crossJoin(F.broadcast(dmass))
             .select(
                 "id",
                 (
                     F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha) * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dmass / n))
+                    + F.lit(alpha) * (F.col("_in") + F.col("_dm") / F.lit(float(n)))
                 ).alias("rank"),
+                "dg",
             )
+            .coalesce(vp)
         )
-        if (it + 1) % checkpoint_interval == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=False)
-        new_ranks = new_ranks.persist()
+
+        # materialize: THE one job per superstep (truncates lineage);
+        # the runner additionally writes durable Parquet on its cadence
+        if runner is not None:
+            new_state = runner.step(it, new_state)
+        else:
+            new_state = new_state.localCheckpoint(eager=True)
 
         if n_iter is None and tol is not None:
             delta = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "_old"), "id")
+                new_state.select("id", "rank")
+                .join(state.select("id", F.col("rank").alias("_old")), "id")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("d"))
                 .collect()[0]["d"]
             )
-            ranks.unpersist()
-            ranks = new_ranks
+            state = new_state
             if metrics is not None:
-                metrics.append({"iter": it, "l1_delta": delta, "dangling_mass": dmass})
+                metrics.append({"iter": it, "l1_delta": delta})
             if delta < tol:
                 break
         else:
-            new_ranks.count()
-            ranks.unpersist()
-            ranks = new_ranks
+            state = new_state
             if metrics is not None:
-                metrics.append({"iter": it, "dangling_mass": dmass})
+                metrics.append({"iter": it})
 
+    if runner is not None:
+        runner.finish(state)
     enorm.unpersist()
-    dangling.unpersist()
-    verts.unpersist()
-    return ranks
+    return state.select("id", "rank")

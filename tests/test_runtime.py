@@ -1,0 +1,104 @@
+"""Superstep runtime: durable checkpoint / resume / metrics (north rule).
+
+Resume contract (FIXTURES.md §5): run k supersteps, stop, resume from
+the durable checkpoint -> outputs match the uninterrupted run (allclose
+1e-12 for float PageRank, exact for integer CC labels).
+"""
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from combblas_spark.algorithms.components import connected_components
+from combblas_spark.algorithms.pagerank import pagerank
+from combblas_spark.graph import build_graph
+from combblas_spark.runtime import SuperstepRunner, load_imbalance
+from combblas_spark.sources.rmat import rmat_edges
+
+from tests.conftest import df_edges
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    g = build_graph(rmat_edges(spark, 8, 8)).persist()
+    g.count()
+    yield g
+    g.unpersist()
+
+
+def _ranks_dict(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_resume_matches_uninterrupted(spark, graph, tmp_path):
+    full = _ranks_dict(pagerank(graph, n_iter=8))
+
+    ckpt = str(tmp_path / "pr")
+    cfg = {"alpha": 0.85, "algo": "pagerank"}
+    # phase 1: run only 4 supersteps, durable every 3 (-> iters 2 and 3-final)
+    r1 = SuperstepRunner(spark, ckpt, "pagerank", config=cfg, every=3)
+    pagerank(graph, n_iter=4, runner=r1)
+    latest = json.load(open(os.path.join(ckpt, "latest.json")))
+    assert latest["iteration"] == 3 and latest["final"] is True
+
+    # phase 2: new runner, same dir -> resumes at iteration 4, finishes 8
+    r2 = SuperstepRunner(spark, ckpt, "pagerank", config=cfg, every=3)
+    resumed = _ranks_dict(pagerank(graph, n_iter=8, runner=r2))
+
+    assert set(resumed) == set(full)
+    for k in full:
+        assert math.isclose(resumed[k], full[k], rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_resume_rejects_config_lineage_mismatch(spark, graph, tmp_path):
+    ckpt = str(tmp_path / "pr2")
+    r1 = SuperstepRunner(spark, ckpt, "pagerank", config={"alpha": 0.85}, every=2)
+    pagerank(graph, n_iter=2, runner=r1)
+    r2 = SuperstepRunner(spark, ckpt, "pagerank", config={"alpha": 0.5}, every=2)
+    with pytest.raises(ValueError, match="lineage mismatch"):
+        r2.resume()
+    r3 = SuperstepRunner(spark, ckpt, "cc", config={}, every=2)
+    with pytest.raises(ValueError, match="holds job"):
+        r3.resume()
+
+
+def test_cc_resume_exact(spark, tmp_path):
+    # three components: path 0-1-2, star 3-{4,5,6}, pair 7-8 (FIXTURES #4)
+    g = df_edges(spark, [(0, 1), (1, 2), (3, 4), (3, 5), (3, 6), (7, 8)])
+    full = {r["id"]: r["comp"] for r in connected_components(g).collect()}
+    assert full == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 3, 7: 7, 8: 7}
+
+    ckpt = str(tmp_path / "cc")
+    r1 = SuperstepRunner(spark, ckpt, "cc", every=1)
+    connected_components(g, max_iter=1, runner=r1)  # stop after 1 superstep
+    r2 = SuperstepRunner(spark, ckpt, "cc", every=1)
+    resumed = {r["id"]: r["comp"] for r in connected_components(g, runner=r2).collect()}
+    assert resumed == full
+
+
+def test_manifest_metrics_contents(spark, graph, tmp_path):
+    ckpt = str(tmp_path / "pr3")
+    r = SuperstepRunner(spark, ckpt, "pagerank", config={"alpha": 0.85}, every=2)
+    pagerank(graph, n_iter=4, runner=r)
+
+    latest = json.load(open(os.path.join(ckpt, "latest.json")))
+    assert latest["job_name"] == "pagerank"
+    assert latest["rows"] > 0
+    assert latest["config"] == {"alpha": 0.85}
+    assert isinstance(latest["partition_rows"], list) and latest["partition_rows"]
+    assert latest["load_imbalance"] >= 1.0
+    assert all(t >= 0 for t in latest["superstep_wall_s"])
+    # durable dirs for iters 1 and 3 exist with their own manifests
+    assert os.path.exists(os.path.join(ckpt, "iter_000001", "manifest.json"))
+    assert os.path.exists(os.path.join(ckpt, "iter_000003", "manifest.json"))
+    # runner accumulated per-step metrics
+    assert any("load_imbalance" in m for m in r.metrics)
+
+
+def test_load_imbalance_metric():
+    assert load_imbalance([10, 10, 10]) == 1.0
+    assert load_imbalance([30, 0, 0]) == 1.0  # single non-empty partition
+    assert load_imbalance([20, 10]) == pytest.approx(20 / 15)
