@@ -40,7 +40,11 @@ def connected_components(
     """Returns (id, comp) where comp = min vertex id in the component."""
     import math
 
-    sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # pre-partition by dst = the SpMV aggregation key, so each superstep's
+    # min-neighbor agg needs no edge-sized exchange (see pagerank.py)
+    sym = symmetrize(edges).repartition(shuffle_n, "dst").persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
     verts = vertices(edges)
     n_est = verts.count()
@@ -80,8 +84,13 @@ def connected_components(
             f.unionByName(gp).unionByName(mngp).unionByName(hooks)
             .groupBy("id")
             .agg(F.min("val").alias("val"))
-            .coalesce(vp)
         )
+        # narrow for the next broadcast/checkpoint (see pagerank.py: wide
+        # agg + cheap re-shuffle for big n, inline coalesce for small n)
+        if n_est <= 100_000:
+            new_f = new_f.coalesce(vp)
+        else:
+            new_f = new_f.repartition(vp)
         if runner is not None:
             new_f = runner.step(it, new_f)
         else:

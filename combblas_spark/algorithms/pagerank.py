@@ -75,10 +75,19 @@ def pagerank(
     w = F.col("val") if weighted and "val" in edges.columns else F.lit(1.0)
     outw = edges.groupBy("src").agg(F.sum(w).alias("_outw"))
     enorm = edges.join(outw, "src").select("src", "dst", (w / F.col("_outw")).alias("w"))
-    if not can_broadcast:
-        # big-vector regime: pin the edge partitioning to the join key so
-        # the big side never re-shuffles inside the loop
-        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if can_broadcast:
+        # broadcast regime: pre-partition edges by the AGGREGATION key
+        # (dst). The per-superstep SpMV is then a broadcast join + an
+        # agg whose partitioning is already satisfied -> ZERO exchanges
+        # inside the loop; only the small rank vector moves (the SUMMA
+        # analogue: blocks stay put, the vector is the allgather).
+        enorm = enorm.repartition(shuffle_n, "dst")
+    else:
+        # big-vector regime: pin the edge partitioning to the JOIN key
+        # (src) so the big side never re-shuffles; the rank vector
+        # shuffles to meet it and the agg shuffles by dst (AQE-planned,
+        # skew-join enabled in session.py).
         enorm = enorm.repartition(shuffle_n, "src")
     enorm = enorm.persist(StorageLevel.MEMORY_AND_DISK)
     enorm.count()
@@ -108,33 +117,48 @@ def pagerank(
             F.coalesce(F.sum(F.when(F.col("dg"), F.col("rank"))), F.lit(0.0)).alias("_dm")
         )
         rv = state.select(F.col("id").alias("_rid"), F.col("rank").alias("_r"))
+        new_rank = (
+            F.lit((1.0 - alpha) / n)
+            + F.lit(alpha)
+            * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
+        ).alias("rank")
+
         if can_broadcast:
-            rv = F.broadcast(rv)
-        # SpMV contributions + one zero-row per vertex: the groupBy then
-        # emits the complete dense vector in a single aggregation
-        contribs = (
-            enorm.join(rv, enorm["src"] == F.col("_rid"))
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("w") * F.col("_r")).alias("_c"),
-                F.lit(None).cast("boolean").alias("dg"),
+            # zero-exchange SpMV: broadcast join + partitioning-satisfied
+            # agg over the dst-partitioned cached edges, then stitch the
+            # vector-sized inflow back onto the state with a second
+            # broadcast — the whole superstep moves only O(n) bytes.
+            inflow = (
+                enorm.join(F.broadcast(rv), enorm["src"] == F.col("_rid"))
+                .select(F.col("dst").alias("id"), (F.col("w") * F.col("_r")).alias("_c"))
+                .groupBy("id")
+                .agg(F.sum("_c").alias("_in"))
             )
-            .unionByName(state.select("id", F.lit(0.0).alias("_c"), "dg"))
-        )
-        new_state = (
-            contribs.groupBy("id")
-            .agg(F.sum("_c").alias("_in"), F.any_value("dg", True).alias("dg"))
-            .crossJoin(F.broadcast(dmass))
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha) * (F.col("_in") + F.col("_dm") / F.lit(float(n)))
-                ).alias("rank"),
-                "dg",
+            new_state = (
+                state.join(F.broadcast(inflow), "id", "left")
+                .crossJoin(F.broadcast(dmass))
+                .select("id", new_rank, "dg")
             )
-            .coalesce(vp)
-        )
+        else:
+            # shuffle regime: SpMV contributions + one zero-row per vertex
+            # so a single wide aggregation emits the complete dense vector,
+            # then re-narrow with a cheap vector-sized shuffle.
+            contribs = (
+                enorm.join(rv, enorm["src"] == F.col("_rid"))
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("w") * F.col("_r")).alias("_c"),
+                    F.lit(None).cast("boolean").alias("dg"),
+                )
+                .unionByName(state.select("id", F.lit(0.0).alias("_c"), "dg"))
+            )
+            new_state = (
+                contribs.groupBy("id")
+                .agg(F.sum("_c").alias("_in"), F.any_value("dg", True).alias("dg"))
+                .crossJoin(F.broadcast(dmass))
+                .select("id", new_rank, "dg")
+                .repartition(vp)
+            )
 
         # materialize: THE one job per superstep (truncates lineage);
         # the runner additionally writes durable Parquet on its cadence

@@ -310,3 +310,40 @@ def test_induced_subgraphs(spark):
 def test_load_imbalance_and_bandwidth(A_df):
     assert load_imbalance(A_df) >= 1.0
     assert bandwidth(A_df) >= 0
+
+
+def test_salted_spmv_identical_to_spmv(spark, A_df, A_np, x_df, x_np):
+    """Salted heavy-hitter path must produce identical results to the
+    plain join (FIXTURES.md power_law_hub invariant)."""
+    from combblas_spark.operators.spmv import salted_spmv
+
+    # threshold 0 -> EVERY vertex is treated as heavy (maximal salting)
+    y = vec_of(salted_spmv(A_df, x_df, PLUS_TIMES, degree_threshold=0, n_salts=8), N)
+    assert np.allclose(y, A_np.T @ x_np)
+
+    y2 = vec_of(salted_spmv(A_df, x_df, PLUS_TIMES, degree_threshold=3, n_salts=4), N)
+    assert np.allclose(y2, A_np.T @ x_np)
+
+
+def test_salted_spmv_power_law_hub(spark):
+    """Hub vertex 0 with in-edges from everyone plus a ring; salted and
+    unsalted SpMV agree for both an arithmetic and a min semiring."""
+    from combblas_spark.operators.spmv import salted_spmv
+
+    n = 200
+    triples = [(i, 0, 1.0) for i in range(1, n)]          # hub in-edges
+    triples += [(i, (i + 1) % n, 1.0) for i in range(n)]  # ring
+    g = df_edges(spark, triples)
+    x = df_vec(spark, [(i, float(i + 1)) for i in range(n)])
+
+    base = {r["id"]: r["val"] for r in spmv(g, x, PLUS_TIMES).collect()}
+    salted = {r["id"]: r["val"]
+              for r in salted_spmv(g, x, PLUS_TIMES, degree_threshold=10, n_salts=8).collect()}
+    assert base.keys() == salted.keys()
+    for k in base:
+        assert base[k] == pytest.approx(salted[k])
+
+    base_m = {r["id"]: r["val"] for r in spmv(g, x, SELECT2ND_MIN).collect()}
+    salted_m = {r["id"]: r["val"]
+                for r in salted_spmv(g, x, SELECT2ND_MIN, degree_threshold=10, n_salts=8).collect()}
+    assert base_m == salted_m
