@@ -25,16 +25,23 @@ from pyspark.sql import functions as F
 
 from combblas_spark.graph import events_graph, events_graph_sql, vertices
 from combblas_spark.operators.semiring import PLUS_TIMES, SELECT2ND_MIN
-from combblas_spark.operators.spmv import spmv
+from combblas_spark.operators.spmv import spmv, salted_spmv
 from combblas_spark.operators.spgemm import spgemm, masked_spgemm
-from combblas_spark.operators.ewise import ewise_apply, ewise_mult, set_difference, dim_apply, prune
-from combblas_spark.operators.reduce import reduce_dim, kselect
-from combblas_spark.operators.indexing import transpose
+from combblas_spark.operators.ewise import (
+    apply_values, ewise_apply, ewise_mult, set_difference, dim_apply, prune,
+    prune_rows_cols, prune_column,
+)
+from combblas_spark.operators.reduce import reduce_dim, kselect, kth_value, masked_reduce
+from combblas_spark.operators.indexing import (
+    transpose, subsref, spasgn, add_loops, vector_assign, vector_extract,
+    invert, uniq, setminus, concatenate, induced_subgraphs,
+)
 from combblas_spark.algorithms.pagerank import pagerank
 from combblas_spark.algorithms.components import connected_components
 from combblas_spark.algorithms.labelprop import label_propagation
 from combblas_spark.algorithms.bfs import bfs_levels
-from combblas_spark.algorithms.triangles import lower_triangle
+from combblas_spark.algorithms.sssp import sssp
+from combblas_spark.algorithms.triangles import lower_triangle, triangles_per_vertex
 from combblas_spark.functions.text import analyze_documents
 from combblas_spark.functions.dedup import (
     exact_duplicates, minhash_signatures, ngram_jaccard, simhash_near_dups,
@@ -107,6 +114,20 @@ def q_spgemm_aa(spark, sf):
     return spgemm(g, g).select("src", "dst", F.col("val").alias("c"))
 
 
+def q_spgemm_phased(spark, sf):
+    from combblas_spark.operators.spgemm import spgemm_phased
+
+    g = events_graph(spark, sf)
+    return spgemm_phased(g, g, phases=4).select("src", "dst", F.col("val").alias("c"))
+
+
+def q_prune_recovery(spark, sf):
+    from combblas_spark.operators.reduce import prune_recovery_select
+
+    g = events_graph(spark, sf)
+    return prune_recovery_select(g, threshold=2.0, recover_num=3).select("src", "dst", "val")
+
+
 def q_masked_spgemm(spark, sf):
     g = events_graph(spark, sf)
     return masked_spgemm(g, g, g).select("src", "dst", F.col("val").alias("c"))
@@ -124,11 +145,11 @@ def q_kselect_top2(spark, sf):
 
 def q_subsref(spark, sf):
     g = events_graph(spark, sf)
+    v = vertices(g)
     # ri = even ids relabeled to id/2; ci = ids < 75 kept as-is
-    return (
-        g.filter((F.col("src") % 2 == 0) & (F.col("dst") < 75))
-        .select(F.expr("src DIV 2").alias("src"), "dst", "val")
-    )
+    ri = v.filter(F.col("id") % 2 == 0).select(F.expr("id DIV 2").alias("pos"), "id")
+    ci = v.filter(F.col("id") < 75).select(F.col("id").alias("pos"), "id")
+    return subsref(g, ri, ci).select("src", "dst", "val")
 
 
 def q_prune(spark, sf):
@@ -186,6 +207,126 @@ def q_labelprop(spark, sf):
     return label_propagation(g, n_rounds=LP_ROUNDS).select("id", "label")
 
 
+def q_spasgn(spark, sf):
+    g = events_graph(spark, sf)
+    ric = spark.range(10).select(F.col("id").alias("pos"), F.col("id"))
+    B = spark.range(10).select(
+        F.col("id").alias("src"), F.col("id").alias("dst"), F.lit(7.0).alias("val"))
+    return spasgn(g, ric, ric, B).select("src", "dst", "val")
+
+
+def q_prune_rows_cols(spark, sf):
+    g = events_graph(spark, sf)
+    v = vertices(g)
+    ri = v.filter(F.col("id") % 2 == 0)
+    ci = v.filter(F.col("id") < 50)
+    return prune_rows_cols(g, ri, ci).select("src", "dst", "val")
+
+
+def q_prune_column(spark, sf):
+    g = events_graph(spark, sf)
+    colmax = reduce_dim(g, "col", F.max)
+    kept = prune_column(g, colmax, lambda v, p: v >= 0.5 * p)
+    return kept.select("src", "dst", "val")
+
+
+def q_masked_reduce(spark, sf):
+    g = events_graph(spark, sf)
+    mask = vertices(g).filter(F.col("id") < 100)
+    return masked_reduce(g, "row", mask).select("id", F.col("val").alias("s"))
+
+
+def q_add_loops(spark, sf):
+    g = events_graph(spark, sf)
+    return add_loops(g, vertices(g), 1.0).select("src", "dst", "val")
+
+
+def q_apply_scale(spark, sf):
+    g = events_graph(spark, sf)
+    return apply_values(g, lambda v: v * 2 + 1).select("src", "dst", "val")
+
+
+def q_vector_assign(spark, sf):
+    g = events_graph(spark, sf)
+    outd = reduce_dim(g, "row", F.count)
+    upd = reduce_dim(g, "col", F.count).filter(F.col("id") % 3 == 0)
+    return vector_assign(outd, upd, F.min).select("id", F.col("val").cast("long").alias("val"))
+
+
+def q_pointer_jump(spark, sf):
+    g = events_graph(spark, sf)
+    p = spmv(g, vertices(g).withColumn("val", F.col("id")), SELECT2ND_MIN,
+             index_is_value=True)
+    idx = p.select("id", F.col("val").cast("long").alias("val"))
+    return vector_extract(p, idx).select("id", F.col("val").alias("gp"))
+
+
+def q_invert_vec(spark, sf):
+    g = events_graph(spark, sf)
+    outd = reduce_dim(g, "row", F.count)
+    return invert(outd, F.min).select("id", "val")
+
+
+def q_kth_value(spark, sf):
+    g = events_graph(spark, sf)
+    return kth_value(g, 2, dim="col").select("id", "val")
+
+
+def q_graph_stats(spark, sf):
+    g = events_graph(spark, sf)
+    return g.agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.max(F.abs(F.col("src") - F.col("dst"))).alias("bandwidth"),
+        F.min("val").alias("minval"),
+        F.sum("val").alias("total"),
+    )
+
+
+def q_induced_subgraphs(spark, sf):
+    g = events_graph(spark, sf)
+    assign = vertices(g).select("id", (F.col("id") % 4).alias("val"))
+    out = induced_subgraphs(g, assign)
+    return out.select("src", "dst", "val", F.col("group").alias("grp"))
+
+
+def q_concat_vectors(spark, sf):
+    g = events_graph(spark, sf)
+    outd = reduce_dim(g, "row", F.count)
+    ind = reduce_dim(g, "col", F.count)
+    return concatenate([outd, ind]).select("id", F.col("val").cast("long").alias("val"))
+
+
+def q_setminus_vec(spark, sf):
+    g = events_graph(spark, sf)
+    outd = reduce_dim(g, "row", F.count)
+    drop = vertices(g).filter(F.col("id") < 50)
+    return setminus(outd, drop).select("id", F.col("val").cast("long").alias("val"))
+
+
+def q_uniq_vec(spark, sf):
+    g = events_graph(spark, sf)
+    outd = reduce_dim(g, "row", F.count)
+    return uniq(outd, F.min).select("id", F.col("val").cast("long").alias("val"))
+
+
+def q_sssp(spark, sf):
+    g = events_graph(spark, sf)
+    d = sssp(g, root=0, weighted=True, directed=True)
+    return d.select("id", F.round("dist", 6).alias("dist"))
+
+
+def q_triangles_per_vertex(spark, sf):
+    g = events_graph(spark, sf)
+    return triangles_per_vertex(g).select("id", "tri")
+
+
+def q_salted_spmv(spark, sf):
+    g = events_graph(spark, sf)
+    x = reduce_dim(g, "row", F.count)
+    y = salted_spmv(g, x, PLUS_TIMES, degree_threshold=20, n_salts=8)
+    return y.select("id", F.col("val").alias("y"))
+
+
 # ------------------------------ documents / embeddings (training-data ops)
 
 def q_doc_tokens(spark, sf):
@@ -222,12 +363,30 @@ def q_embedding_topk(spark, sf):
     return brute_force_topk(q, e, k=5).select("query_id", "neighbor_id", "cos")
 
 
+def q_embedding_neardups(spark, sf):
+    from combblas_spark.functions.similarity import embedding_near_dups
+
+    e = _emb(spark, sf).filter(F.col("vec_id") < 400)
+    return embedding_near_dups(e, threshold=0.2).select("id_a", "id_b", "cos")
+
+
 def q_embedding_centroids(spark, sf):
     e = _emb(spark, sf)
     return (
         e.select("label", F.posexplode("embedding").alias("i", "x"))
         .groupBy("label", "i")
         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+
+
+def q_events_windowed(spark, sf):
+    """Tumbling 1-hour windows — the batch twin of
+    streaming.edge_rate_per_window (same expression under a watermark)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
     )
 
 
@@ -240,6 +399,34 @@ def q_events_daily(spark, sf):
 
 
 # ---------------------------- rows-only (no exact SQL twin; see oracle_sql)
+
+def q_pages_pipeline(spark, sf):
+    """HTML->links->dense-id edges over the deterministic synthetic pages
+    table (the north-rule ingestion path; generated in-engine, so no
+    DuckDB twin -> rows-only check)."""
+    from combblas_spark.sources.pages import generate_pages, pages_to_edges
+
+    pages = generate_pages(spark, n_pages=300)
+    edges, _ = pages_to_edges(pages)
+    return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("multiplicity"))
+
+
+def q_mcl_clusters(spark, sf):
+    """Markov clustering (iterative expand/inflate/prune — no SQL twin)."""
+    from combblas_spark.algorithms.mcl import mcl
+
+    g = events_graph(spark, sf)
+    return mcl(g, inflation=2.0, max_iter=10).select("id", "cluster")
+
+
+def q_betweenness(spark, sf):
+    """Batched Brandes BC from 8 sources (iterative — no SQL twin)."""
+    from combblas_spark.algorithms.betweenness import betweenness_centrality
+
+    g = events_graph(spark, sf)
+    out = betweenness_centrality(g, roots=list(range(8)))
+    return out.select("id", F.round("bc", 6).alias("bc"))
+
 
 def q_simhash_neardups(spark, sf):
     return simhash_near_dups(_docs(spark, sf), max_hamming=3)
@@ -262,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spmv_plus_times": q_spmv_plus_times,
         "spmv_select2nd_min": q_spmv_select2nd_min,
         "spgemm_aa": q_spgemm_aa,
+        "spgemm_phased": q_spgemm_phased,
+        "prune_recovery": q_prune_recovery,
         "masked_spgemm": q_masked_spgemm,
         "transpose_rowsums": q_transpose_rowsums,
         "kselect_top2": q_kselect_top2,
@@ -275,17 +464,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": q_bfs_levels,
         "pagerank": q_pagerank,
         "labelprop": q_labelprop,
+        "spasgn": q_spasgn,
+        "prune_rows_cols": q_prune_rows_cols,
+        "prune_column": q_prune_column,
+        "masked_reduce": q_masked_reduce,
+        "add_loops": q_add_loops,
+        "apply_scale": q_apply_scale,
+        "vector_assign": q_vector_assign,
+        "pointer_jump": q_pointer_jump,
+        "invert_vec": q_invert_vec,
+        "kth_value": q_kth_value,
+        "graph_stats": q_graph_stats,
+        "induced_subgraphs": q_induced_subgraphs,
+        "concat_vectors": q_concat_vectors,
+        "setminus_vec": q_setminus_vec,
+        "uniq_vec": q_uniq_vec,
+        "sssp": q_sssp,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "salted_spmv": q_salted_spmv,
+        "pages_pipeline": q_pages_pipeline,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "minhash": q_minhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "embedding_neardups": q_embedding_neardups,
         "embedding_centroids": q_embedding_centroids,
         "events_daily": q_events_daily,
+        "events_windowed": q_events_windowed,
         "simhash_neardups": q_simhash_neardups,
         "lsh_topk": q_lsh_topk,
         "media_features": q_media_features,
+        "mcl_clusters": q_mcl_clusters,
+        "betweenness": q_betweenness,
     }
 
 
@@ -389,6 +601,20 @@ def oracle_sql() -> dict[str, str]:
         "spgemm_aa": f"""{_BASE}
             SELECT a.src, b.dst, sum(a.val * b.val) AS c
             FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
+        "spgemm_phased": f"""{_BASE}
+            SELECT a.src, b.dst, sum(a.val * b.val) AS c
+            FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
+        "prune_recovery": f"""{_BASE},
+            ann AS (
+              SELECT src, dst, val,
+                     row_number() OVER (PARTITION BY dst ORDER BY val DESC, src ASC) AS rk,
+                     sum(val) OVER (PARTITION BY dst) AS mass,
+                     sum(CASE WHEN val >= 2.0 THEN val ELSE 0 END)
+                         OVER (PARTITION BY dst) AS km
+              FROM edges)
+            SELECT src, dst, val FROM ann
+            WHERE (km >= 0.1 * mass AND val >= 2.0)
+               OR (km < 0.1 * mass AND rk <= 3)""",
         "masked_spgemm": f"""{_BASE}
             SELECT a.src, b.dst, sum(a.val * b.val) AS c
             FROM edges a JOIN edges b ON a.dst = b.src
@@ -437,6 +663,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, min(lvl) AS level FROM walk GROUP BY id""",
         "pagerank": _pagerank_sql(),
         "labelprop": _labelprop_sql(),
+        "spasgn": f"""{_BASE}
+            SELECT src, dst, val FROM edges WHERE NOT (src < 10 AND dst < 10)
+            UNION ALL
+            SELECT gs AS src, gs AS dst, 7.0 AS val
+            FROM (SELECT unnest(generate_series(0, 9)) AS gs)""",
+        "prune_rows_cols": f"""{_BASE}
+            SELECT src, dst, val FROM edges WHERE NOT (src % 2 = 0 AND dst < 50)""",
+        "prune_column": f"""{_BASE},
+            cm AS (SELECT dst, max(val) AS m FROM edges GROUP BY dst)
+            SELECT e.src, e.dst, e.val FROM edges e JOIN cm ON e.dst = cm.dst
+            WHERE e.val >= 0.5 * cm.m""",
+        "masked_reduce": f"""{_BASE}
+            SELECT src AS id, sum(val) AS s FROM edges WHERE dst < 100 GROUP BY src""",
+        "add_loops": f"""{_BASE}
+            SELECT src, dst, val FROM edges
+            UNION ALL SELECT id, id, 1.0 FROM verts""",
+        "apply_scale": f"{_BASE} SELECT src, dst, val * 2 + 1 AS val FROM edges",
+        "vector_assign": f"""{_BASE},
+            o AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+            u AS (SELECT dst AS id, count(*) AS c FROM edges WHERE dst % 3 = 0 GROUP BY dst)
+            SELECT o.id, CAST(coalesce(u.c, o.c) AS BIGINT) AS val
+            FROM o LEFT JOIN u ON o.id = u.id""",
+        "pointer_jump": f"""{_BASE},
+            p AS (SELECT dst AS id, CAST(min(src) AS DOUBLE) AS minsrc
+                  FROM edges GROUP BY dst)
+            SELECT a.id, b.minsrc AS gp
+            FROM p a JOIN p b ON CAST(a.minsrc AS BIGINT) = b.id""",
+        "invert_vec": f"""{_BASE},
+            o AS (SELECT src AS id0, count(*) AS c FROM edges GROUP BY src)
+            SELECT CAST(c AS BIGINT) AS id, CAST(min(id0) AS DOUBLE) AS val
+            FROM o GROUP BY c""",
+        "kth_value": f"""{_BASE}
+            SELECT dst AS id, val FROM edges
+            QUALIFY row_number() OVER (PARTITION BY dst ORDER BY val DESC) = 2""",
+        "graph_stats": f"""{_BASE}
+            SELECT count(*) AS nnz, max(abs(src - dst)) AS bandwidth,
+                   min(val) AS minval, sum(val) AS total FROM edges""",
+        "induced_subgraphs": f"""{_BASE}
+            SELECT src, dst, val, src % 4 AS grp FROM edges WHERE src % 4 = dst % 4""",
+        "concat_vectors": f"""{_BASE},
+            o AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+            i AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst)
+            SELECT id, c AS val FROM o
+            UNION ALL
+            SELECT i.id + (SELECT max(id) + 1 FROM o), i.c FROM i""",
+        "setminus_vec": f"""{_BASE}
+            SELECT src AS id, count(*) AS val FROM edges WHERE src >= 50 GROUP BY src""",
+        "uniq_vec": f"""{_BASE},
+            o AS (SELECT src AS id0, count(*) AS c FROM edges GROUP BY src)
+            SELECT min(id0) AS id, c AS val FROM o GROUP BY c""",
+        "sssp": f"""WITH RECURSIVE edges AS ({EDGES}),
+            walk(id, d) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS DOUBLE)
+              UNION
+              SELECT e.dst, w.d + e.val FROM walk w JOIN edges e ON e.src = w.id
+              WHERE w.d + e.val <= 15
+            )
+            SELECT id, ROUND(min(d), 6) AS dist FROM walk GROUP BY id""",
+        "triangles_per_vertex": f"""{_BASE},
+            {_SYM},
+            L AS (SELECT src, dst FROM sym WHERE src < dst),
+            tri AS (
+              SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+              FROM L ab JOIN L bc ON ab.dst = bc.src
+              JOIN L ac ON ac.src = ab.src AND ac.dst = bc.dst)
+            SELECT id, count(*) AS tri FROM (
+              SELECT a AS id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri) GROUP BY id""",
+        "salted_spmv": f"""{_BASE},
+            x AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS xv FROM edges GROUP BY src)
+            SELECT e.dst AS id, sum(e.val * x.xv) AS y
+            FROM edges e JOIN x ON e.src = x.id GROUP BY e.dst""",
         "doc_tokens": "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
         "doc_quality": f"""WITH q AS (
               SELECT doc_id, text,
@@ -489,6 +788,16 @@ def oracle_sql() -> dict[str, str]:
                        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
                           * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
                        c.vec_id ASC) <= 5""",
+        "embedding_neardups": """WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 400)
+            SELECT * FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_dot_product(a.e, b.e)
+                           / (sqrt(list_dot_product(a.e, a.e))
+                              * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+              FROM v a JOIN v b ON a.vec_id < b.vec_id)
+            WHERE cos >= 0.2""",
         "embedding_centroids": """
             SELECT label, i - 1 AS i, ROUND(avg(CAST(x AS DOUBLE)), 6) AS c
             FROM (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
@@ -498,6 +807,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*) AS n, ROUND(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type, day""",
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+                   count(*) AS n, ROUND(sum(value), 6) AS sum_value
+            FROM events GROUP BY window_start, event_type""",
         # simhash_neardups: xxhash64 is Spark-specific -> rows-only check.
         # lsh_topk: seeded numpy hyperplanes -> rows-only check.
         # media_features: synthetic binary decode plumbing -> rows-only check.

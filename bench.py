@@ -63,14 +63,20 @@ def run_suite(spark, sf_dir: str) -> dict:
     detail["rmat_edges"] = nedges
 
     # ---- PageRank: fixed supersteps for comparability across runs.
+    pr_metrics: list = []
     _, t = _timed(
-        lambda: pagerank(g_rmat, alpha=0.85, n_iter=PR_SUPERSTEPS).count()
+        lambda: pagerank(g_rmat, alpha=0.85, n_iter=PR_SUPERSTEPS, metrics=pr_metrics).count()
     )
     q["pagerank_rmat"] = round(t, 3)
+    stamps = [m["t"] for m in pr_metrics if "t" in m]
+    walls = [round(b - a, 3) for a, b in zip(stamps, stamps[1:])]
+    med = sorted(walls)[len(walls) // 2] if walls else None
     detail["pagerank"] = {
         "supersteps": PR_SUPERSTEPS,
         "edges": nedges,
         "edges_per_sec_per_superstep": round(nedges * PR_SUPERSTEPS / t, 1),
+        "superstep_walls": walls,
+        "eps_median_superstep": round(nedges / med, 1) if med else None,
     }
 
     # ---- Connected components (FastSV) on the same graph.

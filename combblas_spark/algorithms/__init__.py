@@ -5,12 +5,16 @@ from combblas_spark.algorithms.components import connected_components
 from combblas_spark.algorithms.labelprop import label_propagation
 from combblas_spark.algorithms.triangles import triangle_count
 from combblas_spark.algorithms.bfs import bfs_levels, bfs_parents
+from combblas_spark.algorithms.sssp import sssp
+from combblas_spark.algorithms.mcl import mcl
 
 __all__ = [
+    "mcl",
     "pagerank",
     "connected_components",
     "label_propagation",
     "triangle_count",
     "bfs_levels",
     "bfs_parents",
+    "sssp",
 ]

@@ -20,6 +20,8 @@ FastSV.h:252-333); the heavy SpMV + mins run as ONE job per superstep
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -34,12 +36,10 @@ def connected_components(
     max_iter: int = 50,
     metrics: list | None = None,
     broadcast_max_vertices: int = 8_000_000,
-    vector_rows_per_partition: int = 2_000_000,
+    small_vector_threshold: int = 100_000,
     runner=None,
 ) -> DataFrame:
     """Returns (id, comp) where comp = min vertex id in the component."""
-    import math
-
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # pre-partition by dst = the SpMV aggregation key, so each superstep's
@@ -49,7 +49,7 @@ def connected_components(
     verts = vertices(edges)
     n_est = verts.count()
     can_broadcast = n_est <= broadcast_max_vertices
-    vp = max(1, math.ceil(n_est / vector_rows_per_partition))
+    small_vector = n_est <= small_vector_threshold
 
     start_it = 0
     f = None
@@ -58,7 +58,8 @@ def connected_components(
         if resumed is not None:
             start_it, f = resumed
     if f is None:
-        f = verts.select("id", F.col("id").alias("val")).coalesce(vp)
+        f = verts.select("id", F.col("id").alias("val"))
+        f = f.coalesce(1) if small_vector else f.repartition(shuffle_n, "id")
     f = f.localCheckpoint(eager=True)
 
     for it in range(start_it, max_iter):
@@ -80,17 +81,16 @@ def connected_components(
         # f' = min(f, gp, mngp, hooks): gp is dense, so one UNION + one
         # groupBy-min emits the full next vector — no left join needed
         # (identical mngp/gp subtrees are deduped by ReuseExchange)
+        # f' = min over a union of vector-sized inputs; the agg output is
+        # HashPartitioning(id, shuffle_n), which the state keeps across
+        # supersteps (co-partitioned with the next convergence join)
         new_f = (
             f.unionByName(gp).unionByName(mngp).unionByName(hooks)
             .groupBy("id")
             .agg(F.min("val").alias("val"))
         )
-        # narrow for the next broadcast/checkpoint (see pagerank.py: wide
-        # agg + cheap re-shuffle for big n, inline coalesce for small n)
-        if n_est <= 100_000:
-            new_f = new_f.coalesce(vp)
-        else:
-            new_f = new_f.repartition(vp)
+        if small_vector:
+            new_f = new_f.coalesce(1)
         if runner is not None:
             new_f = runner.step(it, new_f)
         else:
@@ -104,7 +104,7 @@ def connected_components(
         )
         f = new_f
         if metrics is not None:
-            metrics.append({"iter": it, "changed": changed})
+            metrics.append({"iter": it, "changed": changed, "t": time.perf_counter()})
         if changed == 0:
             break
 

@@ -1,0 +1,95 @@
+"""MCL / HipMCL — Markov clustering by alternating expansion and
+inflation (Applications/MCL.cpp:526-645).
+
+Per iteration (the reference's main loop):
+  expand   : A = A^2            (MemEfficientSpGEMM, ParFriends.h:453 —
+                                 here one self-join SpGEMM; Spark spills
+                                 instead of phasing)
+  inflate  : A.Apply(pow(., r)) (MCL.cpp:446)
+  prune    : drop tiny entries + keep top-k per column with recovery
+             threshold (MCLPruneRecoverySelect, ParFriends.h:186-330 —
+             here a filter + window top-k, kselect)
+  normalize: MakeColStochastic = Reduce(Column, plus) -> safemultinv ->
+             DimApply (MCL.cpp:389-394)
+  chaos    : max over columns of (max(col) - sumsq(col)) * n_col
+             (MCL.cpp:407-420) — convergence when < eps
+Interpret (MCL.cpp:372-385): clusters = connected components of the
+kept-entry pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from combblas_spark.algorithms.components import connected_components
+from combblas_spark.operators.reduce import kselect
+from combblas_spark.operators.spgemm import spgemm
+
+
+def _col_stochastic(edges: DataFrame) -> DataFrame:
+    """MakeColStochastic (MCL.cpp:389-394): each column sums to 1."""
+    cs = edges.groupBy("dst").agg(F.sum("val").alias("_s"))
+    return (
+        edges.join(cs, "dst")
+        .select("src", "dst", (F.col("val") / F.col("_s")).alias("val"))
+    )
+
+
+def mcl(
+    edges: DataFrame,
+    inflation: float = 2.0,
+    prune_threshold: float = 1e-4,
+    select_k: int = 50,
+    max_iter: int = 20,
+    chaos_eps: float = 1e-3,
+    add_self_loops: bool = True,
+    metrics: list | None = None,
+) -> DataFrame:
+    """Returns (id, cluster) — cluster = min vertex id of the MCL cluster.
+
+    edges are treated as an undirected similarity graph (symmetrized);
+    self-loops are added like the reference's default (MCL.cpp adds
+    loops pre-normalization) so singleton columns stay stochastic.
+    """
+    sym = edges.select("src", "dst", "val").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "val")
+    )
+    if add_self_loops:
+        verts = (
+            sym.select(F.col("src").alias("id"))
+            .unionByName(sym.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        sym = sym.unionByName(
+            verts.select(F.col("id").alias("src"), F.col("id").alias("dst"),
+                         F.lit(1.0).alias("val"))
+        )
+    A = _col_stochastic(sym.groupBy("src", "dst").agg(F.sum("val").alias("val")))
+    A = A.localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        # expand + inflate
+        A2 = spgemm(A, A)
+        inflated = A2.select("src", "dst", F.pow(F.col("val"), F.lit(inflation)).alias("val"))
+        # prune tiny entries, keep top-k per column (recovery-free
+        # simplification of MCLPruneRecoverySelect)
+        kept = kselect(inflated.filter(F.col("val") > prune_threshold), select_k, dim="col")
+        A_new = _col_stochastic(kept).localCheckpoint(eager=True)
+
+        # chaos convergence metric (MCL.cpp:407-420)
+        chaos = (
+            A_new.groupBy("dst")
+            .agg((F.max("val") - F.sum(F.col("val") * F.col("val"))).alias("_c"))
+            .agg(F.max("_c").alias("chaos"))
+            .collect()[0]["chaos"]
+        ) or 0.0
+        A = A_new
+        if metrics is not None:
+            metrics.append({"iter": it, "chaos": chaos})
+        if chaos < chaos_eps:
+            break
+
+    # Interpret (MCL.cpp:372-385): components of the attractor pattern
+    comps = connected_components(A.select("src", "dst", "val"))
+    return comps.select("id", F.col("comp").alias("cluster"))

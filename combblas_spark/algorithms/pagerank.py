@@ -28,17 +28,18 @@ BENCH/BASELINE.md):
 * the groupBy(dst).sum is THE communication step; map-side partial
   aggregation absorbs in-degree skew (hub pages) exactly like the
   reference's tree-reduce.
-* the output vector is coalesced to ~``vector_rows_per_partition``-row
-  partitions: vector stages must not inherit the edge-side stage width
-  (65k rows in 64 partitions is pure scheduling overhead; measured 4x
-  superstep cost at RMAT scale-12).
+* vector stages are sized to the vector, not the edge-side stage width:
+  small vectors collapse to one partition (65k rows in 64 partitions is
+  pure scheduling overhead; measured 4x superstep cost at RMAT-12);
+  larger ones stay hash-partitioned by id at shuffle width so the
+  state<->inflow join is co-partitioned (zero exchange, all parallel).
 * resumable: pass a runtime.SuperstepRunner to checkpoint rank state
   durably with config lineage + partition/skew metrics (north rule).
 """
 
 from __future__ import annotations
 
-import math
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -56,7 +57,7 @@ def pagerank(
     weighted: bool = False,
     metrics: list | None = None,
     broadcast_max_vertices: int = 8_000_000,
-    vector_rows_per_partition: int = 2_000_000,
+    small_vector_threshold: int = 100_000,
     runner=None,
 ) -> DataFrame:
     """Returns (id, rank) over the vertex set src UNION dst.
@@ -70,7 +71,11 @@ def pagerank(
     verts = vertices(edges)
     n = verts.count()
     can_broadcast = n <= broadcast_max_vertices
-    vp = max(1, math.ceil(n / vector_rows_per_partition))
+    # Small vectors collapse to one partition (tiny-stage overhead
+    # dominates otherwise); bigger vectors stay hash-partitioned by id at
+    # shuffle width so every vector stage parallelizes AND the per-
+    # superstep state<->inflow join is co-partitioned (zero exchange).
+    small_vector = n <= small_vector_threshold
 
     w = F.col("val") if weighted and "val" in edges.columns else F.lit(1.0)
     outw = edges.groupBy("src").agg(F.sum(w).alias("_outw"))
@@ -103,11 +108,10 @@ def pagerank(
         if resumed is not None:
             start_it, state = resumed
     if state is None:
-        state = (
-            verts.join(srcs, verts["id"] == F.col("src"), "left")
-            .select("id", F.lit(1.0 / n).alias("rank"), F.col("src").isNull().alias("dg"))
-            .coalesce(vp)
+        state = verts.join(srcs, verts["id"] == F.col("src"), "left").select(
+            "id", F.lit(1.0 / n).alias("rank"), F.col("src").isNull().alias("dg")
         )
+        state = state.coalesce(1) if small_vector else state.repartition(shuffle_n, "id")
     state = state.localCheckpoint(eager=True)
 
     iters = n_iter if n_iter is not None else max_iter
@@ -125,39 +129,39 @@ def pagerank(
 
         if can_broadcast:
             # zero-exchange SpMV: broadcast join + partitioning-satisfied
-            # agg over the dst-partitioned cached edges, then stitch the
-            # vector-sized inflow back onto the state with a second
-            # broadcast — the whole superstep moves only O(n) bytes.
+            # agg over the dst-partitioned cached edges. The vector-sized
+            # inflow is stitched back onto the state either by a second
+            # broadcast (small vectors) or by a co-partitioned join (both
+            # sides HashPartitioning(id, shuffle_n) -> still no exchange,
+            # and every vector stage stays parallel).
             inflow = (
                 enorm.join(F.broadcast(rv), enorm["src"] == F.col("_rid"))
                 .select(F.col("dst").alias("id"), (F.col("w") * F.col("_r")).alias("_c"))
                 .groupBy("id")
                 .agg(F.sum("_c").alias("_in"))
             )
+            stitched = F.broadcast(inflow) if small_vector else inflow
             new_state = (
-                state.join(F.broadcast(inflow), "id", "left")
+                state.join(stitched, "id", "left")
                 .crossJoin(F.broadcast(dmass))
                 .select("id", new_rank, "dg")
             )
         else:
-            # shuffle regime: SpMV contributions + one zero-row per vertex
-            # so a single wide aggregation emits the complete dense vector,
-            # then re-narrow with a cheap vector-sized shuffle.
-            contribs = (
+            # shuffle regime: the SpMV contributions aggregate by dst into
+            # HashPartitioning(id, shuffle_n) — the same partitioning the
+            # state carries — so stitching the dense vector back together
+            # is a co-partitioned left join with NO exchange. The state
+            # keeps that partitioning across supersteps.
+            inflow = (
                 enorm.join(rv, enorm["src"] == F.col("_rid"))
-                .select(
-                    F.col("dst").alias("id"),
-                    (F.col("w") * F.col("_r")).alias("_c"),
-                    F.lit(None).cast("boolean").alias("dg"),
-                )
-                .unionByName(state.select("id", F.lit(0.0).alias("_c"), "dg"))
+                .select(F.col("dst").alias("id"), (F.col("w") * F.col("_r")).alias("_c"))
+                .groupBy("id")
+                .agg(F.sum("_c").alias("_in"))
             )
             new_state = (
-                contribs.groupBy("id")
-                .agg(F.sum("_c").alias("_in"), F.any_value("dg", True).alias("dg"))
+                state.join(inflow, "id", "left")
                 .crossJoin(F.broadcast(dmass))
                 .select("id", new_rank, "dg")
-                .repartition(vp)
             )
 
         # materialize: THE one job per superstep (truncates lineage);
@@ -176,13 +180,13 @@ def pagerank(
             )
             state = new_state
             if metrics is not None:
-                metrics.append({"iter": it, "l1_delta": delta})
+                metrics.append({"iter": it, "l1_delta": delta, "t": time.perf_counter()})
             if delta < tol:
                 break
         else:
             state = new_state
             if metrics is not None:
-                metrics.append({"iter": it})
+                metrics.append({"iter": it, "t": time.perf_counter()})
 
     if runner is not None:
         runner.finish(state)

@@ -1,0 +1,77 @@
+"""Single-source shortest paths — Bellman-Ford over the MinPlus
+(tropical) semiring.
+
+The reference ships MinPlusSRing (include/CombBLAS/Semirings.h:236-255)
+exactly for this classic CombBLAS use:  dist' = dist min.+ (A^T dist).
+Each superstep is one SpMV over MIN_PLUS merged with the previous
+distances via a groupBy-min (the same union-agg shape as FastSV in
+components.py). A frontier optimization keeps the SpMV sparse: only
+vertices whose distance improved last superstep propagate (SpMSpV,
+ParFriends.h:2180 — the sparse-vector path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def sssp(
+    edges: DataFrame,
+    root: int,
+    weighted: bool = True,
+    max_iter: int = 60,
+    directed: bool = True,
+    metrics: list | None = None,
+) -> DataFrame:
+    """Returns (id, dist) for vertices reachable from ``root``.
+
+    edges: (src, dst, val>0); val is the edge weight (1.0 if
+    weighted=False). Distances follow edge direction src->dst unless
+    directed=False (symmetrized first).
+    """
+    spark = edges.sparkSession
+    w = F.col("val") if weighted and "val" in edges.columns else F.lit(1.0)
+    e = edges.select("src", "dst", w.alias("w"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = e.repartition(shuffle_n, "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+
+    dist = spark.createDataFrame([(int(root), 0.0)], "id long, dist double")
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist  # vertices improved last superstep
+
+    for it in range(max_iter):
+        # SpMSpV over MinPlus: relax out-edges of the frontier only
+        relaxed = (
+            e.join(F.broadcast(frontier.withColumnRenamed("id", "_fid")),
+                   e["src"] == F.col("_fid"))
+            .select(F.col("dst").alias("id"), (F.col("w") + F.col("dist")).alias("dist"))
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # improved = strictly better than before (new vertices included)
+        frontier = (
+            merged.join(dist.withColumnRenamed("dist", "_old"), "id", "left")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("id", "dist")
+            .localCheckpoint(eager=True)
+        )
+        n_front = frontier.count()
+        if metrics is not None:
+            metrics.append({"iter": it, "frontier": n_front})
+        dist = merged
+        if n_front == 0:
+            break
+
+    e.unpersist()
+    return dist

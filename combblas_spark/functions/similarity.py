@@ -91,6 +91,40 @@ def hyperplane_lsh_buckets(
     return vectors.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    use_lsh=True restricts candidates to same-LSH-bucket vectors (the
+    scale path for big corpora); False is the exact all-pairs baseline.
+    """
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if use_lsh:
+        b = hyperplane_lsh_buckets(vectors, n_planes, seed, id_col, vec_col, dim)
+        v = v.join(b, "id")
+        cond = (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") < F.col("c.id"))
+    else:
+        cond = F.col("a.id") < F.col("c.id")
+    a, c = v.alias("a"), v.alias("c")
+    return (
+        a.join(c, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("c.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     k: int = 5,

@@ -9,7 +9,7 @@ SpParMat.cpp:3895). Same semantics here over DataFrames.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Knuth multiplicative hash constant — used by the deterministic
@@ -76,19 +76,25 @@ def relabel_to_dense_ids(edges_by_label: DataFrame, label_cols=("src_url", "dst_
     mapping is deterministic and resume-stable. Returns
     (edges(src,dst), dict(id, label)).
 
-    Scale note: the dictionary is built with a window row_number over
-    sorted labels — a full-shuffle rank. At 10^12 urls one would switch
-    to zipWithIndex-per-partition + offset (same result, no global
-    sort); sorted-order ids are kept here for deterministic tests.
+    Scale design: distributed sort (range-partitioned exchange) +
+    RDD zipWithIndex (per-partition counts -> contiguous global offsets)
+    — the id of a label depends only on the sorted order, not on
+    partition boundaries, so the mapping is identical at any
+    parallelism. No single-partition window; every stage is n-way. This
+    is the one deliberate RDD use in the engine (Spark has no DataFrame
+    zipWithIndex).
     """
     s, d = label_cols
+    spark = edges_by_label.sparkSession
     labels = (
         edges_by_label.select(F.col(s).alias("label"))
         .unionByName(edges_by_label.select(F.col(d).alias("label")))
         .distinct()
     )
-    w = Window.orderBy("label")
-    dict_df = labels.withColumn("id", F.row_number().over(w) - F.lit(1)).select("id", "label")
+    indexed = labels.orderBy("label").rdd.map(lambda r: r["label"]).zipWithIndex()
+    dict_df = spark.createDataFrame(
+        indexed.map(lambda t: (t[1], t[0])), "id long, label string"
+    )
     e = (
         edges_by_label
         .join(dict_df.select(F.col("label").alias(s), F.col("id").alias("src")), s)

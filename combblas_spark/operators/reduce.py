@@ -84,6 +84,39 @@ def kselect(edges: DataFrame, k: int, dim: str = "col",
     )
 
 
+def prune_recovery_select(
+    edges: DataFrame,
+    threshold: float,
+    recover_num: int,
+    recover_pct: float = 0.9,
+) -> DataFrame:
+    """Column-wise threshold prune with recovery
+    (MCLPruneRecoverySelect, ParFriends.h:186-330): drop entries below
+    ``threshold``; a column that lost more than ``recover_pct`` of its
+    mass (or emptied) is RECOVERED — its top ``recover_num`` original
+    entries are kept instead, so no column vanishes from the Markov
+    matrix. One window rank + per-column mass stats; no driver loop.
+    """
+    w = Window.partitionBy("dst").orderBy(F.col("val").desc(), F.col("src").asc())
+    stats = Window.partitionBy("dst")
+    annotated = (
+        edges.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_mass", F.sum("val").over(stats))
+        .withColumn(
+            "_kept_mass",
+            F.sum(F.when(F.col("val") >= threshold, F.col("val")).otherwise(0.0)).over(stats),
+        )
+    )
+    recovered_col = F.col("_kept_mass") < (1.0 - recover_pct) * F.col("_mass")
+    return (
+        annotated.filter(
+            (~recovered_col & (F.col("val") >= threshold))
+            | (recovered_col & (F.col("_rk") <= recover_num))
+        )
+        .select("src", "dst", "val")
+    )
+
+
 def kth_value(edges: DataFrame, k: int, dim: str = "col") -> DataFrame:
     """Per-column k-th largest value as a vector (Kselect's scalar form)."""
     key = "dst" if dim == "col" else "src"

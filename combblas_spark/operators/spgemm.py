@@ -57,6 +57,40 @@ def square(A: DataFrame, sr: Semiring = PLUS_TIMES) -> DataFrame:
     return spgemm(A, A, sr)
 
 
+def spgemm_phased(
+    A: DataFrame,
+    B: DataFrame,
+    phases: int,
+    sr: Semiring = PLUS_TIMES,
+    prune_threshold: float | None = None,
+    select_k: int | None = None,
+) -> DataFrame:
+    """Memory-constrained SpGEMM: process B in ``phases`` column batches,
+    optionally prune/top-k each phase's output before the union
+    (MemEfficientSpGEMM, ParFriends.h:453-778; phase count chosen by
+    CalculateNumberOfPhases:780 — here the caller passes it, or relies
+    on Spark's spill-to-disk and sets phases=1).
+
+    Column batching is a hash bucket on B.dst, so each phase's C columns
+    are disjoint and the union needs no re-aggregation.
+    """
+    from combblas_spark.operators.reduce import kselect
+
+    outs = []
+    for p in range(phases):
+        bp = B.filter(F.pmod(F.xxhash64(F.col("dst")), F.lit(phases)) == p)
+        cp = spgemm(A, bp, sr)
+        if prune_threshold is not None:
+            cp = cp.filter(F.col("val") > prune_threshold)
+        if select_k is not None:
+            cp = kselect(cp, select_k, dim="col")
+        outs.append(cp)
+    out = outs[0]
+    for cp in outs[1:]:
+        out = out.unionByName(cp)
+    return out
+
+
 def masked_spgemm(
     A: DataFrame,
     B: DataFrame,

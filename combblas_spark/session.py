@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # NOTE: keep the heap right-sized (<=20g). Measured: a 40g heap
+        # produces multi-second G1 young-gen pauses (and 10s+ ParallelGC
+        # full GCs) under wide shuffle allocation; at <=16g both
+        # collectors run smooth sub-300ms pauses.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

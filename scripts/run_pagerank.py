@@ -49,6 +49,10 @@ def main() -> None:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=5)
     p.add_argument("--output", default=None, help="parquet dir for the result vector")
+    p.add_argument(
+        "--broadcast-max-vertices", type=int, default=8_000_000,
+        help="0 forces the shuffle regime — the code path a 10^12-vertex "
+             "run would take (rank vector too big to broadcast)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -84,9 +88,12 @@ def main() -> None:
     metrics: list = []
     t1 = time.perf_counter()
     if args.algo == "pagerank":
-        res = pagerank(g, alpha=args.alpha, n_iter=args.iters, metrics=metrics, runner=runner)
+        res = pagerank(g, alpha=args.alpha, n_iter=args.iters, metrics=metrics,
+                       runner=runner, broadcast_max_vertices=args.broadcast_max_vertices)
     else:
-        res = connected_components(g, max_iter=args.iters, metrics=metrics, runner=runner)
+        res = connected_components(g, max_iter=args.iters, metrics=metrics,
+                                   runner=runner,
+                                   broadcast_max_vertices=args.broadcast_max_vertices)
     res = res.persist()
     nrows = res.count()
     t_loop = time.perf_counter() - t1
@@ -95,9 +102,13 @@ def main() -> None:
         res.write.mode("overwrite").parquet(args.output)
 
     supersteps = len(metrics) if metrics else args.iters
-    # steady-state throughput: total loop time minus first-superstep
-    # overhead is approximated by mean over supersteps
     eps = nedges * supersteps / t_loop if t_loop > 0 else 0.0
+    # per-superstep walls from the metrics timestamps; the MEDIAN is the
+    # steady-state number (robust against host steal-time bursts and
+    # first-iteration JIT warmup, both of which inflate the mean)
+    stamps = [m["t"] for m in metrics if "t" in m]
+    walls = [round(b - a, 3) for a, b in zip(stamps, stamps[1:])]
+    med = sorted(walls)[len(walls) // 2] if walls else None
     out = {
         "algo": args.algo,
         "graph": args.graph,
@@ -107,6 +118,9 @@ def main() -> None:
         "build_s": round(t_build, 3),
         "loop_s": round(t_loop, 3),
         "eps_per_superstep": round(eps, 1),
+        "superstep_walls": walls,
+        "median_superstep_s": med,
+        "eps_median": round(nedges / med, 1) if med else None,
         "parallelism": spark.sparkContext.defaultParallelism,
         "shuffle_partitions": shuffle_n,
     }

@@ -245,3 +245,103 @@ def test_bfs_parents_valid_tree(spark):
         else:
             assert (p, v) in und
             assert levels[p] == levels[v] - 1
+
+
+def test_sssp_known_graph(spark):
+    """Weighted diamond: 0->1 (1), 0->2 (4), 1->2 (2), 2->3 (1), 1->3 (5)."""
+    from combblas_spark.algorithms import sssp
+
+    g = df_edges(spark, [(0, 1, 1.0), (0, 2, 4.0), (1, 2, 2.0), (2, 3, 1.0), (1, 3, 5.0)])
+    d = {r["id"]: r["dist"] for r in sssp(g, root=0).collect()}
+    assert d == {0: 0.0, 1: 1.0, 2: 3.0, 3: 4.0}
+
+
+def test_sssp_rmat_vs_numpy_bellman_ford(spark):
+    from combblas_spark.algorithms import sssp
+
+    g = build_graph(rmat_edges(spark, 8, 8)).persist()
+    rows = g.collect()
+    n = 1 + max(max(r["src"] for r in rows), max(r["dst"] for r in rows))
+    # numpy Bellman-Ford oracle (dense relaxation to fixpoint)
+    INF = float("inf")
+    dist = np.full(n, INF)
+    dist[0] = 0.0
+    for _ in range(n):
+        nd = dist.copy()
+        for r in rows:
+            if dist[r["src"]] + r["val"] < nd[r["dst"]]:
+                nd[r["dst"]] = dist[r["src"]] + r["val"]
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+
+    got = {r["id"]: r["dist"] for r in sssp(g, root=0).collect()}
+    expected = {i: dist[i] for i in range(n) if dist[i] < INF}
+    assert got.keys() == expected.keys()
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-9)
+    g.unpersist()
+
+
+def test_mcl_two_clusters(spark):
+    """two_triangles_bridge: MCL must cut the weak bridge -> 2 clusters."""
+    from combblas_spark.algorithms import mcl
+
+    g = df_edges(spark, [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)])
+    out = {r["id"]: r["cluster"] for r in mcl(g, inflation=2.0).collect()}
+    assert set(out) == set(range(6))
+    assert out[0] == out[1] == out[2]
+    assert out[3] == out[4] == out[5]
+    assert out[0] != out[3]
+
+
+def _brandes_oracle(adj, n):
+    """Reference Brandes (undirected, unnormalized, pairs halved)."""
+    import collections
+    bc = [0.0] * n
+    for s in range(n):
+        sigma = [0.0] * n; dist = [-1] * n; preds = [[] for _ in range(n)]
+        sigma[s] = 1.0; dist[s] = 0
+        order = []; q = collections.deque([s])
+        while q:
+            v = q.popleft(); order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1; q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]; preds[w].append(v)
+        delta = [0.0] * n
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return [b / 2.0 for b in bc]
+
+
+def test_betweenness_vs_brandes_oracle(spark):
+    from combblas_spark.algorithms.betweenness import betweenness_centrality
+
+    triples = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 3), (4, 5), (0, 5), (2, 6)]
+    n = 7
+    adj = [[] for _ in range(n)]
+    for a, b in triples:
+        adj[a].append(b); adj[b].append(a)
+    expected = _brandes_oracle(adj, n)
+
+    g = df_edges(spark, triples)
+    got = {r["id"]: r["bc"] for r in betweenness_centrality(g).collect()}
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert got[i] == pytest.approx(expected[i], abs=1e-9)
+
+
+def test_betweenness_sampled_roots(spark):
+    from combblas_spark.algorithms.betweenness import betweenness_centrality
+
+    g = df_edges(spark, [(0, 1), (1, 2), (2, 3)])  # path: bc(1)=bc(2)=2 full
+    got = {r["id"]: r["bc"] for r in betweenness_centrality(g, roots=[0, 3]).collect()}
+    # with sources {0,3} each middle vertex lies on 0->3 and 3->0 paths
+    # plus 0->2 / 3->1: delta sums halved -> 1.5 each
+    assert got[1] == pytest.approx(1.5)
+    assert got[2] == pytest.approx(1.5)

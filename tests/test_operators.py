@@ -347,3 +347,23 @@ def test_salted_spmv_power_law_hub(spark):
     salted_m = {r["id"]: r["val"]
                 for r in salted_spmv(g, x, SELECT2ND_MIN, degree_threshold=10, n_salts=8).collect()}
     assert base_m == salted_m
+
+
+def test_spgemm_phased_equals_spgemm(spark, A_df, A_np):
+    from combblas_spark.operators.spgemm import spgemm_phased
+
+    got = mat_of(spgemm_phased(A_df, A_df, phases=3), N)
+    assert np.allclose(got, A_np @ A_np)
+
+
+def test_prune_recovery_select(spark):
+    from combblas_spark.operators.reduce import prune_recovery_select
+
+    # col 0: strong entries survive the threshold; col 1: everything is
+    # tiny -> recovered top-2 kept instead of emptying the column
+    triples = [(0, 0, 5.0), (1, 0, 4.0), (2, 0, 0.1),
+               (0, 1, 0.3), (1, 1, 0.2), (2, 1, 0.1)]
+    g = df_edges(spark, triples)
+    out = {(r["src"], r["dst"]): r["val"]
+           for r in prune_recovery_select(g, threshold=1.0, recover_num=2).collect()}
+    assert out == {(0, 0): 5.0, (1, 0): 4.0, (0, 1): 0.3, (1, 1): 0.2}
