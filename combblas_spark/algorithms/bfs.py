@@ -24,29 +24,62 @@ from combblas_spark.graph import symmetrize
 
 def _bfs(edges: DataFrame, root: int, directed: bool,
          broadcast_threshold: int, max_depth: int, want_parents: bool,
-         metrics: list | None = None) -> DataFrame:
+         metrics: list | None = None,
+         direction_optimizing: bool = False,
+         bottom_up_fraction: float = 0.05) -> DataFrame:
+    from combblas_spark.graph import vertices
+
     adj = (edges.select("src", "dst") if directed else symmetrize(edges).select("src", "dst"))
     adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     spark = edges.sparkSession
+    verts = None
+    n = None
+    if direction_optimizing:
+        verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+        n = verts.count()
 
     # visited: (id, level, parent)
     visited = spark.createDataFrame([(root, 0, root)], "id long, level int, parent long").persist()
     frontier = visited.select("id")
     frontier_n = 1
+    visited_n = 1
 
     level = 0
     while frontier_n > 0 and level < max_depth:
         level += 1
         f = F.broadcast(frontier) if frontier_n <= broadcast_threshold else frontier
-        nxt = (
-            adj.join(f.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("src").alias("parent"))     # deterministic parent: min id
-            .join(visited.select("id"), "id", "left_anti")
-            .withColumn("level", F.lit(level))
-            .select("id", "level", "parent")
+        bottom_up = (
+            direction_optimizing
+            and frontier_n > bottom_up_fraction * n
+            and (n - visited_n) < frontier_n * 8
         )
+        if bottom_up:
+            # bottom-up step (DirOptBFS.cpp:376-443): work proportional
+            # to the UNVISITED set's in-edges, not the frontier's
+            # out-edges — filter edges by the (now smaller) unvisited dst
+            # side first, then semi-check the src against the frontier.
+            unvisited = (
+                verts.join(visited.select("id"), "id", "left_anti")
+                .withColumnRenamed("id", "dst")
+            )
+            cand = adj.join(F.broadcast(unvisited), "dst")
+            nxt = (
+                cand.join(f.withColumnRenamed("id", "src"), "src", "left_semi")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("src").alias("parent"))
+                .withColumn("level", F.lit(level))
+                .select("id", "level", "parent")
+            )
+        else:
+            nxt = (
+                adj.join(f.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("src").alias("parent"))     # deterministic parent: min id
+                .join(visited.select("id"), "id", "left_anti")
+                .withColumn("level", F.lit(level))
+                .select("id", "level", "parent")
+            )
         nxt = nxt.localCheckpoint(eager=True)
         frontier_n = nxt.count()
         if metrics is not None:
@@ -54,7 +87,7 @@ def _bfs(edges: DataFrame, root: int, directed: bool,
         if frontier_n == 0:
             break
         new_visited = visited.unionByName(nxt).persist()
-        new_visited.count()
+        visited_n = new_visited.count()
         visited.unpersist()
         visited = new_visited
         frontier = nxt.select("id")
@@ -67,9 +100,16 @@ def _bfs(edges: DataFrame, root: int, directed: bool,
 
 def bfs_levels(edges: DataFrame, root: int, directed: bool = False,
                broadcast_threshold: int = 1_000_000, max_depth: int = 1000,
-               metrics: list | None = None) -> DataFrame:
-    """(id, level) for vertices reachable from root."""
-    return _bfs(edges, root, directed, broadcast_threshold, max_depth, False, metrics)
+               metrics: list | None = None,
+               direction_optimizing: bool = False) -> DataFrame:
+    """(id, level) for vertices reachable from root.
+
+    direction_optimizing=True switches to a bottom-up step when the
+    frontier is a large fraction of the graph and few vertices remain
+    unvisited (DirOptBFS.cpp:376-443 heuristic) — identical results
+    (min-id parents), different join order."""
+    return _bfs(edges, root, directed, broadcast_threshold, max_depth, False,
+                metrics, direction_optimizing)
 
 
 def bfs_parents(edges: DataFrame, root: int, directed: bool = False,

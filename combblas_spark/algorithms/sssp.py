@@ -24,6 +24,7 @@ def sssp(
     max_iter: int = 60,
     directed: bool = True,
     metrics: list | None = None,
+    runner=None,
 ) -> DataFrame:
     """Returns (id, dist) for vertices reachable from ``root``.
 
@@ -40,11 +41,21 @@ def sssp(
     e = e.repartition(shuffle_n, "dst").persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
 
-    dist = spark.createDataFrame([(int(root), 0.0)], "id long, dist double")
+    start_it = 0
+    dist = None
+    if runner is not None:
+        resumed = runner.resume()
+        if resumed is not None:
+            # state = the distance vector; the frontier is not persisted —
+            # resume re-relaxes from ALL current distances once (a safe
+            # over-approximation: extra relaxations are monotone no-ops)
+            start_it, dist = resumed
+    if dist is None:
+        dist = spark.createDataFrame([(int(root), 0.0)], "id long, dist double")
     dist = dist.localCheckpoint(eager=True)
     frontier = dist  # vertices improved last superstep
 
-    for it in range(max_iter):
+    for it in range(start_it, max_iter):
         # SpMSpV over MinPlus: relax out-edges of the frontier only
         relaxed = (
             e.join(F.broadcast(frontier.withColumnRenamed("id", "_fid")),
@@ -57,8 +68,11 @@ def sssp(
             dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
+        if runner is not None:
+            merged = runner.step(it, merged)
+        else:
+            merged = merged.localCheckpoint(eager=True)
         # improved = strictly better than before (new vertices included)
         frontier = (
             merged.join(dist.withColumnRenamed("dist", "_old"), "id", "left")
@@ -73,5 +87,7 @@ def sssp(
         if n_front == 0:
             break
 
+    if runner is not None:
+        runner.finish(dist)
     e.unpersist()
     return dist

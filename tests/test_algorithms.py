@@ -345,3 +345,15 @@ def test_betweenness_sampled_roots(spark):
     # plus 0->2 / 3->1: delta sums halved -> 1.5 each
     assert got[1] == pytest.approx(1.5)
     assert got[2] == pytest.approx(1.5)
+
+
+def test_bfs_direction_optimizing_identical(spark):
+    """Bottom-up switching must not change levels or parents."""
+    from combblas_spark.algorithms import bfs_levels
+
+    g = build_graph(rmat_edges(spark, 8, 8)).persist()
+    base = {r["id"]: r["level"] for r in bfs_levels(g, root=0).collect()}
+    opt = {r["id"]: r["level"]
+           for r in bfs_levels(g, root=0, direction_optimizing=True).collect()}
+    assert base == opt
+    g.unpersist()

@@ -102,3 +102,17 @@ def test_load_imbalance_metric():
     assert load_imbalance([10, 10, 10]) == 1.0
     assert load_imbalance([30, 0, 0]) == 1.0  # single non-empty partition
     assert load_imbalance([20, 10]) == pytest.approx(20 / 15)
+
+
+def test_sssp_resume_exact(spark, tmp_path):
+    from combblas_spark.algorithms.sssp import sssp
+
+    g = df_edges(spark, [(0, 1, 1.0), (0, 2, 4.0), (1, 2, 2.0), (2, 3, 1.0), (1, 3, 5.0)])
+    full = {r["id"]: r["dist"] for r in sssp(g, root=0).collect()}
+
+    ckpt = str(tmp_path / "sssp")
+    r1 = SuperstepRunner(spark, ckpt, "sssp", every=1)
+    sssp(g, root=0, max_iter=1, runner=r1)
+    r2 = SuperstepRunner(spark, ckpt, "sssp", every=1)
+    resumed = {r["id"]: r["dist"] for r in sssp(g, root=0, runner=r2).collect()}
+    assert resumed == full
