@@ -9,12 +9,24 @@ SQL-oracle-comparable.
 
 Rounds are synchronous and fixed-count (n_rounds) so the DuckDB oracle
 can unroll the identical recurrence.
+
+Scale design (same recipe as pagerank.py, measured there):
+* sym edges pre-partitioned ONCE by dst — the per-round count-agg
+  groups by (dst, label), and HashPartitioning(dst) satisfies that
+  clustering, so no edge-sized exchange per round; the argmax window
+  (partitionBy id=dst) reuses the same partitioning.
+* the label vector is broadcast into the join while it fits; the final
+  stitch is a broadcast (small n) or co-partitioned (large n) join.
+* resumable via runtime.SuperstepRunner (state = the label vector).
 """
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from combblas_spark.graph import symmetrize, vertices
 
@@ -22,22 +34,48 @@ from combblas_spark.graph import symmetrize, vertices
 def label_propagation(
     edges: DataFrame,
     n_rounds: int = 5,
-    checkpoint_interval: int = 3,
+    metrics: list | None = None,
+    broadcast_max_vertices: int = 8_000_000,
+    small_vector_threshold: int = 100_000,
+    runner=None,
 ) -> DataFrame:
     """Returns (id, label). Initial label = vertex id; each round every
     vertex adopts the most frequent label among its (undirected)
     neighbors, ties broken by smallest label; vertices with no
     neighbors keep their label (none here: vertex set = src+dst)."""
-    sym = symmetrize(edges).select("src", "dst").persist()
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        symmetrize(edges).select("src", "dst")
+        .repartition(shuffle_n, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sym.count()
     verts = vertices(edges)
+    n = verts.count()
+    can_broadcast = n <= broadcast_max_vertices
+    small_vector = n <= small_vector_threshold
 
-    labels = verts.select("id", F.col("id").alias("label")).persist()
-    labels.count()
+    start_r = 0
+    labels = None
+    if runner is not None:
+        resumed = runner.resume()
+        if resumed is not None:
+            start_r, labels = resumed
+    if labels is None:
+        labels = verts.select("id", F.col("id").alias("label"))
+        labels = labels.coalesce(1) if small_vector else labels.repartition(shuffle_n, "id")
+    labels = labels.localCheckpoint(eager=True)
 
-    for r in range(n_rounds):
+    for r in range(start_r, n_rounds):
+        lv = labels.select(F.col("id").alias("src"), "label")
+        if can_broadcast:
+            lv = F.broadcast(lv)
+        # count-per-(vertex,label): HashPartitioning(dst) satisfies the
+        # (dst,label) clustering -> no edge-sized exchange; the argmax
+        # window then reuses the same id partitioning
         nbr = (
-            sym.join(labels.select(F.col("id").alias("src"), "label"), "src")
+            sym.join(lv, "src")
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
@@ -47,16 +85,20 @@ def label_propagation(
             .filter(F.col("_rk") == 1)
             .select("id", F.col("label").alias("_new"))
         )
+        stitched = F.broadcast(best) if small_vector else best
         new_labels = (
-            labels.join(best, "id", "left")
+            labels.join(stitched, "id", "left")
             .select("id", F.coalesce(F.col("_new"), F.col("label")).alias("label"))
         )
-        if (r + 1) % checkpoint_interval == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
-        new_labels.count()
-        labels.unpersist()
+        if runner is not None:
+            new_labels = runner.step(r, new_labels)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
         labels = new_labels
+        if metrics is not None:
+            metrics.append({"iter": r, "t": time.perf_counter()})
 
+    if runner is not None:
+        runner.finish(labels)
     sym.unpersist()
     return labels

@@ -116,3 +116,16 @@ def test_sssp_resume_exact(spark, tmp_path):
     r2 = SuperstepRunner(spark, ckpt, "sssp", every=1)
     resumed = {r["id"]: r["dist"] for r in sssp(g, root=0, runner=r2).collect()}
     assert resumed == full
+
+
+def test_labelprop_resume_exact(spark, graph, tmp_path):
+    from combblas_spark.algorithms.labelprop import label_propagation
+
+    full = {r["id"]: r["label"] for r in label_propagation(graph, n_rounds=4).collect()}
+    ckpt = str(tmp_path / "lp")
+    r1 = SuperstepRunner(spark, ckpt, "labelprop", every=2)
+    label_propagation(graph, n_rounds=2, runner=r1)
+    r2 = SuperstepRunner(spark, ckpt, "labelprop", every=2)
+    resumed = {r["id"]: r["label"]
+               for r in label_propagation(graph, n_rounds=4, runner=r2).collect()}
+    assert resumed == full
