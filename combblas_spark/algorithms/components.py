@@ -70,8 +70,11 @@ def connected_components(
             .join(fv.select(F.col("id").alias("_p"), F.col("val").alias("gpv")), "_p")
             .select("id", F.col("gpv").alias("val"))
         )
-        # min grandparent among neighbors (sym edges -> both directions)
-        mngp = spmv(sym, gp, SELECT2ND_MIN, broadcast_vector=can_broadcast or None)
+        # min grandparent among neighbors (sym edges -> both directions).
+        # mngp feeds BOTH the union-min and the hooks join; broadcast-
+        # regime plans have no reusable exchange, so persist it to avoid
+        # running the edge-sized SpMV twice inside the superstep job.
+        mngp = spmv(sym, gp, SELECT2ND_MIN, broadcast_vector=can_broadcast or None).persist()
         # hooking: push mngp[v] onto the parent f[v]
         hooks = (
             fv.select("id", F.col("val").alias("_p"))
@@ -102,6 +105,7 @@ def connected_components(
             .filter(F.col("val") != F.col("_old"))
             .count()
         )
+        mngp.unpersist()
         f = new_f
         if metrics is not None:
             metrics.append({"iter": it, "changed": changed, "t": time.perf_counter()})
