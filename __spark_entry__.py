@@ -196,6 +196,13 @@ def q_bfs_levels(spark, sf):
     return bfs_levels(g, root=0).select("id", "level")
 
 
+def q_bfs_parents(spark, sf):
+    from combblas_spark.algorithms.bfs import bfs_parents
+
+    g = events_graph(spark, sf)
+    return bfs_parents(g, root=0).select("id", "parent")
+
+
 def q_pagerank(spark, sf):
     g = events_graph(spark, sf)
     r = pagerank(g, alpha=ALPHA, n_iter=PR_ITERS)
@@ -462,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "connected_components": q_connected_components,
         "bfs_levels": q_bfs_levels,
+        "bfs_parents": q_bfs_parents,
         "pagerank": q_pagerank,
         "labelprop": q_labelprop,
         "spasgn": q_spasgn,
@@ -661,6 +669,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.dst, w.lvl + 1 FROM walk w JOIN sym s ON s.src = w.id WHERE w.lvl < 40
             )
             SELECT id, min(lvl) AS level FROM walk GROUP BY id""",
+        "bfs_parents": f"""WITH RECURSIVE edges AS ({EDGES}),
+            {_SYM},
+            walk(id, lvl) AS (
+              SELECT CAST(0 AS BIGINT), 0
+              UNION
+              SELECT s.dst, w.lvl + 1 FROM walk w JOIN sym s ON s.src = w.id WHERE w.lvl < 40
+            ),
+            lv AS (SELECT id, min(lvl) AS lvl FROM walk GROUP BY id)
+            SELECT v.id,
+                   CASE WHEN v.id = 0 THEN 0
+                        ELSE (SELECT min(s.src) FROM sym s JOIN lv p ON p.id = s.src
+                              WHERE s.dst = v.id AND p.lvl = v.lvl - 1) END AS parent
+            FROM lv v""",
         "pagerank": _pagerank_sql(),
         "labelprop": _labelprop_sql(),
         "spasgn": f"""{_BASE}
