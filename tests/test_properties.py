@@ -1,0 +1,134 @@
+"""Property-based operator tests (hypothesis) — algebraic laws that
+must hold for ANY input, checked against numpy on random small sparse
+matrices. Goes beyond the reference's golden-file CTest suite (SURVEY
+§5: "no property-based or randomized differential testing").
+
+Deliberately few, fast examples per property: each example spins Spark
+jobs, so the value is breadth of law coverage, not example count.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from combblas_spark.operators.semiring import PLUS_TIMES, MIN_PLUS
+from combblas_spark.operators.spgemm import spgemm
+from combblas_spark.operators.spmv import spmv
+from combblas_spark.operators.indexing import transpose, invert
+from combblas_spark.operators.reduce import reduce_dim
+from tests.conftest import df_edges, df_vec
+
+N = 12  # vertex-space size for generated matrices
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def sparse_matrix(draw):
+    """Random sparse matrix as (triples, dense numpy) over [0,N)^2."""
+    n_entries = draw(st.integers(min_value=1, max_value=25))
+    coords = draw(
+        st.lists(
+            st.tuples(st.integers(0, N - 1), st.integers(0, N - 1)),
+            min_size=n_entries, max_size=n_entries, unique=True,
+        )
+    )
+    vals = draw(
+        st.lists(
+            st.integers(min_value=1, max_value=9),
+            min_size=len(coords), max_size=len(coords),
+        )
+    )
+    M = np.zeros((N, N))
+    for (r, c), v in zip(coords, vals):
+        M[r, c] = float(v)
+    return [(r, c, float(v)) for (r, c), v in zip(coords, vals)], M
+
+
+@st.composite
+def dense_vector(draw):
+    vals = draw(st.lists(st.integers(0, 9), min_size=N, max_size=N))
+    return [(i, float(v)) for i, v in enumerate(vals)], np.array(vals, dtype=float)
+
+
+def _mat(df):
+    M = np.zeros((N, N))
+    for r in df.collect():
+        M[r["src"], r["dst"]] = r["val"]
+    return M
+
+
+def _vec(df, default=0.0):
+    out = np.full(N, default)
+    for r in df.collect():
+        out[r["id"]] = r["val"]
+    return out
+
+
+@settings(**SETTINGS)
+@given(sparse_matrix(), dense_vector())
+def test_spmv_matches_numpy(spark, am, xv):
+    triples, A = am
+    pairs, x = xv
+    y = _vec(spmv(df_edges(spark, triples), df_vec(spark, pairs), PLUS_TIMES))
+    assert np.allclose(y, A.T @ x)
+
+
+@settings(**SETTINGS)
+@given(sparse_matrix(), sparse_matrix())
+def test_spgemm_matches_numpy_and_transpose_law(spark, am, bm):
+    ta, A = am
+    tb, B = bm
+    dfA, dfB = df_edges(spark, ta), df_edges(spark, tb)
+    C = _mat(spgemm(dfA, dfB))
+    assert np.allclose(C, A @ B)
+    # (AB)^T = B^T A^T
+    Ct = _mat(spgemm(transpose(dfB), transpose(dfA)))
+    assert np.allclose(Ct, (A @ B).T)
+
+
+@settings(**SETTINGS)
+@given(sparse_matrix())
+def test_transpose_involution_and_reduce_duality(spark, am):
+    triples, A = am
+    df = df_edges(spark, triples)
+    assert np.allclose(_mat(transpose(transpose(df))), A)
+    # row-reduce of A == col-reduce of A^T
+    r1 = _vec(reduce_dim(df, "row", F.sum))
+    r2 = _vec(reduce_dim(transpose(df), "col", F.sum))
+    assert np.allclose(r1, r2)
+
+
+@settings(**SETTINGS)
+@given(sparse_matrix(), dense_vector())
+def test_min_plus_spmv_matches_numpy(spark, am, xv):
+    triples, A = am
+    pairs, x = xv
+    y = spmv(df_edges(spark, triples), df_vec(spark, pairs), MIN_PLUS)
+    got = {r["id"]: r["val"] for r in y.collect()}
+    INF = float("inf")
+    Adist = np.where(A > 0, A, INF)
+    expected = {}
+    for j in range(N):
+        m = np.min(Adist[:, j] + x) if np.any(Adist[:, j] < INF) else INF
+        if m < INF:
+            expected[j] = m
+    assert got == pytest.approx(expected)
+
+
+@settings(**SETTINGS)
+@given(dense_vector())
+def test_invert_roundtrip_on_injective_vectors(spark, xv):
+    pairs, x = xv
+    # make values unique (injective) so inversion is exactly reversible
+    pairs = [(i, float(v * N + i)) for i, v in enumerate(x)]
+    v = df_vec(spark, pairs)
+    back = invert(invert(v))
+    got = {r["id"]: r["val"] for r in back.collect()}
+    assert got == {i: float(val) for i, val in pairs}
