@@ -59,6 +59,7 @@ def pagerank(
     broadcast_max_vertices: int = 8_000_000,
     small_vector_threshold: int = 100_000,
     runner=None,
+    initial_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id, rank) over the vertex set src UNION dst.
 
@@ -108,9 +109,24 @@ def pagerank(
         if resumed is not None:
             start_it, state = resumed
     if state is None:
-        state = verts.join(srcs, verts["id"] == F.col("src"), "left").select(
-            "id", F.lit(1.0 / n).alias("rank"), F.col("src").isNull().alias("dg")
+        base = verts.join(srcs, verts["id"] == F.col("src"), "left").select(
+            "id", F.col("src").isNull().alias("dg")
         )
+        if initial_ranks is not None:
+            # warm start (incremental maintenance after edge deltas): seed
+            # from a previous run's ranks, fill new vertices uniformly,
+            # renormalize to sum 1 — the power iteration then converges in
+            # a few supersteps instead of from scratch.
+            seeded = base.join(
+                initial_ranks.select("id", F.col("rank").alias("_r0")), "id", "left"
+            ).select("id", "dg", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("_r0"))
+            total = seeded.agg(F.sum("_r0").alias("_t"))
+            state = (
+                seeded.crossJoin(F.broadcast(total))
+                .select("id", (F.col("_r0") / F.col("_t")).alias("rank"), "dg")
+            )
+        else:
+            state = base.select("id", F.lit(1.0 / n).alias("rank"), "dg")
         state = state.coalesce(1) if small_vector else state.repartition(shuffle_n, "id")
     state = state.localCheckpoint(eager=True)
 

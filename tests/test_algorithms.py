@@ -357,3 +357,26 @@ def test_bfs_direction_optimizing_identical(spark):
            for r in bfs_levels(g, root=0, direction_optimizing=True).collect()}
     assert base == opt
     g.unpersist()
+
+
+def test_pagerank_warm_start_incremental(spark):
+    """Warm-starting from a previous graph version's ranks converges to
+    the same fixpoint in fewer supersteps (streaming-update pattern)."""
+    from combblas_spark.algorithms import pagerank
+
+    g1 = build_graph(rmat_edges(spark, 8, 8)).persist()
+    r1 = pagerank(g1, tol=1e-10)
+
+    delta = df_edges(spark, [(1, 200), (200, 3), (5, 201), (201, 1)])
+    g2 = build_graph(g1.unionByName(delta)).persist()
+
+    cold_m, warm_m = [], []
+    cold = {r["id"]: r["rank"] for r in pagerank(g2, tol=1e-10, metrics=cold_m).collect()}
+    warm = {r["id"]: r["rank"]
+            for r in pagerank(g2, tol=1e-10, metrics=warm_m, initial_ranks=r1).collect()}
+
+    assert set(cold) == set(warm)
+    for k in cold:
+        assert warm[k] == pytest.approx(cold[k], abs=1e-7)
+    assert len(warm_m) < len(cold_m)  # warm start converges faster
+    g1.unpersist(); g2.unpersist()
