@@ -832,8 +832,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
                    count(*) AS n, ROUND(sum(value), 6) AS sum_value
             FROM events GROUP BY window_start, event_type""",
-        # simhash_neardups: xxhash64 is Spark-specific -> rows-only check.
-        # lsh_topk: seeded numpy hyperplanes -> rows-only check.
         # media_features: synthetic binary decode plumbing -> rows-only check.
+        # mcl_clusters / betweenness / pages_pipeline: iterative ->
+        #   rows-only check.
     }
+    sqls["lsh_topk"] = _lsh_topk_sql()
+    sqls["simhash_neardups"] = _simhash_sql()
     return sqls
+
+
+def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB twin of functions.dedup.simhash_near_dups: token hash =
+    first 15 hex digits of md5 as a 60-bit int; bit b of that value is
+    bit (b%4) of the hex nibble at char position 15 - b//4."""
+    slice_bits = bits // 4
+    mask = (1 << slice_bits) - 1
+    return f"""WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS t
+          FROM documents),
+        th AS (SELECT id, md5(t) AS m FROM toks),
+        perbit AS (
+          SELECT id, b,
+                 sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, CAST(15 - b // 4 AS INT), 1)) - 1)
+                                >> CAST(b % 4 AS INT)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS tot
+          FROM th, (SELECT unnest(generate_series(0, {bits - 1})) AS b)
+          GROUP BY id, b),
+        sh AS (
+          SELECT id, sum(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                              ELSE 0 END) AS simhash
+          FROM perbit GROUP BY id),
+        bands AS (
+          SELECT id, simhash, s.band,
+                 (simhash >> CAST(s.band * {slice_bits} AS INT)) & {mask} AS key
+          FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) s),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
+def _lsh_topk_sql(k: int = 3, n_planes: int = 4, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB twin of functions.similarity.lsh_topk: the seeded
+    hyperplanes are a pure function of (seed, n_planes, dim), so the
+    oracle embeds the SAME constants as literal arrays."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {list(map(float, planes[p]))}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""WITH v AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        b AS (SELECT id, e, {bucket_terms} AS bucket FROM v)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos FROM (
+          SELECT a.id AS query_id, c.id AS neighbor_id,
+                 list_dot_product(a.e, c.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(c.e, c.e))) AS cos
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.id <> c.id)
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) <= {k}"""

@@ -100,14 +100,19 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """(id, simhash long): sign-sum of per-token hash bits.
 
-    Token hash = xxhash64(token); bit j of the simhash is 1 iff the sum
-    over tokens of (2*bit_j(token_hash)-1) is positive. JVM-side only:
-    explode tokens -> per-(id,bit) sum -> bit-OR assembly.
+    Token hash = first 15 hex digits of md5(token) as a 60-bit integer
+    (engine-portable, exactly reproducible in the DuckDB oracle via
+    nibble parsing — unlike xxhash64); bit j of the simhash is 1 iff the
+    sum over tokens of (2*bit_j(token_hash)-1) is positive. JVM-side
+    only: explode tokens -> per-(id,bit) sum -> bit-OR assembly.
     """
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(word_tokens(F.col(text_col))).alias("t")
     )
-    th = toks.select("id", F.xxhash64(F.col("t")).alias("h"))
+    th = toks.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
     per_bit = (
         th.select("id", F.col("h"), bit)
