@@ -37,6 +37,14 @@ def load_graph(spark, spec: str, shuffle_n: int):
         _, scale, ef = spec.split(":")
         raw = rmat_edges(spark, int(scale), int(ef))
         return build_graph(raw)
+    if spec.startswith("pages:"):
+        # full north-star ingestion: synthetic Common-Crawl-style pages
+        # -> Arrow-UDF link extraction -> dense ids -> edge table
+        from combblas_spark.sources.pages import generate_pages, pages_to_edges
+
+        n_pages = int(spec.split(":")[1])
+        edges, _ = pages_to_edges(generate_pages(spark, n_pages))
+        return build_graph(edges)
     return build_graph(spark.read.parquet(spec))
 
 
