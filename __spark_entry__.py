@@ -203,6 +203,14 @@ def q_bfs_parents(spark, sf):
     return bfs_parents(g, root=0).select("id", "parent")
 
 
+def q_filtered_bfs(spark, sf):
+    """Semantic-filtered BFS (FilteredBFS.cpp / TwitterEdge.h pattern:
+    per-edge predicate evaluated inside the traversal — CombBLAS's hard
+    case, Spark's easy case: filter BEFORE the loop)."""
+    g = events_graph(spark, sf).filter(F.col("val") >= 2.0)
+    return bfs_levels(g, root=0).select("id", "level")
+
+
 def q_pagerank(spark, sf):
     g = events_graph(spark, sf)
     r = pagerank(g, alpha=ALPHA, n_iter=PR_ITERS)
@@ -418,6 +426,15 @@ def q_pages_pipeline(spark, sf):
     return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("multiplicity"))
 
 
+def q_mis(spark, sf):
+    """Luby MIS (seeded xxhash64 priorities — Spark-specific hash ->
+    rows-only; independence+maximality property-tested in tests/)."""
+    from combblas_spark.algorithms.mis import maximal_independent_set
+
+    g = events_graph(spark, sf)
+    return maximal_independent_set(g).orderBy("id")
+
+
 def q_mcl_clusters(spark, sf):
     """Markov clustering (iterative expand/inflate/prune — no SQL twin)."""
     from combblas_spark.algorithms.mcl import mcl
@@ -470,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "bfs_levels": q_bfs_levels,
         "bfs_parents": q_bfs_parents,
+        "filtered_bfs": q_filtered_bfs,
         "pagerank": q_pagerank,
         "labelprop": q_labelprop,
         "spasgn": q_spasgn,
@@ -506,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "mcl_clusters": q_mcl_clusters,
         "betweenness": q_betweenness,
+        "mis": q_mis,
     }
 
 
@@ -667,6 +686,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(0 AS BIGINT), 0
               UNION
               SELECT s.dst, w.lvl + 1 FROM walk w JOIN sym s ON s.src = w.id WHERE w.lvl < 40
+            )
+            SELECT id, min(lvl) AS level FROM walk GROUP BY id""",
+        "filtered_bfs": f"""WITH RECURSIVE edges AS ({EDGES}),
+            fsym AS (SELECT src, dst FROM edges WHERE val >= 2.0
+                     UNION SELECT dst, src FROM edges WHERE val >= 2.0),
+            walk(id, lvl) AS (
+              SELECT CAST(0 AS BIGINT), 0
+              UNION
+              SELECT s.dst, w.lvl + 1 FROM walk w JOIN fsym s ON s.src = w.id WHERE w.lvl < 40
             )
             SELECT id, min(lvl) AS level FROM walk GROUP BY id""",
         "bfs_parents": f"""WITH RECURSIVE edges AS ({EDGES}),

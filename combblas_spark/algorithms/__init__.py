@@ -7,9 +7,11 @@ from combblas_spark.algorithms.triangles import triangle_count
 from combblas_spark.algorithms.bfs import bfs_levels, bfs_parents
 from combblas_spark.algorithms.sssp import sssp
 from combblas_spark.algorithms.mcl import mcl
+from combblas_spark.algorithms.mis import maximal_independent_set
 
 __all__ = [
     "mcl",
+    "maximal_independent_set",
     "pagerank",
     "connected_components",
     "label_propagation",

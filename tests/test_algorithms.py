@@ -380,3 +380,32 @@ def test_pagerank_warm_start_incremental(spark):
         assert warm[k] == pytest.approx(cold[k], abs=1e-7)
     assert len(warm_m) < len(cold_m)  # warm start converges faster
     g1.unpersist(); g2.unpersist()
+
+
+def test_mis_independent_and_maximal(spark):
+    """MIS contract (the algorithm's Correctness()-style check): no two
+    MIS vertices adjacent; every non-MIS vertex has a MIS neighbor."""
+    from combblas_spark.algorithms.mis import maximal_independent_set
+    from combblas_spark.graph import symmetrize, vertices
+
+    g = build_graph(rmat_edges(spark, 8, 8)).persist()
+    mis = set(r["id"] for r in maximal_independent_set(g).collect())
+    sym = [(r["src"], r["dst"]) for r in symmetrize(g).collect()]
+    verts = set(r["id"] for r in vertices(g).collect())
+
+    assert all(not (a in mis and b in mis) for a, b in sym)  # independent
+    nbrs = {}
+    for a, b in sym:
+        nbrs.setdefault(a, set()).add(b)
+    for v in verts - mis:  # maximal
+        assert nbrs.get(v) and nbrs[v] & mis, f"vertex {v} has no MIS neighbor"
+    g.unpersist()
+
+
+def test_mis_known_graphs(spark):
+    from combblas_spark.algorithms.mis import maximal_independent_set
+
+    # star 0-{1,2,3}: MIS is either {0} or {1,2,3}
+    g = df_edges(spark, [(0, 1), (0, 2), (0, 3)])
+    mis = set(r["id"] for r in maximal_independent_set(g).collect())
+    assert mis == {0} or mis == {1, 2, 3}
