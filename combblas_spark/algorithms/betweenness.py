@@ -110,6 +110,7 @@ def betweenness_centrality(
         out = out.select("id", (F.col("bc") / 2.0).alias("bc"))
     if normalize:
         n = verts.count()
-        denom = (n - 1) * (n - 2) / (2.0 if not directed else 1.0)
-        out = out.select("id", (F.col("bc") / F.lit(denom)).alias("bc"))
+        if n > 2:  # (n-1)(n-2) = 0 below that: bc is all-zero, leave it
+            denom = (n - 1) * (n - 2) / (2.0 if not directed else 1.0)
+            out = out.select("id", (F.col("bc") / F.lit(denom)).alias("bc"))
     return out

@@ -59,11 +59,16 @@ def _bfs(edges: DataFrame, root: int, directed: bool,
             # to the UNVISITED set's in-edges, not the frontier's
             # out-edges — filter edges by the (now smaller) unvisited dst
             # side first, then semi-check the src against the frontier.
+            # Broadcast the unvisited set only below the same ABSOLUTE
+            # threshold as the frontier: "smaller than 8x frontier" can
+            # still be hundreds of millions of ids at web scale.
             unvisited = (
                 verts.join(visited.select("id"), "id", "left_anti")
                 .withColumnRenamed("id", "dst")
             )
-            cand = adj.join(F.broadcast(unvisited), "dst")
+            if (n - visited_n) <= broadcast_threshold:
+                unvisited = F.broadcast(unvisited)
+            cand = adj.join(unvisited, "dst")
             nxt = (
                 cand.join(f.withColumnRenamed("id", "src"), "src", "left_semi")
                 .groupBy(F.col("dst").alias("id"))

@@ -25,12 +25,19 @@ def sssp(
     directed: bool = True,
     metrics: list | None = None,
     runner=None,
+    broadcast_max_vertices: int = 8_000_000,
 ) -> DataFrame:
     """Returns (id, dist) for vertices reachable from ``root``.
 
     edges: (src, dst, val>0); val is the edge weight (1.0 if
     weighted=False). Distances follow edge direction src->dst unless
     directed=False (symmetrized first).
+
+    The frontier is broadcast into the relax join only while it holds at
+    most ``broadcast_max_vertices`` rows (same gate as pagerank /
+    components); above that — near-diameter steps on dense graphs, or a
+    resume where the frontier is the whole distance vector — it falls
+    back to a shuffle join against the dst-partitioned cached edges.
     """
     spark = edges.sparkSession
     w = F.col("val") if weighted and "val" in edges.columns else F.lit(1.0)
@@ -54,11 +61,15 @@ def sssp(
         dist = spark.createDataFrame([(int(root), 0.0)], "id long, dist double")
     dist = dist.localCheckpoint(eager=True)
     frontier = dist  # vertices improved last superstep
+    n_front = frontier.count()
 
     for it in range(start_it, max_iter):
-        # SpMSpV over MinPlus: relax out-edges of the frontier only
+        # SpMSpV over MinPlus: relax out-edges of the frontier only.
+        # Broadcast only while the frontier is provably small.
+        f_in = (F.broadcast(frontier) if n_front <= broadcast_max_vertices
+                else frontier)
         relaxed = (
-            e.join(F.broadcast(frontier.withColumnRenamed("id", "_fid")),
+            e.join(f_in.withColumnRenamed("id", "_fid"),
                    e["src"] == F.col("_fid"))
             .select(F.col("dst").alias("id"), (F.col("w") + F.col("dist")).alias("dist"))
             .groupBy("id")
@@ -80,7 +91,7 @@ def sssp(
             .select("id", "dist")
             .localCheckpoint(eager=True)
         )
-        n_front = frontier.count()
+        n_front = frontier.count()  # convergence check + next broadcast gate
         if metrics is not None:
             metrics.append({"iter": it, "frontier": n_front})
         dist = merged

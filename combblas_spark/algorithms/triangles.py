@@ -21,15 +21,32 @@ from pyspark.sql import functions as F
 from combblas_spark.graph import symmetrize
 
 
-def lower_triangle(edges: DataFrame) -> DataFrame:
-    """Canonical undirected pattern: distinct pairs with src < dst."""
+def lower_triangle(edges: DataFrame, order_by_degree: bool = False) -> DataFrame:
+    """Canonical undirected pattern: distinct pairs oriented low -> high.
+
+    order_by_degree=False orients by vertex id (src < dst) — the cheap
+    default, and the oracle-stable one. order_by_degree=True orients by
+    (degree, id) rank: every wedge is generated at its LOWEST-DEGREE
+    vertex, which bounds the join fan-out by the smaller endpoint degree
+    — the standard heavy-hitter mitigation on power-law graphs (at web
+    scale a hub with degree 10^7 would otherwise emit 10^14 wedges).
+    Triangle counts are orientation-invariant (property-tested).
+    """
     sym = symmetrize(edges)
-    return sym.filter(F.col("src") < F.col("dst")).select("src", "dst")
+    if not order_by_degree:
+        return sym.filter(F.col("src") < F.col("dst")).select("src", "dst")
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("_d"))
+    s = deg.select(F.col("id").alias("src"), F.col("_d").alias("_ds"))
+    d = deg.select(F.col("id").alias("dst"), F.col("_d").alias("_dd"))
+    ranked = sym.join(s, "src").join(d, "dst")
+    lower = (F.col("_ds") < F.col("_dd")) | (
+        (F.col("_ds") == F.col("_dd")) & (F.col("src") < F.col("dst")))
+    return ranked.filter(lower).select("src", "dst")
 
 
-def triangle_count(edges: DataFrame) -> int:
+def triangle_count(edges: DataFrame, order_by_degree: bool = False) -> int:
     """Total number of triangles in the undirected view of ``edges``."""
-    L = lower_triangle(edges)
+    L = lower_triangle(edges, order_by_degree)
     # wedges a<b<c from L(a,b) and L(b,c); close with L(a,c)
     ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -40,9 +57,9 @@ def triangle_count(edges: DataFrame) -> int:
     return closed.count()
 
 
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+def triangles_per_vertex(edges: DataFrame, order_by_degree: bool = False) -> DataFrame:
     """(id, tri) — number of triangles incident to each vertex."""
-    L = lower_triangle(edges)
+    L = lower_triangle(edges, order_by_degree)
     ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = (

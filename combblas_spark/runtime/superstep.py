@@ -75,6 +75,19 @@ class SuperstepRunner:
     collect_partition_stats: bool = True
 
     def __post_init__(self) -> None:
+        # Manifests are written with driver-local POSIX I/O while state
+        # parquet is written by executors — both must see the SAME path,
+        # so the checkpoint dir must be a shared POSIX filesystem (local
+        # dir in local mode, NFS/Lustre on a cluster). Object-store URIs
+        # would silently split the two; reject them up front.
+        scheme = self.checkpoint_dir.split("://", 1)[0] if "://" in self.checkpoint_dir else ""
+        if scheme and scheme != "file":
+            raise ValueError(
+                f"SuperstepRunner requires a shared POSIX path for "
+                f"checkpoint_dir (manifests use driver-local I/O); got "
+                f"scheme {scheme!r}. Mount the store (s3fs/fuse) or use "
+                f"a cluster filesystem path."
+            )
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         self._step_times: list[float] = []
         self._t_last = time.perf_counter()

@@ -9,8 +9,10 @@ Package + submit:
         --iters 10 --checkpoint-dir /tmp/ck --output /tmp/out
 
 On a real cluster only --master changes (yarn / k8s / spark://...);
-the code paths are identical — partitioning, skew handling and
-checkpointing do not assume local mode.
+the code paths are identical — partitioning and skew handling do not
+assume local mode. Checkpointing needs --checkpoint-dir on a SHARED
+POSIX filesystem (NFS/Lustre/fuse mount) visible to driver and
+executors alike; SuperstepRunner validates this.
 
 --graph accepts ``rmat:<scale>:<edgefactor>`` (seeded in-Spark
 generator, reference RefGen21.h:246) or a Parquet path with

@@ -102,6 +102,12 @@ def main() -> None:
         lv = {int(k): v for k, v in f["levels"].items()}
         for v in lv.values():
             v["eps"] = v.get("eps_median") or v["eps_per_superstep"]
+        missing = [c for c in (8, 32) if c not in lv]
+        if missing:
+            print(f"[scaling] {key}: fragment lacks level(s) {missing} — "
+                  f"skipping this row (rerun with --level {missing[0]})",
+                  file=sys.stderr)
+            continue
         eff = lv[32]["eps"] / (4 * lv[8]["eps"])
         rows.append((f["algo"], f["regime"], lv, eff))
 

@@ -204,6 +204,23 @@ def test_triangles_rmat(spark):
     assert triangle_count(g) == tri_oracle(pairs, 1 << 6)
 
 
+def test_triangles_degree_ordering_invariant(spark):
+    """Degree-ordered orientation (power-law wedge bounding) must give
+    identical totals AND per-vertex counts to id ordering — on a skewed
+    RMAT graph and on a star+triangle hub fixture."""
+    raw = rmat_edges(spark, scale=6, edgefactor=4, seed=3)
+    g = build_graph(raw).persist()
+    assert triangle_count(g, order_by_degree=True) == triangle_count(g)
+    a = {r["id"]: r["tri"] for r in triangles_per_vertex(g).collect()}
+    b = {r["id"]: r["tri"]
+         for r in triangles_per_vertex(g, order_by_degree=True).collect()}
+    assert a == b
+    # hub fixture: vertex 0 linked to everyone, triangles only via 0
+    hub = [(0, i) for i in range(1, 12)] + [(1, 2), (3, 4), (5, 6)]
+    h = df_edges(spark, hub)
+    assert triangle_count(h, order_by_degree=True) == 3
+
+
 # ----------------------------------------------------------------------- BFS
 
 def bfs_oracle(edges, root, n):
@@ -345,6 +362,16 @@ def test_betweenness_sampled_roots(spark):
     # plus 0->2 / 3->1: delta sums halved -> 1.5 each
     assert got[1] == pytest.approx(1.5)
     assert got[2] == pytest.approx(1.5)
+
+
+def test_betweenness_normalize_tiny_graph(spark):
+    """n <= 2: (n-1)(n-2) = 0 — normalize must return zeros, not NaN."""
+    from combblas_spark.algorithms.betweenness import betweenness_centrality
+
+    g = df_edges(spark, [(0, 1)])
+    got = {r["id"]: r["bc"]
+           for r in betweenness_centrality(g, normalize=True).collect()}
+    assert got == {0: 0.0, 1: 0.0}
 
 
 def test_bfs_direction_optimizing_identical(spark):
