@@ -379,10 +379,23 @@ def q_embedding_topk(spark, sf):
 
 
 def q_embedding_neardups(spark, sf):
+    """Scale path (VERIFIED): multi-table banded LSH candidates, exact
+    cosine verification per candidate — the oracle embeds the same
+    seeded hyperplanes, so bucket assignment matches bit-for-bit."""
     from combblas_spark.functions.similarity import embedding_near_dups
 
     e = _emb(spark, sf).filter(F.col("vec_id") < 400)
-    return embedding_near_dups(e, threshold=0.2).select("id_a", "id_b", "cos")
+    return embedding_near_dups(
+        e, threshold=0.2, use_lsh=True, n_tables=4, n_planes=6,
+    ).select("id_a", "id_b", "cos")
+
+
+def q_embedding_neardups_exact(spark, sf):
+    """All-pairs exact baseline (recall reference for the LSH path)."""
+    from combblas_spark.functions.similarity import embedding_near_dups
+
+    e = _emb(spark, sf).filter(F.col("vec_id") < 400)
+    return embedding_near_dups(e, threshold=0.2, use_lsh=False).select("id_a", "id_b", "cos")
 
 
 def q_embedding_centroids(spark, sf):
@@ -457,7 +470,9 @@ def q_simhash_neardups(spark, sf):
 
 
 def q_lsh_topk(spark, sf):
-    return lsh_topk(_emb(spark, sf), k=3, n_planes=4)
+    """Multi-table banded ANN with a binding per-bucket cap (16) — the
+    capped membership is md5-ordered so the oracle reproduces it."""
+    return lsh_topk(_emb(spark, sf), k=3, n_tables=4, n_planes=6, per_bucket_cap=16)
 
 
 def q_media_features(spark, sf):
@@ -516,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "embedding_neardups": q_embedding_neardups,
+        "embedding_neardups_exact": q_embedding_neardups_exact,
         "embedding_centroids": q_embedding_centroids,
         "events_daily": q_events_daily,
         "events_windowed": q_events_windowed,
@@ -837,7 +853,7 @@ def oracle_sql() -> dict[str, str]:
                        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
                           * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) DESC,
                        c.vec_id ASC) <= 5""",
-        "embedding_neardups": """WITH v AS (
+        "embedding_neardups_exact": """WITH v AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
               FROM embeddings WHERE vec_id < 400)
             SELECT * FROM (
@@ -865,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         #   rows-only check.
     }
     sqls["lsh_topk"] = _lsh_topk_sql()
+    sqls["embedding_neardups"] = _embedding_neardups_lsh_sql()
     sqls["simhash_neardups"] = _simhash_sql()
     return sqls
 
@@ -905,26 +922,82 @@ def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
         FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
 
 
-def _lsh_topk_sql(k: int = 3, n_planes: int = 4, seed: int = 42, dim: int = 64) -> str:
-    """DuckDB twin of functions.similarity.lsh_topk: the seeded
-    hyperplanes are a pure function of (seed, n_planes, dim), so the
-    oracle embeds the SAME constants as literal arrays."""
-    import numpy as np
+def _lsh_bucket_terms(seed: int, n_planes: int, dim: int, vec: str = "e") -> str:
+    """SQL bucket expression embedding the SAME seeded hyperplanes the
+    engine uses (similarity.lsh_planes — pure function of the seed)."""
+    from combblas_spark.functions.similarity import lsh_planes
 
-    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(e, {list(map(float, planes[p]))}) > 0 "
+    planes = lsh_planes(seed, n_planes, dim)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {list(map(float, planes[p]))}) > 0 "
         f"THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes)
     )
+
+
+def _lsh_pairs_ctes(n_tables: int, n_planes: int, seed: int, dim: int,
+                    cap: int | None, src: str = "v") -> str:
+    """Shared CTE chain: (tbl, bucket) assignments per table -> optional
+    md5-ordered per-bucket cap -> distinct candidate pairs (id_a < id_b).
+    Mirrors similarity.lsh_candidate_pairs exactly."""
+    tabs = ",\n".join(
+        f"tb{t} AS (SELECT id, {t} AS tbl, "
+        f"{_lsh_bucket_terms(seed + t, n_planes, dim)} AS bucket FROM {src})"
+        for t in range(n_tables)
+    )
+    union = " UNION ALL ".join(f"SELECT * FROM tb{t}" for t in range(n_tables))
+    capped = (
+        f"""capped AS (
+          SELECT id, tbl, bucket FROM tb
+          QUALIFY row_number() OVER (
+            PARTITION BY tbl, bucket
+            ORDER BY md5(CAST(id AS VARCHAR)), id) <= {cap})"""
+        if cap is not None
+        else "capped AS (SELECT id, tbl, bucket FROM tb)"
+    )
+    return f"""{tabs},
+        tb AS ({union}),
+        {capped},
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, c.id AS id_b
+          FROM capped a JOIN capped c
+            ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id < c.id)"""
+
+
+def _lsh_topk_sql(k: int = 3, n_tables: int = 4, n_planes: int = 6,
+                  seed: int = 42, dim: int = 64, cap: int | None = 16) -> str:
+    """DuckDB twin of functions.similarity.lsh_topk (multi-table)."""
     return f"""WITH v AS (
           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        b AS (SELECT id, e, {bucket_terms} AS bucket FROM v)
+        {_lsh_pairs_ctes(n_tables, n_planes, seed, dim, cap)},
+        directed AS (
+          SELECT id_a AS query_id, id_b AS neighbor_id FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs)
         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos FROM (
-          SELECT a.id AS query_id, c.id AS neighbor_id,
-                 list_dot_product(a.e, c.e)
-                   / (sqrt(list_dot_product(a.e, a.e))
+          SELECT d.query_id, d.neighbor_id,
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
                       * sqrt(list_dot_product(c.e, c.e))) AS cos
-          FROM b a JOIN b c ON a.bucket = c.bucket AND a.id <> c.id)
+          FROM directed d
+          JOIN v q ON q.id = d.query_id
+          JOIN v c ON c.id = d.neighbor_id)
         QUALIFY row_number() OVER (
           PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) <= {k}"""
+
+
+def _embedding_neardups_lsh_sql(threshold: float = 0.2, n_tables: int = 4,
+                                n_planes: int = 6, seed: int = 42,
+                                dim: int = 64, max_id: int = 400) -> str:
+    """DuckDB twin of embedding_near_dups(use_lsh=True)."""
+    return f"""WITH v AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < {max_id}),
+        {_lsh_pairs_ctes(n_tables, n_planes, seed, dim, None)}
+        SELECT id_a, id_b, cos FROM (
+          SELECT p.id_a, p.id_b,
+                 ROUND(list_dot_product(a.e, b.e)
+                       / (sqrt(list_dot_product(a.e, a.e))
+                          * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+          FROM pairs p JOIN v a ON a.id = p.id_a JOIN v b ON b.id = p.id_b)
+        WHERE cos >= {threshold}"""

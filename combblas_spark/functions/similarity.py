@@ -1,15 +1,23 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k as the correctness baseline; an LSH-bucketed
-(random-hyperplane) variant as the scale path — candidates meet in an
-equi-join on the bucket key, so cost is O(pairs within buckets), not
-O(n^2). All arithmetic via JVM higher-order functions
-(zip_with/aggregate); no Python in the row path.
+Brute-force cosine top-k as the correctness baseline; a MULTI-TABLE
+random-hyperplane LSH variant as the scale path — candidates meet in an
+equi-join on (table, bucket) keys and are unioned across tables
+(OR-of-ANDs banding, the vector analogue of MinHash-LSH band joins in
+functions.dedup), so cost is O(pairs within capped buckets), never
+O(n^2). A per-bucket candidate cap bounds the quadratic in-bucket join
+against skewed buckets (at 10^9 vectors a popular bucket would
+otherwise hold ~10^7 rows). All arithmetic via JVM higher-order
+functions (zip_with/aggregate); no Python in the row path.
+
+The hyperplanes are a pure function of (seed, table, n_planes, dim), so
+an external oracle can reproduce bucket assignments bit-for-bit by
+embedding the same constants (see __spark_entry__._lsh_planes_sql).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,8 +52,6 @@ def brute_force_topk(
     Cross join + window rank; the small side (queries) is broadcast.
     Deterministic tie-break on neighbor id. Self-matches excluded.
     """
-    from pyspark.sql import Window
-
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
@@ -61,6 +67,14 @@ def brute_force_topk(
     )
 
 
+def lsh_planes(seed: int, n_planes: int, dim: int):
+    """The seeded hyperplane matrix (n_planes x dim) — one place so the
+    engine and any external oracle embed IDENTICAL constants."""
+    import numpy as np
+
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
 def hyperplane_lsh_buckets(
     vectors: DataFrame,
     n_planes: int = 8,
@@ -72,13 +86,10 @@ def hyperplane_lsh_buckets(
     """Random-hyperplane LSH: (id, bucket) where bucket packs the sign
     bits of n_planes seeded random projections.
 
-    Plane weights are a deterministic function of (seed, plane, coord)
-    via Spark's hash() — no driver-side random state, resume-stable.
+    The planes come from lsh_planes(seed, ...) — a deterministic
+    function of the seed only, so resume-stable and oracle-replayable.
     """
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = lsh_planes(seed, n_planes, dim)
     v = F.col(vec_col)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
@@ -91,36 +102,108 @@ def hyperplane_lsh_buckets(
     return vectors.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def lsh_table_assignments(
+    vectors: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    per_bucket_cap: int | None = None,
+) -> DataFrame:
+    """(id, tbl, bucket) across ``n_tables`` independent hash tables
+    (table t uses seed+t), optionally capped to ``per_bucket_cap`` ids
+    per (tbl, bucket).
+
+    The cap keeps the in-bucket self-join quadratic bounded under bucket
+    skew; members are kept by md5(id) order — a deterministic
+    pseudo-random sample expressible identically in ANSI SQL (so capped
+    results stay oracle-checkable).
+    """
+    tabs = []
+    for t in range(n_tables):
+        b = hyperplane_lsh_buckets(vectors, n_planes, seed + t, id_col, vec_col, dim)
+        tabs.append(b.withColumn("tbl", F.lit(t)))
+    out = tabs[0]
+    for t in tabs[1:]:
+        out = out.unionByName(t)
+    if per_bucket_cap is not None:
+        w = Window.partitionBy("tbl", "bucket").orderBy(
+            F.md5(F.col("id").cast("string").cast("binary")), F.col("id"))
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= per_bucket_cap)
+            .drop("_rk")
+        )
+    return out.select("id", "tbl", "bucket")
+
+
+def lsh_candidate_pairs(
+    vectors: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    per_bucket_cap: int | None = None,
+) -> DataFrame:
+    """Distinct undirected candidate pairs (id_a < id_b) that co-bucket
+    in AT LEAST ONE table — the OR-of-ANDs banding step.
+
+    This is the scale discipline: candidates are generated by n_tables
+    equi-joins on (tbl, bucket) and deduped BEFORE any cosine is
+    computed, so each surviving pair pays for exactly one exact
+    verification regardless of how many tables it collided in.
+    """
+    tb = lsh_table_assignments(
+        vectors, n_tables, n_planes, seed, id_col, vec_col, dim, per_bucket_cap)
+    a, c = tb.alias("a"), tb.alias("c")
+    return (
+        a.join(c, (F.col("a.tbl") == F.col("c.tbl"))
+               & (F.col("a.bucket") == F.col("c.bucket"))
+               & (F.col("a.id") < F.col("c.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
+    use_lsh: bool = True,
+    n_tables: int = 4,
     n_planes: int = 6,
     seed: int = 42,
     dim: int = 64,
+    per_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
 
-    use_lsh=True restricts candidates to same-LSH-bucket vectors (the
-    scale path for big corpora); False is the exact all-pairs baseline.
+    use_lsh=True (DEFAULT — the scale path) restricts candidates to
+    pairs co-bucketed in >=1 of ``n_tables`` hyperplane tables; exact
+    cosine then verifies each candidate once. use_lsh=False is the
+    exact all-pairs baseline, for small corpora and recall measurement
+    only.
     """
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if use_lsh:
-        b = hyperplane_lsh_buckets(vectors, n_planes, seed, id_col, vec_col, dim)
-        v = v.join(b, "id")
-        cond = (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") < F.col("c.id"))
+        pairs = lsh_candidate_pairs(
+            vectors, n_tables, n_planes, seed, id_col, vec_col, dim, per_bucket_cap)
     else:
-        cond = F.col("a.id") < F.col("c.id")
-    a, c = v.alias("a"), v.alias("c")
+        ids = v.select("id")
+        a, c = ids.alias("a"), ids.alias("c")
+        pairs = a.join(c, F.col("a.id") < F.col("c.id")).select(
+            F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
     return (
-        a.join(c, cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("c.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("c.v")), 6).alias("cos"),
-        )
+        pairs
+        .join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
@@ -128,28 +211,33 @@ def embedding_near_dups(
 def lsh_topk(
     vectors: DataFrame,
     k: int = 5,
+    n_tables: int = 4,
     n_planes: int = 6,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    per_bucket_cap: int | None = 128,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: candidates restricted to same-bucket
-    vectors (equi-join on bucket), exact cosine inside the bucket.
-    Recall grows with fewer planes / multiple tables; this single-table
-    variant is the scale skeleton."""
-    from pyspark.sql import Window
-
-    b = hyperplane_lsh_buckets(vectors, n_planes, seed, id_col, vec_col, dim)
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(b, "id")
-    a, c = v.alias("a"), v.alias("c")
+    """Approximate all-pairs top-k: multi-table banded LSH candidates
+    (union over n_tables, deduped), exact cosine per candidate, window
+    top-k per query. Recall grows with n_tables (OR) and falls with
+    n_planes (AND) — the standard LSH tuning knobs. per_bucket_cap
+    bounds the in-bucket quadratic against bucket skew.
+    """
+    pairs = lsh_candidate_pairs(
+        vectors, n_tables, n_planes, seed, id_col, vec_col, dim, per_bucket_cap)
+    directed = pairs.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id")))
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     scored = (
-        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.id") != F.col("c.id")))
-        .select(
-            F.col("a.id").alias("query_id"),
-            F.col("c.id").alias("neighbor_id"),
-            cosine(F.col("a.v"), F.col("c.v")).alias("cos"),
-        )
+        directed
+        .join(v.select(F.col("id").alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(v.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv")), "neighbor_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("nv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (

@@ -107,7 +107,7 @@ def test_brute_force_topk(vectors):
 
 def test_lsh_topk_finds_planted_neighbor(vectors):
     df, _ = vectors
-    got = lsh_topk(df, k=3, n_planes=2, dim=8)
+    got = lsh_topk(df, k=3, n_tables=1, n_planes=2, dim=8, per_bucket_cap=None)
     by_query = {}
     for r in got.collect():
         by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
@@ -115,6 +115,54 @@ def test_lsh_topk_finds_planted_neighbor(vectors):
     assert 1 in by_query.get(0, [])
     b = {r["id"]: r["bucket"] for r in hyperplane_lsh_buckets(df, n_planes=4, dim=8).collect()}
     assert b[0] == b[1]
+
+
+@pytest.fixture(scope="module")
+def big_vectors(spark):
+    """200 x 16-dim clustered vectors: 20 centers x 10 noisy members —
+    realistic ANN workload (neighbors genuinely exist)."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 16))
+    pts = np.concatenate(
+        [c + 0.15 * rng.standard_normal((10, 16)) for c in centers]
+    ).astype(np.float32)
+    rows = [(i, pts[i].tolist()) for i in range(len(pts))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_topk_recall_vs_brute_force(big_vectors):
+    """Multi-table banding must recover most true top-k neighbors; more
+    tables must not reduce recall (OR-construction monotonicity)."""
+    k = 3
+    truth = {}
+    for r in brute_force_topk(big_vectors, big_vectors, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(n_tables):
+        got = {}
+        for r in lsh_topk(big_vectors, k=k, n_tables=n_tables, n_planes=6,
+                          dim=16, per_bucket_cap=64).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / (len(truth) * k)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1 - 1e-9       # OR over tables only adds candidates
+    assert r4 >= 0.7             # 4 tables x 6 planes on clustered data
+
+
+def test_lsh_per_bucket_cap_bounds_candidates(big_vectors):
+    """The cap must bound per-(table,bucket) membership (skew guard)."""
+    from combblas_spark.functions.similarity import lsh_table_assignments
+
+    capped = lsh_table_assignments(
+        big_vectors, n_tables=2, n_planes=2, dim=16, per_bucket_cap=5)
+    mx = (capped.groupBy("tbl", "bucket").count()
+          .agg(F.max("count").alias("m")).collect()[0]["m"])
+    assert mx <= 5
+    uncapped = lsh_table_assignments(
+        big_vectors, n_tables=2, n_planes=2, dim=16)
+    assert uncapped.count() == 2 * 200  # every vector in every table
 
 
 def test_multimodal_plumbing(spark):
