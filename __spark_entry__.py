@@ -335,6 +335,24 @@ def q_triangles_per_vertex(spark, sf):
     return triangles_per_vertex(g).select("id", "tri")
 
 
+def q_rand_perm(spark, sf):
+    """Distributed seeded random permutation — md5-keyed total order, so
+    the oracle reproduces positions exactly (no single-partition sort)."""
+    from combblas_spark.operators.indexing import rand_perm
+
+    g = events_graph(spark, sf)
+    return rand_perm(vertices(g), seed=42).select("pos", "id")
+
+
+def q_sort_perm(spark, sf):
+    """Distributed vector sort returning the permutation (pos, id)."""
+    from combblas_spark.operators.indexing import sort_perm
+
+    g = events_graph(spark, sf)
+    outd = reduce_dim(g, "row", F.count)
+    return sort_perm(outd, ascending=False).select("pos", "id")
+
+
 def q_salted_spmv(spark, sf):
     g = events_graph(spark, sf)
     x = reduce_dim(g, "row", F.count)
@@ -523,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "triangles_per_vertex": q_triangles_per_vertex,
         "salted_spmv": q_salted_spmv,
+        "rand_perm": q_rand_perm,
+        "sort_perm": q_sort_perm,
         "pages_pipeline": q_pages_pipeline,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -801,6 +821,15 @@ def oracle_sql() -> dict[str, str]:
             x AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS xv FROM edges GROUP BY src)
             SELECT e.dst AS id, sum(e.val * x.xv) AS y
             FROM edges e JOIN x ON e.src = x.id GROUP BY e.dst""",
+        "rand_perm": f"""{_BASE}
+            SELECT row_number() OVER (
+                     ORDER BY md5('42:' || CAST(id AS VARCHAR)), id) - 1 AS pos,
+                   id
+            FROM verts""",
+        "sort_perm": f"""{_BASE},
+            o AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src)
+            SELECT row_number() OVER (ORDER BY c DESC, id ASC) - 1 AS pos, id
+            FROM o""",
         "doc_tokens": "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
         "doc_quality": f"""WITH q AS (
               SELECT doc_id, text,

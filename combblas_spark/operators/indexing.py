@@ -121,13 +121,41 @@ def invert(v: DataFrame, combine=F.min) -> DataFrame:
     )
 
 
+def _perm_by(v: DataFrame, order_cols: list) -> DataFrame:
+    """Distributed total-order -> (pos, id) permutation.
+
+    orderBy is a range-partitioned distributed sort (every partition
+    sorts in parallel after a sampled range exchange); zipWithIndex then
+    turns per-partition counts into contiguous global offsets with one
+    tiny driver collect of partition sizes. Because the ordering is
+    TOTAL (ties broken by id), the assigned positions are independent of
+    partitioning/parallelism — property-tested. This is the Spark form
+    of MemoryEfficientPSort (SpParHelper.h:69): no single-partition
+    window anywhere.
+    """
+    spark = v.sparkSession
+    ordered = v.orderBy(*order_cols).select("id")
+    indexed = ordered.rdd.map(lambda r: r["id"]).zipWithIndex()
+    return spark.createDataFrame(indexed.map(lambda t: (t[1], t[0])), "pos long, id long")
+
+
+def sort_perm(v: DataFrame, ascending: bool = True) -> DataFrame:
+    """Distributed vector sort returning the sorting permutation
+    (FullyDistVec::sort, FullyDistVec.cpp:747): (pos, id) such that
+    v[id] ranks at position pos under (val, id) order."""
+    key = F.col("val").asc() if ascending else F.col("val").desc()
+    cols = ([key, F.col("id").asc()] if "val" in v.columns else [F.col("id").asc()])
+    return _perm_by(v, cols)
+
+
 def rand_perm(v: DataFrame, seed: int = 42) -> DataFrame:
     """Seeded random permutation (FullyDistVec::RandPerm,
     FullyDistVec.cpp:784): returns (pos, id) mapping. Used for load
     balancing (CC.cpp:161-171). Deterministic under a fixed seed via
-    hash ordering rather than rand() so resume replays identically."""
-    w = Window.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
-    return v.select("id").withColumn("pos", F.row_number().over(w) - F.lit(1))
+    md5 ordering rather than rand() so resume replays identically AND
+    an ANSI-SQL oracle can reproduce it (md5 exists everywhere)."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("id").cast("string")).cast("binary"))
+    return _perm_by(v.select("id", h.alias("_h")), [F.col("_h").asc(), F.col("id").asc()])
 
 
 def uniq(v: DataFrame, combine=F.min) -> DataFrame:

@@ -300,6 +300,33 @@ def test_rand_perm_deterministic(spark):
     assert p1 != p3
 
 
+def test_rand_perm_partition_invariant(spark):
+    """Positions must not depend on input partitioning (the distributed
+    sort + zipWithIndex path is total-ordered; no single-partition
+    window)."""
+    v = spark.range(0, 500).select("id")
+    a = {(r["pos"], r["id"]) for r in rand_perm(v.repartition(1), seed=9).collect()}
+    b = {(r["pos"], r["id"]) for r in rand_perm(v.repartition(13), seed=9).collect()}
+    assert a == b
+    assert {p for p, _ in a} == set(range(500))
+
+
+def test_sort_perm(spark):
+    from combblas_spark.operators.indexing import sort_perm
+
+    vec = spark.createDataFrame(
+        [(i, float(10 - i)) for i in range(10)], "id long, val double")
+    asc = {r["id"]: r["pos"] for r in sort_perm(vec, ascending=True).collect()}
+    assert asc == {i: 9 - i for i in range(10)}
+    desc = {r["id"]: r["pos"] for r in sort_perm(vec, ascending=False).collect()}
+    assert desc == {i: i for i in range(10)}
+    # partition invariance on ties: equal vals fall back to id order
+    ties = spark.createDataFrame([(i, 1.0) for i in range(50)], "id long, val double")
+    t1 = {(r["pos"], r["id"]) for r in sort_perm(ties.repartition(1)).collect()}
+    t7 = {(r["pos"], r["id"]) for r in sort_perm(ties.repartition(7)).collect()}
+    assert t1 == t7 == {(i, i) for i in range(50)}
+
+
 def test_induced_subgraphs(spark):
     e = df_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
     assign = df_vec(spark, [(0, 0.0), (1, 0.0), (2, 0.0), (3, 1.0), (4, 1.0)])
