@@ -466,12 +466,25 @@ def q_mis(spark, sf):
     return maximal_independent_set(g).orderBy("id")
 
 
+MCL_ITERS = 3
+MCL_SELECT_K = 20
+MCL_THRESHOLD = 1e-4
+MCL_RECOVER_NUM = 3
+MCL_RECOVER_PCT = 0.9
+
+
 def q_mcl_clusters(spark, sf):
-    """Markov clustering (iterative expand/inflate/prune — no SQL twin)."""
+    """Markov clustering, fixed-iteration mode so the DuckDB oracle can
+    unroll the exact expand/inflate/prune-recovery/normalize pipeline
+    (chaos_eps=0.0 disables early stop; squaring is exact IEEE)."""
     from combblas_spark.algorithms.mcl import mcl
 
     g = events_graph(spark, sf)
-    return mcl(g, inflation=2.0, max_iter=10).select("id", "cluster")
+    return mcl(
+        g, inflation=2.0, prune_threshold=MCL_THRESHOLD,
+        select_k=MCL_SELECT_K, max_iter=MCL_ITERS, chaos_eps=0.0,
+        recover_num=MCL_RECOVER_NUM, recover_pct=MCL_RECOVER_PCT,
+    ).select("id", "cluster")
 
 
 def q_betweenness(spark, sf):
@@ -912,7 +925,75 @@ def oracle_sql() -> dict[str, str]:
     sqls["lsh_topk"] = _lsh_topk_sql()
     sqls["embedding_neardups"] = _embedding_neardups_lsh_sql()
     sqls["simhash_neardups"] = _simhash_sql()
+    sqls["mcl_clusters"] = _mcl_sql()
     return sqls
+
+
+def _mcl_sql(iters: int = MCL_ITERS, threshold: float = MCL_THRESHOLD,
+             select_k: int = MCL_SELECT_K, recover_num: int = MCL_RECOVER_NUM,
+             recover_pct: float = MCL_RECOVER_PCT) -> str:
+    """DuckDB twin of algorithms.mcl.mcl at inflation=2.0, fixed
+    iterations: symmetrize+loops -> col-stochastic; per iteration
+    expand (self-join), inflate (val*val — exact), prune w/ recovery
+    (MCLPruneRecoverySelect semantics), top-k cap, re-normalize;
+    clusters = transitive closure of the attractor pattern."""
+    lost = 1.0 - recover_pct
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        """sym AS (
+          SELECT src, dst, val FROM edges
+          UNION ALL SELECT dst, src, val FROM edges
+          UNION ALL
+          SELECT id, id, 1.0 FROM (
+            SELECT DISTINCT id FROM (
+              SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))
+        )""",
+        "g0 AS (SELECT src, dst, sum(val) AS val FROM sym GROUP BY src, dst)",
+        """a0 AS MATERIALIZED (
+          SELECT src, dst, val / (sum(val) OVER (PARTITION BY dst)) AS val
+          FROM g0)""",
+    ]
+    for k in range(1, iters + 1):
+        p = f"a{k-1}"
+        ctes.append(
+            f"""e{k} AS (
+          SELECT a.src, b.dst, sum(a.val * b.val) AS val
+          FROM {p} a JOIN {p} b ON a.dst = b.src GROUP BY a.src, b.dst)"""
+        )
+        ctes.append(
+            f"""p{k} AS (
+          SELECT src, dst, v2,
+                 row_number() OVER (PARTITION BY dst ORDER BY v2 DESC, src ASC) AS rk,
+                 sum(v2) OVER (PARTITION BY dst) AS mass,
+                 sum(CASE WHEN v2 >= {threshold} THEN v2 ELSE 0 END)
+                     OVER (PARTITION BY dst) AS km
+          FROM (SELECT src, dst, val * val AS v2 FROM e{k}))"""
+        )
+        ctes.append(
+            f"""s{k} AS (
+          SELECT src, dst, val FROM (
+            SELECT src, dst, v2 AS val,
+                   row_number() OVER (PARTITION BY dst ORDER BY v2 DESC, src ASC) AS rk2
+            FROM p{k}
+            WHERE (km >= {lost} * mass AND v2 >= {threshold})
+               OR (km < {lost} * mass AND rk <= {recover_num}))
+          WHERE rk2 <= {select_k})"""
+        )
+        ctes.append(
+            f"""a{k} AS MATERIALIZED (
+          SELECT src, dst, val / (sum(val) OVER (PARTITION BY dst)) AS val
+          FROM s{k})"""
+        )
+    final = f"a{iters}"
+    return f"""WITH RECURSIVE {','.join(ctes)},
+        psym AS (SELECT src, dst FROM {final} UNION SELECT dst, src FROM {final}),
+        pverts AS (SELECT DISTINCT src AS id FROM psym),
+        reach(id, r) AS (
+          SELECT id, id FROM pverts
+          UNION
+          SELECT re.id, s.dst FROM reach re JOIN psym s ON s.src = re.r
+        )
+        SELECT id, min(r) AS cluster FROM reach GROUP BY id"""
 
 
 def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from combblas_spark.algorithms.components import connected_components
-from combblas_spark.operators.reduce import kselect
+from combblas_spark.operators.reduce import kselect, prune_recovery_select
 from combblas_spark.operators.spgemm import spgemm
 
 
@@ -44,6 +44,8 @@ def mcl(
     max_iter: int = 20,
     chaos_eps: float = 1e-3,
     add_self_loops: bool = True,
+    recover_num: int = 3,
+    recover_pct: float = 0.9,
     metrics: list | None = None,
 ) -> DataFrame:
     """Returns (id, cluster) — cluster = min vertex id of the MCL cluster.
@@ -51,6 +53,18 @@ def mcl(
     edges are treated as an undirected similarity graph (symmetrized);
     self-loops are added like the reference's default (MCL.cpp adds
     loops pre-normalization) so singleton columns stay stochastic.
+
+    Pruning follows the reference's MCLPruneRecoverySelect
+    (ParFriends.h:186-330, called from MemEfficientSpGEMM:453-778): a
+    column that would lose more than ``recover_pct`` of its mass to the
+    threshold is RECOVERED — its top ``recover_num`` entries are kept
+    instead — then the hard ``select_k`` cap applies. This is what keeps
+    Markov columns alive on hard graphs; the round-1 threshold+top-k
+    simplification under-pruned weak columns.
+
+    Integer inflation exponents are computed by repeated multiplication
+    (exact IEEE products, engine-portable — pow() is only ~1ulp and
+    would break external-oracle bit parity); non-integer uses pow.
     """
     sym = edges.select("src", "dst", "val").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "val")
@@ -68,13 +82,27 @@ def mcl(
     A = _col_stochastic(sym.groupBy("src", "dst").agg(F.sum("val").alias("val")))
     A = A.localCheckpoint(eager=True)
 
+    if inflation == int(inflation) and 1 <= int(inflation) <= 4:
+        p = int(inflation)
+
+        def inflate(c):
+            out = c
+            for _ in range(p - 1):
+                out = out * c
+            return out
+    else:
+        def inflate(c):
+            return F.pow(c, F.lit(inflation))
+
     for it in range(max_iter):
         # expand + inflate
         A2 = spgemm(A, A)
-        inflated = A2.select("src", "dst", F.pow(F.col("val"), F.lit(inflation)).alias("val"))
-        # prune tiny entries, keep top-k per column (recovery-free
-        # simplification of MCLPruneRecoverySelect)
-        kept = kselect(inflated.filter(F.col("val") > prune_threshold), select_k, dim="col")
+        inflated = A2.select("src", "dst", inflate(F.col("val")).alias("val"))
+        # threshold prune with column recovery, then the hard top-k cap
+        # (MCLPruneRecoverySelect semantics)
+        kept = prune_recovery_select(
+            inflated, prune_threshold, recover_num, recover_pct)
+        kept = kselect(kept, select_k, dim="col")
         A_new = _col_stochastic(kept).localCheckpoint(eager=True)
 
         # chaos convergence metric (MCL.cpp:407-420)
