@@ -487,12 +487,17 @@ def q_mcl_clusters(spark, sf):
     ).select("id", "cluster")
 
 
+BC_ROOTS = 8
+BC_DEPTH = 10  # oracle unroll bound; must exceed the BFS depth at sf<=0.01
+
+
 def q_betweenness(spark, sf):
-    """Batched Brandes BC from 8 sources (iterative — no SQL twin)."""
+    """Batched Brandes BC from 8 sources; the oracle unrolls the
+    level-synchronous forward (sigma) and backward (delta) passes."""
     from combblas_spark.algorithms.betweenness import betweenness_centrality
 
     g = events_graph(spark, sf)
-    out = betweenness_centrality(g, roots=list(range(8)))
+    out = betweenness_centrality(g, roots=list(range(BC_ROOTS)))
     return out.select("id", F.round("bc", 6).alias("bc"))
 
 
@@ -926,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["embedding_neardups"] = _embedding_neardups_lsh_sql()
     sqls["simhash_neardups"] = _simhash_sql()
     sqls["mcl_clusters"] = _mcl_sql()
+    sqls["betweenness"] = _betweenness_sql()
     return sqls
 
 
@@ -994,6 +1000,57 @@ def _mcl_sql(iters: int = MCL_ITERS, threshold: float = MCL_THRESHOLD,
           SELECT re.id, s.dst FROM reach re JOIN psym s ON s.src = re.r
         )
         SELECT id, min(r) AS cluster FROM reach GROUP BY id"""
+
+
+def _betweenness_sql(n_roots: int = BC_ROOTS, depth: int = BC_DEPTH) -> str:
+    """DuckDB twin of the batched Brandes pass: unrolled level-
+    synchronous BFS with path counting (sigma), then the dependency
+    recurrence delta[v] = sum_{w in succ(v)} sigma_v/sigma_w *
+    (1 + delta_w) evaluated from the deepest level up. Node levels
+    partition per root, so each delta is fully determined one level
+    above — no iteration needed once unrolled."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "psym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)",
+        f"""l0 AS (
+          SELECT gs AS root, gs AS id, 1.0 AS sigma
+          FROM (SELECT unnest(generate_series(0, {n_roots - 1})) AS gs))""",
+        "cum0 AS (SELECT root, id FROM l0)",
+    ]
+    for k in range(1, depth + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+          SELECT w.root, s.dst AS id, sum(w.sigma) AS sigma
+          FROM l{k-1} w JOIN psym s ON s.src = w.id
+          WHERE NOT EXISTS (
+            SELECT 1 FROM cum{k-1} c WHERE c.root = w.root AND c.id = s.dst)
+          GROUP BY w.root, s.dst)"""
+        )
+        ctes.append(
+            f"cum{k} AS MATERIALIZED (SELECT root, id FROM cum{k-1} "
+            f"UNION ALL SELECT root, id FROM l{k})"
+        )
+    # backward: delta at the deepest unrolled level is 0 by construction
+    ctes.append(f"d{depth} AS (SELECT root, id, sigma, 0.0 AS delta FROM l{depth})")
+    for k in range(depth - 1, 0, -1):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+          SELECT p.root, p.id, p.sigma,
+                 coalesce(sum(p.sigma / wd.sigma * (1 + wd.delta)), 0.0) AS delta
+          FROM l{k} p
+          LEFT JOIN psym e ON e.src = p.id
+          LEFT JOIN d{k+1} wd ON wd.root = p.root AND wd.id = e.dst
+          GROUP BY p.root, p.id, p.sigma)"""
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT root, id, delta FROM d{k}" for k in range(1, depth + 1))
+    return f"""WITH {','.join(ctes)},
+        acc AS ({acc}),
+        bcv AS (SELECT id, sum(delta) AS bc FROM acc WHERE id <> root GROUP BY id)
+        SELECT v.id, ROUND(coalesce(b.bc, 0.0) / 2.0, 6) AS bc
+        FROM verts v LEFT JOIN bcv b ON b.id = v.id"""
 
 
 def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
