@@ -335,6 +335,16 @@ def q_triangles_per_vertex(spark, sf):
     return triangles_per_vertex(g).select("id", "tri")
 
 
+def q_mm_read(spark, sf):
+    """Matrix Market interchange read (ParallelReadMM analogue) over a
+    reference-bundled .mtx; the golden SpGEMM cross-check against the
+    reference's own C.mtx product lives in tests/test_mm.py."""
+    from combblas_spark.sources.mm import read_mm
+
+    e, _, _ = read_mm(spark, "/root/reference/ReleaseTests/sevenvertex.mtx")
+    return e.select("src", "dst", "val")
+
+
 def q_rand_perm(spark, sf):
     """Distributed seeded random permutation — md5-keyed total order, so
     the oracle reproduces positions exactly (no single-partition sort)."""
@@ -559,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "triangles_per_vertex": q_triangles_per_vertex,
         "salted_spmv": q_salted_spmv,
+        "mm_read": q_mm_read,
         "rand_perm": q_rand_perm,
         "sort_perm": q_sort_perm,
         "pages_pipeline": q_pages_pipeline,
@@ -839,6 +850,12 @@ def oracle_sql() -> dict[str, str]:
             x AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS xv FROM edges GROUP BY src)
             SELECT e.dst AS id, sum(e.val * x.xv) AS y
             FROM edges e JOIN x ON e.src = x.id GROUP BY e.dst""",
+        "mm_read": """
+            SELECT column0 - 1 AS src, column1 - 1 AS dst, column2 AS val
+            FROM read_csv('/root/reference/ReleaseTests/sevenvertex.mtx',
+                          skip=2, header=false, delim='\t',
+                          columns={'column0':'BIGINT','column1':'BIGINT',
+                                   'column2':'DOUBLE'})""",
         "rand_perm": f"""{_BASE}
             SELECT row_number() OVER (
                      ORDER BY md5('42:' || CAST(id AS VARCHAR)), id) - 1 AS pos,

@@ -1,0 +1,113 @@
+"""Matrix Market I/O + golden cross-checks against the reference's own
+bundled test vectors (/root/reference is read-only input data here).
+
+The strongest external correctness signal available to this project:
+3DSpGEMM/matlab/C.mtx is the reference-bundled product of
+bcsstk01.mtx with itself (multwrite.m: C = A * B via MATLAB sparse) —
+our distributed SpGEMM must reproduce it entry-for-entry.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from combblas_spark.sources.mm import read_mm, write_mm
+from combblas_spark.operators.spgemm import spgemm
+
+REF = "/root/reference"
+BCSSTK = f"{REF}/3DSpGEMM/matlab/bcsstk01.mtx"
+GOLDEN_C = f"{REF}/3DSpGEMM/matlab/C.mtx"
+SEVEN = f"{REF}/ReleaseTests/sevenvertex.mtx"
+SMALL_NONSYM = f"{REF}/ReleaseTests/small_nonsym.mtx"
+
+
+@pytest.mark.skipif(not os.path.exists(BCSSTK), reason="reference data absent")
+def test_mm_golden_spgemm_bcsstk01(spark):
+    """spgemm(A, A) must match the reference-bundled golden product
+    C.mtx: identical nonzero pattern, relative error < 1e-9."""
+    A, m, n = read_mm(spark, BCSSTK)
+    assert (m, n) == (48, 48)
+    C, cm, cn = read_mm(spark, GOLDEN_C)
+    assert (cm, cn) == (48, 48)
+
+    P = spgemm(A, A)
+    joined = (
+        P.withColumnRenamed("val", "p")
+        .join(C.withColumnRenamed("val", "c"), ["src", "dst"], "full_outer")
+        .select("src", "dst", "p", "c")
+    )
+    missing = joined.filter(F.col("p").isNull() | F.col("c").isNull()).count()
+    assert missing == 0  # identical nonzero pattern
+    max_rel = joined.agg(F.max(
+        F.abs(F.col("p") - F.col("c"))
+        / F.greatest(F.abs(F.col("c")), F.lit(1.0))
+    ).alias("e")).collect()[0]["e"]
+    assert max_rel < 1e-9
+
+
+@pytest.mark.skipif(not os.path.exists(SEVEN), reason="reference data absent")
+def test_mm_read_sevenvertex(spark):
+    e, m, n = read_mm(spark, SEVEN)
+    assert (m, n) == (7, 7)
+    rows = {(r["src"], r["dst"]): r["val"] for r in e.collect()}
+    assert len(rows) == 12
+    assert rows[(3, 5)] == pytest.approx(0.34)   # "4 6 0.34", 0-based
+    assert rows[(0, 6)] == pytest.approx(2.15)
+
+
+@pytest.mark.skipif(not os.path.exists(SMALL_NONSYM), reason="reference data absent")
+def test_mm_read_headerless(spark):
+    """ReleaseTests/small_nonsym.mtx has no %%MatrixMarket banner —
+    first line is the size line."""
+    e, m, n = read_mm(spark, SMALL_NONSYM)
+    assert (m, n) == (9, 9)
+    got = e.collect()
+    assert len(got) == 19
+    assert all(r["val"] == 1.0 for r in got)
+
+
+def test_mm_symmetric_expansion(spark, tmp_path):
+    p = tmp_path / "sym.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% comment line\n"
+        "3 3 3\n"
+        "1 1 5.0\n"
+        "2 1 1.5\n"
+        "3 2 2.5\n"
+    )
+    e, m, n = read_mm(spark, str(p))
+    rows = {(r["src"], r["dst"]): r["val"] for r in e.collect()}
+    assert rows == {(0, 0): 5.0, (1, 0): 1.5, (0, 1): 1.5,
+                    (2, 1): 2.5, (1, 2): 2.5}
+
+
+def test_mm_pattern_field(spark, tmp_path):
+    p = tmp_path / "pat.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "2 2 2\n1 2\n2 1\n"
+    )
+    e, m, n = read_mm(spark, str(p))
+    rows = {(r["src"], r["dst"]): r["val"] for r in e.collect()}
+    assert rows == {(0, 1): 1.0, (1, 0): 1.0}
+
+
+def test_mm_roundtrip(spark, tmp_path):
+    """write_mm -> read_mm is the identity on triples (ParallelWriteMM /
+    ParallelReadMM round-trip, ReadWriteMtx.cpp analogue)."""
+    from combblas_spark.graph import events_graph
+
+    g = events_graph(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "g.mtx")
+    write_mm(g, out, comment=" engine round-trip")
+    back, m, n = read_mm(spark, out)
+    a = {(r["src"], r["dst"], r["val"]) for r in g.collect()}
+    b = {(r["src"], r["dst"], r["val"]) for r in back.collect()}
+    assert a == b
+    # file is globally (src, dst)-ordered after the header
+    lines = open(out).read().splitlines()
+    assert lines[0].startswith("%%MatrixMarket")
+    data = [tuple(map(float, ln.split()[:2])) for ln in lines[3:]]
+    assert data == sorted(data)
