@@ -1,17 +1,25 @@
 """Structured Streaming: incremental edge-table maintenance.
 
-Drops two event-batch parquet files into a stream source dir, drains
-with availableNow, and checks the merged edge table equals the batch
-build over the union — the streaming twin of the SpParMat-ctor
-duplicate-summing semantics (SpParMat.h:85-86).
+Drops event-batch parquet files into a stream source dir, drains with
+availableNow, and checks the merged edge table equals the batch build
+over the union — the streaming twin of the SpParMat-ctor
+duplicate-summing semantics (SpParMat.h:85-86). Also verifies the
+delta-log sink's two scale properties: replayed micro-batches are
+idempotent (at-least-once foreachBatch), and compaction rewrites ONLY
+touched bucket partitions, never the whole table.
 """
 
 import datetime as dt
+import os
 
 from pyspark.sql import functions as F
 
 from combblas_spark.graph import HASH_C, build_graph
-from combblas_spark.streaming import run_edge_merge
+from combblas_spark.streaming import (
+    compact_edge_table,
+    read_edge_table,
+    run_edge_merge,
+)
 
 
 def _events(spark, rows):
@@ -21,6 +29,14 @@ def _events(spark, rows):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
+
+
+def _expected(spark, rows, nv):
+    raw = _events(spark, rows).select(
+        F.col("user_id").alias("src"),
+        ((F.col("event_id") * F.lit(HASH_C)) % F.lit(nv)).alias("dst"),
+    )
+    return {(r["src"], r["dst"]): r["val"] for r in build_graph(raw).collect()}
 
 
 def test_stream_merge_equals_batch_build(spark, tmp_path):
@@ -41,16 +57,15 @@ def test_stream_merge_equals_batch_build(spark, tmp_path):
     q2.awaitTermination(120)
 
     got = {(r["src"], r["dst"]): r["val"]
-           for r in spark.read.parquet(table).collect()}
+           for r in read_edge_table(spark, table).collect()}
+    assert got == _expected(spark, batch1 + batch2, nv)
 
-    all_events = _events(spark, batch1 + batch2)
-    expected_raw = all_events.select(
-        F.col("user_id").alias("src"),
-        ((F.col("event_id") * F.lit(HASH_C)) % F.lit(nv)).alias("dst"),
-    )
-    expected = {(r["src"], r["dst"]): r["val"]
-                for r in build_graph(expected_raw).collect()}
-    assert got == expected
+    # compaction must not change the logical view
+    n = compact_edge_table(spark, table)
+    assert n >= 1
+    after = {(r["src"], r["dst"]): r["val"]
+             for r in read_edge_table(spark, table).collect()}
+    assert after == got
 
 
 def test_stream_dedup_replayed_events(spark, tmp_path):
@@ -69,11 +84,61 @@ def test_stream_dedup_replayed_events(spark, tmp_path):
     q.awaitTermination(120)
 
     got = {(r["src"], r["dst"]): r["val"]
-           for r in spark.read.parquet(table).collect()}
-    expected = {(r["src"], r["dst"]): r["val"]
-                for r in build_graph(
-                    _events(spark, rows).select(
-                        F.col("user_id").alias("src"),
-                        ((F.col("event_id") * F.lit(HASH_C)) % F.lit(nv)).alias("dst"),
-                    )).collect()}
-    assert got == expected
+           for r in read_edge_table(spark, table).collect()}
+    assert got == _expected(spark, rows, nv)
+
+
+def test_replayed_micro_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: applying the SAME batch_id twice
+    must leave the table unchanged (delta dir overwritten in place)."""
+    nv = 16
+    table = str(tmp_path / "edges")
+    sums = (
+        spark.createDataFrame([(1, 2, 3.0), (4, 5, 1.0)], "src long, dst long, val double")
+        .withColumn("bucket", F.pmod(F.hash("src"), F.lit(32)))
+    )
+    path = os.path.join(table, "delta", "batch=7")
+    sums.write.mode("overwrite").parquet(path)
+    sums.write.mode("overwrite").parquet(path)  # replay of batch 7
+    got = {(r["src"], r["dst"]): r["val"]
+           for r in read_edge_table(spark, table).collect()}
+    assert got == {(1, 2): 3.0, (4, 5): 1.0}
+
+
+def test_compaction_rewrites_only_touched_buckets(spark, tmp_path):
+    """A delta touching one src bucket must not rewrite other base
+    bucket partitions (dynamic partition overwrite, O(delta) not
+    O(table))."""
+    nv = 16
+    table = str(tmp_path / "edges")
+
+    def delta(batch_id, rows):
+        df = (
+            spark.createDataFrame(rows, "src long, dst long, val double")
+            .withColumn("bucket", F.pmod(F.hash("src"), F.lit(32)))
+        )
+        df.write.mode("overwrite").parquet(
+            os.path.join(table, "delta", f"batch={batch_id}"))
+
+    # base over many buckets
+    delta(0, [(s, (s + 1) % nv, 1.0) for s in range(nv)])
+    assert compact_edge_table(spark, table) == 1
+    base = os.path.join(table, "base")
+    before = {d: os.path.getmtime(os.path.join(base, d))
+              for d in os.listdir(base) if d.startswith("bucket=")}
+    assert len(before) > 2
+
+    # one more delta touching a single src (single bucket)
+    delta(1, [(3, 9, 5.0)])
+    assert compact_edge_table(spark, table) == 1
+    after = {d: os.path.getmtime(os.path.join(base, d))
+             for d in os.listdir(base) if d.startswith("bucket=")}
+    changed = {d for d in before if after[d] != before[d]}
+    assert len(changed) == 1  # exactly the touched bucket rewritten
+
+    got = {(r["src"], r["dst"]): r["val"]
+           for r in read_edge_table(spark, table).collect()}
+    assert got[(3, 9)] == 5.0
+    assert got[(0, 1)] == 1.0
+    # double compaction is a no-op
+    assert compact_edge_table(spark, table) == 0
