@@ -511,6 +511,18 @@ def q_betweenness(spark, sf):
     return out.select("id", F.round("bc", 6).alias("bc"))
 
 
+BPM_ROUNDS = 12  # oracle unroll bound; greedy converges in O(log n) rounds
+
+
+def q_bipartite_matching(spark, sf):
+    """Greedy maximal bipartite matching (min-id proposals/grants —
+    deterministic, so the oracle unrolls the rounds exactly)."""
+    from combblas_spark.algorithms.matching import bipartite_maximal_matching
+
+    g = events_graph(spark, sf)
+    return bipartite_maximal_matching(g).select("src", "dst")
+
+
 def q_simhash_neardups(spark, sf):
     return simhash_near_dups(_docs(spark, sf), max_hamming=3)
 
@@ -584,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "events_daily": q_events_daily,
         "events_windowed": q_events_windowed,
+        "bipartite_matching": q_bipartite_matching,
         "simhash_neardups": q_simhash_neardups,
         "lsh_topk": q_lsh_topk,
         "media_features": q_media_features,
@@ -949,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["simhash_neardups"] = _simhash_sql()
     sqls["mcl_clusters"] = _mcl_sql()
     sqls["betweenness"] = _betweenness_sql()
+    sqls["bipartite_matching"] = _bipartite_matching_sql()
     return sqls
 
 
@@ -1017,6 +1031,40 @@ def _mcl_sql(iters: int = MCL_ITERS, threshold: float = MCL_THRESHOLD,
           SELECT re.id, s.dst FROM reach re JOIN psym s ON s.src = re.r
         )
         SELECT id, min(r) AS cluster FROM reach GROUP BY id"""
+
+
+def _bipartite_matching_sql(rounds: int = BPM_ROUNDS) -> str:
+    """DuckDB twin of algorithms.matching.bipartite_maximal_matching:
+    unrolled propose (arg-min-priority dst per live src) / grant
+    (arg-min-priority src per proposed dst) / commit rounds, with the
+    same md5 edge priorities. Extra rounds past convergence are empty
+    no-ops, so any bound >= the actual round count is exact."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        """live1 AS (
+          SELECT src, dst,
+                 md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)) AS h
+          FROM (SELECT DISTINCT src, dst FROM edges))""",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""g{k} AS MATERIALIZED (
+          SELECT arg_min(src, h) AS src, dst FROM (
+            SELECT src, arg_min(dst, h) AS dst, min(h) AS h
+            FROM live{k} GROUP BY src)
+          GROUP BY dst)"""
+        )
+        ctes.append(
+            f"m{k} AS ({'SELECT src, dst FROM g1' if k == 1 else f'SELECT src, dst FROM m{k-1} UNION ALL SELECT src, dst FROM g{k}'})"
+        )
+        if k < rounds:
+            ctes.append(
+                f"""live{k+1} AS MATERIALIZED (
+          SELECT src, dst, h FROM live{k}
+          WHERE src NOT IN (SELECT src FROM g{k})
+            AND dst NOT IN (SELECT dst FROM g{k}))"""
+            )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst FROM m{rounds}"
 
 
 def _betweenness_sql(n_roots: int = BC_ROOTS, depth: int = BC_DEPTH) -> str:

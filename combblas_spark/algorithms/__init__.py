@@ -8,8 +8,10 @@ from combblas_spark.algorithms.bfs import bfs_levels, bfs_parents
 from combblas_spark.algorithms.sssp import sssp
 from combblas_spark.algorithms.mcl import mcl
 from combblas_spark.algorithms.mis import maximal_independent_set
+from combblas_spark.algorithms.matching import bipartite_maximal_matching
 
 __all__ = [
+    "bipartite_maximal_matching",
     "mcl",
     "maximal_independent_set",
     "pagerank",

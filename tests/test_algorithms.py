@@ -436,3 +436,38 @@ def test_mis_known_graphs(spark):
     g = df_edges(spark, [(0, 1), (0, 2), (0, 3)])
     mis = set(r["id"] for r in maximal_independent_set(g).collect())
     assert mis == {0} or mis == {1, 2, 3}
+
+
+# ------------------------------------------------------ bipartite matching
+
+def test_bipartite_matching_valid_and_maximal(spark):
+    """Matching contract (BPMaximalMatching's isMaximalmatching-style
+    check): each row/col matched at most once, every matched pair is an
+    edge, and no remaining edge has both endpoints unmatched."""
+    from combblas_spark.algorithms.matching import bipartite_maximal_matching
+
+    g = build_graph(rmat_edges(spark, 8, 8)).persist()
+    edges = {(r["src"], r["dst"]) for r in g.select("src", "dst").collect()}
+    m = [(r["src"], r["dst"]) for r in bipartite_maximal_matching(g).collect()]
+
+    rows = [a for a, _ in m]
+    cols = [b for _, b in m]
+    assert len(rows) == len(set(rows))          # each row once
+    assert len(cols) == len(set(cols))          # each col once
+    assert all(p in edges for p in m)           # pairs are edges
+    mr, mc = set(rows), set(cols)
+    for a, b in edges:                          # maximality
+        assert a in mr or b in mc, f"augmentable edge ({a},{b})"
+    g.unpersist()
+
+
+def test_bipartite_matching_known(spark):
+    from combblas_spark.algorithms.matching import bipartite_maximal_matching
+
+    # K_{2,2} on rows {0,1} x cols {5,6} plus the isolated pair (2,7):
+    # any maximal matching here is maximum — exactly 3 pairs
+    g = df_edges(spark, [(0, 5), (0, 6), (1, 5), (1, 6), (2, 7)])
+    m = {(r["src"], r["dst"]) for r in bipartite_maximal_matching(g).collect()}
+    assert len(m) == 3
+    assert (2, 7) in m
+    assert {a for a, _ in m} == {0, 1, 2} and {b for _, b in m} == {5, 6, 7}
