@@ -86,11 +86,30 @@ def connected_components(
         # (identical mngp/gp subtrees are deduped by ReuseExchange)
         # f' = min over a union of vector-sized inputs; the agg output is
         # HashPartitioning(id, shuffle_n), which the state keeps across
-        # supersteps (co-partitioned with the next convergence join)
+        # supersteps. The f branch carries its value twice (val + _old),
+        # so the same aggregation yields both the new label AND the old
+        # one — the changed-count then rides the superstep job itself as
+        # an Observation (MPI_Allreduce fused into the superstep; no
+        # separate convergence join+count job).
+        from pyspark.sql import Observation
+
+        old_d = F.col("val").cast("double")
+        null_d = F.lit(None).cast("double")
         new_f = (
-            f.unionByName(gp).unionByName(mngp).unionByName(hooks)
+            f.withColumn("_old", old_d)
+            .unionByName(gp.withColumn("_old", null_d))
+            .unionByName(mngp.withColumn("_old", null_d))
+            .unionByName(hooks.withColumn("_old", null_d))
             .groupBy("id")
-            .agg(F.min("val").alias("val"))
+            .agg(F.min("val").alias("val"), F.min("_old").alias("_old"))
+        )
+        obs = Observation()
+        new_f = (
+            new_f.observe(
+                obs,
+                F.sum((F.col("val").cast("double") < F.col("_old"))
+                      .cast("long")).alias("changed"))
+            .select("id", "val")
         )
         if small_vector:
             new_f = new_f.coalesce(1)
@@ -99,12 +118,7 @@ def connected_components(
         else:
             new_f = new_f.localCheckpoint(eager=True)
 
-        # convergence check over the two cached vectors (cheap second job)
-        changed = (
-            new_f.join(f.withColumnRenamed("val", "_old"), "id")
-            .filter(F.col("val") != F.col("_old"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         mngp.unpersist()
         f = new_f
         if metrics is not None:

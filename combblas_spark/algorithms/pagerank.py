@@ -160,7 +160,7 @@ def pagerank(
             new_state = (
                 state.join(stitched, "id", "left")
                 .crossJoin(F.broadcast(dmass))
-                .select("id", new_rank, "dg")
+                .select("id", F.col("rank").alias("_prev"), new_rank, "dg")
             )
         else:
             # shuffle regime: the SpMV contributions aggregate by dst into
@@ -177,8 +177,20 @@ def pagerank(
             new_state = (
                 state.join(inflow, "id", "left")
                 .crossJoin(F.broadcast(dmass))
-                .select("id", new_rank, "dg")
+                .select("id", F.col("rank").alias("_prev"), new_rank, "dg")
             )
+
+        # tol mode: the L1 delta rides the superstep job itself as an
+        # Observation over |rank - _prev| (the old rank is already in
+        # the stitch join) — no separate convergence join+count job.
+        obs = None
+        if n_iter is None and tol is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_state = new_state.observe(
+                obs, F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
+        new_state = new_state.select("id", "rank", "dg")
 
         # materialize: THE one job per superstep (truncates lineage);
         # the runner additionally writes durable Parquet on its cadence
@@ -187,13 +199,8 @@ def pagerank(
         else:
             new_state = new_state.localCheckpoint(eager=True)
 
-        if n_iter is None and tol is not None:
-            delta = (
-                new_state.select("id", "rank")
-                .join(state.select("id", F.col("rank").alias("_old")), "id")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("d"))
-                .collect()[0]["d"]
-            )
+        if obs is not None:
+            delta = float(obs.get["d"])
             state = new_state
             if metrics is not None:
                 metrics.append({"iter": it, "l1_delta": delta, "t": time.perf_counter()})
