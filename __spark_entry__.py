@@ -467,13 +467,17 @@ def q_pages_pipeline(spark, sf):
     return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("multiplicity"))
 
 
+MIS_ROUNDS = 8  # oracle unroll bound; Luby converges in O(log n) rounds
+
+
 def q_mis(spark, sf):
-    """Luby MIS (seeded xxhash64 priorities — Spark-specific hash ->
-    rows-only; independence+maximality property-tested in tests/)."""
+    """Luby MIS with md5 round priorities — deterministic and SQL-
+    replayable, so the oracle unrolls the rounds exactly (independence
+    +maximality additionally property-tested in tests/)."""
     from combblas_spark.algorithms.mis import maximal_independent_set
 
     g = events_graph(spark, sf)
-    return maximal_independent_set(g).orderBy("id")
+    return maximal_independent_set(g, seed=42).select("id")
 
 
 MCL_ITERS = 3
@@ -963,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["mcl_clusters"] = _mcl_sql()
     sqls["betweenness"] = _betweenness_sql()
     sqls["bipartite_matching"] = _bipartite_matching_sql()
+    sqls["mis"] = _mis_sql()
     return sqls
 
 
@@ -1031,6 +1036,46 @@ def _mcl_sql(iters: int = MCL_ITERS, threshold: float = MCL_THRESHOLD,
           SELECT re.id, s.dst FROM reach re JOIN psym s ON s.src = re.r
         )
         SELECT id, min(r) AS cluster FROM reach GROUP BY id"""
+
+
+def _mis_sql(rounds: int = MIS_ROUNDS, seed: int = 42) -> str:
+    """DuckDB twin of algorithms.mis.maximal_independent_set: unrolled
+    Luby rounds with the same md5("seed:round:id") priorities; a round
+    past convergence has an empty candidate set and is a no-op."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)",
+        "cand0 AS (SELECT DISTINCT src AS id FROM sym)",
+    ]
+    wins = []
+    for k in range(rounds):
+        ctes.append(
+            f"pri{k} AS (SELECT id, md5('{seed}:{k}:' || CAST(id AS VARCHAR)) AS p "
+            f"FROM cand{k})"
+        )
+        ctes.append(
+            f"""nm{k} AS (
+          SELECT e.dst AS id, min(ps.p) AS np
+          FROM sym e
+          JOIN pri{k} ps ON ps.id = e.src
+          JOIN pri{k} pd ON pd.id = e.dst
+          GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""win{k} AS MATERIALIZED (
+          SELECT p.id FROM pri{k} p LEFT JOIN nm{k} n ON n.id = p.id
+          WHERE n.np IS NULL OR p.p < n.np)"""
+        )
+        wins.append(f"SELECT id FROM win{k}")
+        if k < rounds - 1:
+            ctes.append(
+                f"""cand{k+1} AS MATERIALIZED (
+          SELECT id FROM cand{k}
+          WHERE id NOT IN (SELECT id FROM win{k})
+            AND id NOT IN (SELECT e.dst FROM sym e
+                           JOIN win{k} w ON w.id = e.src))"""
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(wins)
 
 
 def _bipartite_matching_sql(rounds: int = BPM_ROUNDS) -> str:

@@ -5,8 +5,9 @@ Luby round expressed as two joins).
 
 Per round over the remaining candidate vertices:
   1. every candidate gets a deterministic pseudo-random priority
-     (xxhash64(id, round, seed) — seeded, partition-invariant, resume-
-     stable like the RMAT generator);
+     (md5("seed:round:id") — seeded, partition-invariant, resume-
+     stable, and ANSI-SQL-expressible so the driver oracle can replay
+     the rounds exactly);
   2. a candidate enters the MIS iff its priority is a strict local
      minimum among its remaining neighbors (min-neighbor-priority via
      one groupBy-min = an SpMV over the Select2ndMin semiring);
@@ -46,7 +47,9 @@ def maximal_independent_set(
         n_cand = cand.count()
         if n_cand == 0:
             break
-        pri = cand.select("id", F.xxhash64("id", F.lit(it), F.lit(seed)).alias("p"))
+        pri = cand.select("id", F.md5(F.concat_ws(
+            ":", F.lit(str(seed)), F.lit(str(it)),
+            F.col("id").cast("string")).cast("binary")).alias("p"))
         # min neighbor priority among REMAINING candidates (edges with
         # both ends still candidate)
         live = (
