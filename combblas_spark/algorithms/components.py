@@ -42,14 +42,22 @@ def connected_components(
     """Returns (id, comp) where comp = min vertex id in the component."""
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # pre-partition by dst = the SpMV aggregation key, so each superstep's
-    # min-neighbor agg needs no edge-sized exchange (see pagerank.py)
-    sym = symmetrize(edges).repartition(shuffle_n, "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    sym.count()
     verts = vertices(edges)
     n_est = verts.count()
     can_broadcast = n_est <= broadcast_max_vertices
     small_vector = n_est <= small_vector_threshold
+    # Edge partitioning per regime, mirroring pagerank.py:
+    #  broadcast regime: partition by dst = the SpMV AGGREGATION key —
+    #    the broadcast join preserves it, so the min-neighbor agg needs
+    #    no edge-sized exchange at all.
+    #  shuffle regime: partition by src = the JOIN key — the cached edges
+    #    never re-shuffle (the vector shuffles to meet them); the agg's
+    #    dst exchange is then the ONE edge-sized move per superstep.
+    #    (dst partitioning here would pay BOTH: a join shuffle by src
+    #    AND the agg exchange — measured 2x superstep cost at RMAT-22.)
+    part_key = "dst" if can_broadcast else "src"
+    sym = symmetrize(edges).repartition(shuffle_n, part_key).persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
 
     start_it = 0
     f = None

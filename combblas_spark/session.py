@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd shuffle/spill compression: measured 29% fewer bytes per
+        # PageRank superstep vs lz4 (594 -> 420 MB at RMAT-23) at equal
+        # steady-state walls; on a cluster the shuffle is network-bound,
+        # so fewer bytes is a straight win (BENCH.md byte-count table).
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

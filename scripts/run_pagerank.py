@@ -95,7 +95,30 @@ def main() -> None:
             collect_partition_stats=False,
         )
 
-    metrics: list = []
+    class _DuMetrics(list):
+        """metrics list that snapshots spark.local.dir bytes at every
+        append (i.e. once per superstep, from inside the loop) — the
+        measured shuffle+spill footprint, for the BENCH.md byte-count
+        evidence. Active only when spark.local.dir is set explicitly."""
+
+        def __init__(self, path: str):
+            super().__init__()
+            self._path = path
+
+        def append(self, item):
+            total = 0
+            for root, _dirs, files in os.walk(self._path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            if isinstance(item, dict):
+                item["local_dir_bytes"] = total
+            super().append(item)
+
+    local_dir = spark.conf.get("spark.local.dir", None)
+    metrics: list = _DuMetrics(local_dir) if local_dir else []
     t1 = time.perf_counter()
     if args.algo == "pagerank":
         res = pagerank(g, alpha=args.alpha, n_iter=args.iters, metrics=metrics,
@@ -134,6 +157,12 @@ def main() -> None:
         "parallelism": spark.sparkContext.defaultParallelism,
         "shuffle_partitions": shuffle_n,
     }
+    dir_bytes = [m["local_dir_bytes"] for m in metrics
+                 if isinstance(m, dict) and "local_dir_bytes" in m]
+    if dir_bytes:
+        out["local_dir_bytes"] = dir_bytes
+        out["bytes_per_superstep"] = [
+            b - a for a, b in zip(dir_bytes, dir_bytes[1:])]
     print(json.dumps(out))
     spark.stop()
 

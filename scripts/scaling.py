@@ -31,10 +31,14 @@ def submit(master_cores: int, shuffle: int, extra_args: list[str]) -> dict:
     zip_path = "/tmp/combblas_spark_scaling.zip"
     if not os.path.exists(zip_path):
         subprocess.run(["zip", "-qr", zip_path, "combblas_spark"], cwd=REPO, check=True)
+    # 20g heap (default G1) at EVERY level — measured this round:
+    # 80g heap at local[32] HALVES throughput (G1 pause blowup), and
+    # ParallelGC at local[32] loses ~20% vs G1; see BENCH.md.
     cmd = [
         "spark-submit", "--master", f"local[{master_cores}]",
         "--driver-memory", "20g",
         "--conf", f"spark.sql.shuffle.partitions={shuffle}",
+        "--conf", "spark.io.compression.codec=zstd",
         "--conf", "spark.ui.enabled=false",
         "--py-files", zip_path,
         os.path.join(REPO, "scripts", "run_pagerank.py"),
