@@ -38,8 +38,23 @@ def connected_components(
     broadcast_max_vertices: int = 8_000_000,
     small_vector_threshold: int = 100_000,
     runner=None,
+    initial_labels: DataFrame | None = None,
 ) -> DataFrame:
-    """Returns (id, comp) where comp = min vertex id in the component."""
+    """Returns (id, comp) where comp = min vertex id in the component.
+
+    ``initial_labels`` (id, comp) warm-starts the label vector from a
+    previous run — the incremental-maintenance path for a continuously
+    crawled graph (the reference's Incremental/ pipeline re-clusters
+    from prior state for the same reason): after an edge delta, labels
+    are already near-minimal almost everywhere, so FastSV converges in
+    a couple of supersteps instead of O(diameter). New vertices fall
+    back to self-labels. Safe because FastSV's invariant only needs
+    f[v] to be the id of SOME vertex in v's component with f-chain
+    leading to the minimum — seeding with any previous component id of
+    a SUBGRAPH of the current graph preserves it. GROW-ONLY deltas
+    only: after edge deletions components can split and stale labels
+    would point outside the component — rerun cold in that case.
+    """
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = vertices(edges)
@@ -66,7 +81,15 @@ def connected_components(
         if resumed is not None:
             start_it, f = resumed
     if f is None:
-        f = verts.select("id", F.col("id").alias("val"))
+        if initial_labels is not None:
+            f = (
+                verts.join(
+                    initial_labels.select("id", F.col("comp").alias("_w")),
+                    "id", "left")
+                .select("id", F.coalesce(F.col("_w"), F.col("id")).alias("val"))
+            )
+        else:
+            f = verts.select("id", F.col("id").alias("val"))
         f = f.coalesce(1) if small_vector else f.repartition(shuffle_n, "id")
     f = f.localCheckpoint(eager=True)
 

@@ -471,3 +471,25 @@ def test_bipartite_matching_known(spark):
     assert len(m) == 3
     assert (2, 7) in m
     assert {a for a, _ in m} == {0, 1, 2} and {b for _, b in m} == {5, 6, 7}
+
+
+def test_cc_warm_start_incremental(spark):
+    """Warm-starting FastSV from a previous graph version's labels gives
+    identical components on the grown graph in fewer supersteps (the
+    incremental-maintenance path for a continuously-crawled graph)."""
+    g1 = build_graph(rmat_edges(spark, 8, 6, seed=13)).persist()
+    c1 = connected_components(g1)
+
+    # grow-only delta: new vertices + a bridge between existing regions
+    delta = df_edges(spark, [(1, 300), (300, 301), (2, 302), (302, 5)])
+    g2 = build_graph(g1.unionByName(delta)).persist()
+
+    cold_m, warm_m = [], []
+    cold = {r["id"]: r["comp"]
+            for r in connected_components(g2, metrics=cold_m).collect()}
+    warm = {r["id"]: r["comp"]
+            for r in connected_components(
+                g2, metrics=warm_m, initial_labels=c1).collect()}
+    assert warm == cold
+    assert len(warm_m) <= len(cold_m)
+    g1.unpersist(); g2.unpersist()
