@@ -121,3 +121,48 @@ def mcl(
     # Interpret (MCL.cpp:372-385): components of the attractor pattern
     comps = connected_components(A.select("src", "dst", "val"))
     return comps.select("id", F.col("comp").alias("cluster"))
+
+
+def mcl_incremental(
+    edges: DataFrame,
+    prev_clusters: DataFrame,
+    inflation: float = 2.0,
+    **mcl_kwargs,
+) -> DataFrame:
+    """Incremental Markov clustering for a grown graph
+    (Applications/Incremental/IncClust.h pipeline: the reference
+    re-clusters prev-cluster summaries + new vertices instead of the
+    full graph; IncrementalMCLSquare ParFriends.h:844).
+
+    Spark form: CONTRACT every previously-clustered vertex to its
+    cluster's supernode (cluster id = min member id), keep new /
+    unclustered vertices as themselves, sum parallel edge weights
+    (intra-cluster edges become supernode self-affinity), run mcl() on
+    the contracted graph — typically orders of magnitude smaller — and
+    EXPAND the result back to all vertices. Approximate by design, like
+    the reference: previously-merged clusters are never re-split.
+
+    prev_clusters: (id, cluster). Returns (id, cluster) over the full
+    current vertex set.
+    """
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    node_of = (
+        verts.join(prev_clusters.select("id", F.col("cluster").alias("_c")), "id", "left")
+        .select("id", F.coalesce(F.col("_c"), F.col("id")).alias("node"))
+    )
+    s = node_of.select(F.col("id").alias("src"), F.col("node").alias("_ns"))
+    d = node_of.select(F.col("id").alias("dst"), F.col("node").alias("_nd"))
+    contracted = (
+        edges.join(s, "src").join(d, "dst")
+        .groupBy(F.col("_ns").alias("src"), F.col("_nd").alias("dst"))
+        .agg(F.sum("val").alias("val"))
+    )
+    sub = mcl(contracted, inflation=inflation, **mcl_kwargs)
+    return (
+        node_of.join(sub.withColumnRenamed("id", "node"), "node")
+        .select("id", "cluster")
+    )

@@ -493,3 +493,28 @@ def test_cc_warm_start_incremental(spark):
     assert warm == cold
     assert len(warm_m) <= len(cold_m)
     g1.unpersist(); g2.unpersist()
+
+
+def test_mcl_incremental_attaches_new_vertices(spark):
+    """Incremental MCL: new vertices join the cluster they attach to;
+    previously-clustered vertices keep a shared cluster (supernode
+    contraction never re-splits them)."""
+    from combblas_spark.algorithms.mcl import mcl, mcl_incremental
+
+    base = [(0, 1, 3.0), (1, 2, 3.0), (0, 2, 3.0),
+            (3, 4, 3.0), (4, 5, 3.0), (3, 5, 3.0), (2, 3, 0.1)]
+    g1 = df_edges(spark, base)
+    c1 = mcl(g1, max_iter=8)
+    by = {r["id"]: r["cluster"] for r in c1.collect()}
+    assert by[0] == by[1] == by[2]
+    assert by[3] == by[4] == by[5]
+    assert by[0] != by[3]
+
+    # grow: vertex 6 attaches strongly to the {0,1,2} triangle
+    g2 = df_edges(spark, base + [(6, 0, 3.0), (6, 1, 3.0)])
+    inc = {r["id"]: r["cluster"]
+           for r in mcl_incremental(g2, c1, max_iter=8).collect()}
+    assert inc[6] == inc[0]
+    assert inc[0] == inc[1] == inc[2]
+    assert inc[3] == inc[4] == inc[5]
+    assert inc[0] != inc[3]
