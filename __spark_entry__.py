@@ -191,6 +191,15 @@ def q_connected_components(spark, sf):
     return connected_components(g).select("id", "comp")
 
 
+def q_connected_components_as(spark, sf):
+    """Awerbuch-Shiloach/LACC alternate (CC.h:1405) — must equal
+    FastSV's min-label components, so it shares the same oracle."""
+    from combblas_spark.algorithms.components import connected_components_as
+
+    g = events_graph(spark, sf)
+    return connected_components_as(g).select("id", "comp")
+
+
 def q_bfs_levels(spark, sf):
     g = events_graph(spark, sf)
     return bfs_levels(g, root=0).select("id", "level")
@@ -562,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_apply_colstochastic": q_dim_apply_colstochastic,
         "triangle_count": q_triangle_count,
         "connected_components": q_connected_components,
+        "connected_components_as": q_connected_components_as,
         "bfs_levels": q_bfs_levels,
         "bfs_parents": q_bfs_parents,
         "filtered_bfs": q_filtered_bfs,
@@ -968,6 +978,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["betweenness"] = _betweenness_sql()
     sqls["bipartite_matching"] = _bipartite_matching_sql()
     sqls["mis"] = _mis_sql()
+    sqls["connected_components_as"] = sqls["connected_components"]
     return sqls
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from combblas_spark.graph import symmetrize, vertices
+from combblas_spark.runtime.plans import superstep_checkpoint
 
 
 def betweenness_centrality(
@@ -54,8 +55,8 @@ def betweenness_centrality(
             .agg(F.sum("sigma").alias("sigma"))
             .join(levels.select("root", "id"), ["root", "id"], "left_anti")
             .withColumn("level", F.lit(depth + 1))
-            .localCheckpoint(eager=True)
         )
+        nxt = superstep_checkpoint(nxt, depth)
         if nxt.isEmpty():
             break
         levels = levels.unionByName(nxt).localCheckpoint(eager=True)
@@ -95,7 +96,7 @@ def betweenness_centrality(
                         (F.coalesce(F.col("delta"), F.lit(0.0))
                          + F.coalesce(F.col("delta_new"), F.lit(0.0))).alias("delta"))
             )
-        delta = delta.localCheckpoint(eager=True)
+        delta = superstep_checkpoint(delta, depth - lvl)
 
     e.unpersist()
     if delta is None:

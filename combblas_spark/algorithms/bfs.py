@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from combblas_spark.graph import symmetrize
+from combblas_spark.runtime.plans import superstep_checkpoint
 
 
 def _bfs(edges: DataFrame, root: int, directed: bool,
@@ -85,7 +86,7 @@ def _bfs(edges: DataFrame, root: int, directed: bool,
                 .withColumn("level", F.lit(level))
                 .select("id", "level", "parent")
             )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = superstep_checkpoint(nxt, level)
         frontier_n = nxt.count()
         if metrics is not None:
             metrics.append({"level": level, "frontier": frontier_n})

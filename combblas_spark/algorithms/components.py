@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from combblas_spark.graph import symmetrize, vertices
+from combblas_spark.runtime.plans import superstep_checkpoint
 from combblas_spark.operators.semiring import SELECT2ND_MIN
 from combblas_spark.operators.spmv import spmv
 
@@ -147,7 +148,7 @@ def connected_components(
         if runner is not None:
             new_f = runner.step(it, new_f)
         else:
-            new_f = new_f.localCheckpoint(eager=True)
+            new_f = superstep_checkpoint(new_f, it)
 
         changed = int(obs.get["changed"] or 0)
         mngp.unpersist()
@@ -159,5 +160,127 @@ def connected_components(
 
     if runner is not None:
         runner.finish(f)
+    sym.unpersist()
+    return f.select("id", F.col("val").alias("comp"))
+
+
+def connected_components_as(
+    edges: DataFrame,
+    max_iter: int = 100,
+    metrics: list | None = None,
+) -> DataFrame:
+    """Awerbuch–Shiloach / LACC-style connected components — the
+    reference's second CC algorithm (Applications/CC.h:1405-1544:
+    ConditionalHook :1195, UnconditionalHook2 :1243, StarCheck :1070,
+    Shortcut :1322). Kept as an alternate to FastSV
+    (connected_components) and equivalence-tested against it.
+
+    Per superstep over the parent forest f:
+      star check : EXACT star detection in two joins — bad = vertices
+                   with gp(v) != f(v); marked roots = gp[bad]; a vertex
+                   is in a star iff it is not bad AND its parent is not
+                   marked (every vertex of a non-star tree is caught,
+                   any depth — see test equivalence suite).
+      cond hook  : star vertices u with an edge to v where f(v) < f(u)
+                   hook their root onto min f(v)  (min-combined scatter,
+                   the reference's MPI_MIN Assign).
+      uncond hook: stars still stagnant hook onto a NON-star neighbor
+                   tree (never star->star, the reference's cycle-free
+                   rule in UnconditionalHook2).
+      shortcut   : f = f[f]  (pointer halving).
+    Labels converge to the component minimum (hooks always decrease
+    root labels), identical to FastSV's output.
+    """
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = vertices(edges)
+    sym = symmetrize(edges).select("src", "dst")
+    sym = sym.repartition(shuffle_n, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+
+    f = verts.select("id", F.col("id").alias("val")).localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        fv = f
+        # grandparent
+        gp = (
+            fv.select("id", F.col("val").alias("_p"))
+            .join(fv.select(F.col("id").alias("_p"), F.col("val").alias("gpv")), "_p")
+            .select("id", F.col("_p").alias("pv"), "gpv")
+            .localCheckpoint(eager=True)
+        )
+        bad = gp.filter(F.col("gpv") != F.col("pv"))
+        marked = bad.select(F.col("gpv").alias("mid")).distinct()
+        star = (
+            gp.join(bad.select("id"), "id", "left_anti")
+            .join(marked, gp["pv"] == F.col("mid"), "left_anti")
+            .select("id", "pv")
+            .localCheckpoint(eager=True)
+        )  # (id, pv=f(id)) for star vertices only
+
+        # conditional hooking: star u, edge (u,v), f(v) < f(u)
+        fu = star.select(F.col("id").alias("src"), F.col("pv").alias("_fu"))
+        fvv = f.select(F.col("id").alias("dst"), F.col("val").alias("_fv"))
+        cond = (
+            sym.join(fu, "src").join(fvv, "dst")
+            .filter(F.col("_fv") < F.col("_fu"))
+            .groupBy(F.col("_fu").alias("id"))
+            .agg(F.min("_fv").alias("hook"))
+        )
+        f1 = (
+            f.join(cond, "id", "left")
+            .select("id", F.least(F.col("val"), F.coalesce(F.col("hook"), F.col("val"))).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+
+        # unconditional hooking: still-stagnant stars (root unhooked)
+        # hook onto a NON-star neighbor's parent (cycle-free rule)
+        hooked_roots = cond.select("id")
+        stagnant = star.join(
+            hooked_roots.withColumnRenamed("id", "pv"), "pv", "left_semi"
+        )  # stars whose root hooked: NOT stagnant -> invert below
+        stag_star = star.join(stagnant.select("id"), "id", "left_anti")
+        nonstar_pv = (
+            gp.select("id", "pv")
+            .join(star.select("id"), "id", "left_anti")  # non-star vertices
+        )
+        su = stag_star.select(F.col("id").alias("src"), F.col("pv").alias("_fu"))
+        nv = nonstar_pv.select(F.col("id").alias("dst"), F.col("pv").alias("_fv"))
+        uncond = (
+            sym.join(su, "src").join(nv, "dst")
+            .filter(F.col("_fv") != F.col("_fu"))
+            .groupBy(F.col("_fu").alias("id"))
+            .agg(F.min("_fv").alias("hook"))
+        )
+        f2 = (
+            f1.join(uncond, "id", "left")
+            .select("id", F.coalesce(F.col("hook"), F.col("val")).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+
+        # shortcut: f = f[f], with fused change detection
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_f = (
+            f2.select("id", F.col("val").alias("_p"))
+            .join(f2.select(F.col("id").alias("_p"), F.col("val").alias("_gp")), "_p")
+            .select("id", F.col("_gp").alias("val"), F.col("_p").alias("_prev_link"))
+        )
+        old = f.select("id", F.col("val").alias("_old"))
+        new_f = (
+            new_f.join(old, "id")
+            .observe(obs, F.sum((F.col("val") != F.col("_old")).cast("long")).alias("changed"))
+            .select("id", "val")
+        )
+        new_f = superstep_checkpoint(new_f, it)
+        changed = int(obs.get["changed"] or 0)
+        gp.unpersist()
+        f = new_f
+        if metrics is not None:
+            metrics.append({"iter": it, "changed": changed})
+        if changed == 0:
+            break
+
     sym.unpersist()
     return f.select("id", F.col("val").alias("comp"))

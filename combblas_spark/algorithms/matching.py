@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from combblas_spark.runtime.plans import superstep_checkpoint
+
 
 def bipartite_maximal_matching(
     edges: DataFrame,
@@ -69,8 +71,8 @@ def bipartite_maximal_matching(
             live.join(grants.select("src"), "src", "left_anti")
             .join(grants.select("dst"), "dst", "left_anti")
             .select("src", "dst", "h")
-            .localCheckpoint(eager=True)
         )
+        nxt = superstep_checkpoint(nxt, it)
         live.unpersist()
         live = nxt
         if live.isEmpty():

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from combblas_spark.algorithms.components import connected_components
 from combblas_spark.operators.reduce import kselect, prune_recovery_select
 from combblas_spark.operators.spgemm import spgemm
+from combblas_spark.runtime.plans import superstep_checkpoint
 
 
 def _col_stochastic(edges: DataFrame) -> DataFrame:
@@ -103,7 +104,7 @@ def mcl(
         kept = prune_recovery_select(
             inflated, prune_threshold, recover_num, recover_pct)
         kept = kselect(kept, select_k, dim="col")
-        A_new = _col_stochastic(kept).localCheckpoint(eager=True)
+        A_new = superstep_checkpoint(_col_stochastic(kept), it)
 
         # chaos convergence metric (MCL.cpp:407-420)
         chaos = (

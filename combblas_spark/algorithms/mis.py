@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from combblas_spark.graph import symmetrize, vertices
+from combblas_spark.runtime.plans import superstep_checkpoint
 
 
 def maximal_independent_set(
@@ -69,7 +70,7 @@ def maximal_independent_set(
             .select(F.col("dst").alias("id"))
         ).distinct()
         mis = mis.unionByName(winners).localCheckpoint(eager=True)
-        cand = cand.join(dead, "id", "left_anti").localCheckpoint(eager=True)
+        cand = superstep_checkpoint(cand.join(dead, "id", "left_anti"), it)
         if metrics is not None:
             metrics.append({"iter": it, "candidates": n_cand})
 

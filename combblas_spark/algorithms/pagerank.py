@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from combblas_spark.graph import vertices
+from combblas_spark.runtime.plans import superstep_checkpoint
 
 
 def pagerank(
@@ -197,7 +198,7 @@ def pagerank(
         if runner is not None:
             new_state = runner.step(it, new_state)
         else:
-            new_state = new_state.localCheckpoint(eager=True)
+            new_state = superstep_checkpoint(new_state, it)
 
         if obs is not None:
             delta = float(obs.get["d"])

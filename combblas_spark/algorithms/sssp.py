@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from combblas_spark.runtime.plans import superstep_checkpoint
+
 
 def sssp(
     edges: DataFrame,
@@ -83,7 +85,7 @@ def sssp(
         if runner is not None:
             merged = runner.step(it, merged)
         else:
-            merged = merged.localCheckpoint(eager=True)
+            merged = superstep_checkpoint(merged, it)
         # improved = strictly better than before (new vertices included)
         frontier = (
             merged.join(dist.withColumnRenamed("dist", "_old"), "id", "left")

@@ -132,7 +132,8 @@ class SuperstepRunner:
         self._last_step = iteration
         if (iteration + 1) % self.every == 0:
             return self._durable(iteration, state, extra)
-        out = state.localCheckpoint(eager=True)
+        from combblas_spark.runtime.plans import superstep_checkpoint
+        out = superstep_checkpoint(state, iteration)
         if extra:
             self.metrics.append({"iteration": iteration, **extra})
         return out

@@ -518,3 +518,30 @@ def test_mcl_incremental_attaches_new_vertices(spark):
     assert inc[0] == inc[1] == inc[2]
     assert inc[3] == inc[4] == inc[5]
     assert inc[0] != inc[3]
+
+
+def test_cc_awerbuch_shiloach_equivalent(spark):
+    """The LACC-style alternate (conditional/unconditional star hooking
+    + shortcut) must produce exactly FastSV's min-label components on
+    known graphs, a deep path (stress for the exact star check), and a
+    skewed RMAT graph."""
+    from combblas_spark.algorithms.components import connected_components_as
+
+    cases = [
+        [(0, 1), (1, 2), (3, 4), (3, 5), (3, 6)],              # path + star
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],  # bridged
+        [(i, i + 1) for i in range(40)],                        # deep path
+        [(2 * i, 2 * i + 1) for i in range(10)],                # matchings
+    ]
+    for triples in cases:
+        g = df_edges(spark, triples)
+        fast = {r["id"]: r["comp"] for r in connected_components(g).collect()}
+        asv = {r["id"]: r["comp"] for r in connected_components_as(g).collect()}
+        assert asv == fast, triples[:3]
+
+    raw = rmat_edges(spark, scale=7, edgefactor=3, seed=11)
+    g = build_graph(raw).persist()
+    fast = {r["id"]: r["comp"] for r in connected_components(g).collect()}
+    asv = {r["id"]: r["comp"] for r in connected_components_as(g).collect()}
+    assert asv == fast
+    g.unpersist()
