@@ -372,6 +372,18 @@ def q_sort_perm(spark, sf):
     return sort_perm(outd, ascending=False).select("pos", "id")
 
 
+RCM_DEPTH = 10  # oracle unroll bound >= BFS depth at sf<=0.01
+
+
+def q_rcm(spark, sf):
+    """Reverse Cuthill-McKee ordering (RCM.cpp analogue) from root 0 —
+    level-synchronous parent-order ranks, fully deterministic."""
+    from combblas_spark.algorithms.ordering import rcm_ordering
+
+    g = events_graph(spark, sf)
+    return rcm_ordering(g, root=0).select("pos", "id")
+
+
 def q_salted_spmv(spark, sf):
     g = events_graph(spark, sf)
     x = reduce_dim(g, "row", F.count)
@@ -598,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_read": q_mm_read,
         "rand_perm": q_rand_perm,
         "sort_perm": q_sort_perm,
+        "rcm": q_rcm,
         "pages_pipeline": q_pages_pipeline,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -979,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["bipartite_matching"] = _bipartite_matching_sql()
     sqls["mis"] = _mis_sql()
     sqls["connected_components_as"] = sqls["connected_components"]
+    sqls["rcm"] = _rcm_sql()
     return sqls
 
 
@@ -1047,6 +1061,53 @@ def _mcl_sql(iters: int = MCL_ITERS, threshold: float = MCL_THRESHOLD,
           SELECT re.id, s.dst FROM reach re JOIN psym s ON s.src = re.r
         )
         SELECT id, min(r) AS cluster FROM reach GROUP BY id"""
+
+
+def _rcm_sql(depth: int = RCM_DEPTH, root: int = 0) -> str:
+    """DuckDB twin of algorithms.ordering.rcm_ordering(root=0): BFS
+    levels, then per level a rank over (min parent position, degree,
+    id), cumulative offsets, reversed at the end."""
+    # NOTE: inside WITH RECURSIVE, DuckDB gives bare UNION in ANY cte
+    # recursive (non-deduplicating) semantics — dedup must be explicit
+    # here because the degree counts depend on it.
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        """sym AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges))""",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)",
+        f"""reach(id, lvl) AS (
+          SELECT CAST({root} AS BIGINT), 0
+          UNION
+          SELECT s.dst, r.lvl + 1 FROM reach r JOIN sym s ON s.src = r.id
+          WHERE r.lvl < {depth})""",
+        "lv AS MATERIALIZED (SELECT id, min(lvl) AS lvl FROM reach GROUP BY id)",
+        f"p0 AS (SELECT CAST({root} AS BIGINT) AS id, CAST(0 AS BIGINT) AS pos)",
+    ]
+    for k in range(1, depth + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+          SELECT c.id,
+                 row_number() OVER (ORDER BY c.ppos, deg.d, c.id) - 1
+                   + (SELECT count(*) FROM p{k-1}) AS pos
+          FROM (
+            SELECT e.dst AS id, min(p.pos) AS ppos
+            FROM sym e
+            JOIN lv ps ON ps.id = e.src AND ps.lvl = {k - 1}
+            JOIN lv cs ON cs.id = e.dst AND cs.lvl = {k}
+            JOIN p{k-1} p ON p.id = e.src
+            GROUP BY e.dst) c
+          JOIN deg ON deg.id = c.id)"""
+        )
+        ctes.append(
+            f"p{k} AS (SELECT id, pos FROM p{k-1} UNION ALL SELECT id, pos FROM r{k})"
+        )
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes)
+        + f"""
+        SELECT (SELECT count(*) FROM p{depth}) - 1 - pos AS pos, id
+        FROM p{depth}"""
+    )
 
 
 def _mis_sql(rounds: int = MIS_ROUNDS, seed: int = 42) -> str:

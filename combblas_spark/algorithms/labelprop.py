@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from combblas_spark.runtime.plans import superstep_checkpoint
 from combblas_spark.graph import symmetrize, vertices
 
 
@@ -93,7 +94,7 @@ def label_propagation(
         if runner is not None:
             new_labels = runner.step(r, new_labels)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = superstep_checkpoint(new_labels, r)
         labels = new_labels
         if metrics is not None:
             metrics.append({"iter": r, "t": time.perf_counter()})

@@ -111,3 +111,41 @@ def test_mm_roundtrip(spark, tmp_path):
     assert lines[0].startswith("%%MatrixMarket")
     data = [tuple(map(float, ln.split()[:2])) for ln in lines[3:]]
     assert data == sorted(data)
+
+
+@pytest.mark.skipif(not os.path.exists(BCSSTK), reason="reference data absent")
+def test_rcm_reduces_bandwidth_on_bcsstk01(spark):
+    """RCM-style ordering must substantially reduce the bandwidth of the
+    reference-bundled bcsstk01 stiffness matrix (the operator's whole
+    purpose; RCM.cpp's own demo workload)."""
+    from combblas_spark.algorithms.ordering import rcm_ordering
+    from combblas_spark.operators.indexing import subsref
+    from combblas_spark.operators.reduce import bandwidth
+
+    A, m, n = read_mm(spark, BCSSTK)
+    before = bandwidth(A)
+    assert before == 35
+    perm = rcm_ordering(A)
+    assert perm.count() == 48          # connected: all vertices ordered
+    relabeled = subsref(A, perm, perm)
+    after = bandwidth(relabeled)
+    # matches a sequential Cuthill-McKee oracle on this matrix (27)
+    assert after < before
+    assert after <= 28
+
+
+def test_rcm_known_path(spark):
+    """A path graph ordered from one end gets consecutive positions —
+    bandwidth 1 (the optimal ordering)."""
+    from combblas_spark.algorithms.ordering import rcm_ordering
+    from combblas_spark.operators.indexing import subsref
+    from combblas_spark.operators.reduce import bandwidth
+
+    import pyspark.sql.functions as F
+    # scrambled path: ids not contiguous
+    ids = [0, 7, 3, 9, 4, 8, 2]
+    tr = [(ids[i], ids[i+1], 1.0) for i in range(len(ids)-1)]
+    g = spark.createDataFrame(tr, "src long, dst long, val double")
+    perm = rcm_ordering(g, root=0)
+    relabeled = subsref(g, perm, perm)
+    assert bandwidth(relabeled) == 1
