@@ -121,6 +121,17 @@ def q_spgemm_phased(spark, sf):
     return spgemm_phased(g, g, phases=4).select("src", "dst", F.col("val").alias("c"))
 
 
+def q_spgemm_minplus(spark, sf):
+    """SpGEMM over the MinPlus (tropical) semiring — 2-hop shortest
+    path lengths, the classic non-(+,*) semiring showcase
+    (Semirings.h:236-255)."""
+    from combblas_spark.operators.semiring import MIN_PLUS
+
+    g = events_graph(spark, sf)
+    return spgemm(g, g, MIN_PLUS).select(
+        "src", "dst", F.round("val", 6).alias("d2"))
+
+
 def q_prune_recovery(spark, sf):
     from combblas_spark.operators.reduce import prune_recovery_select
 
@@ -572,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spmv_select2nd_min": q_spmv_select2nd_min,
         "spgemm_aa": q_spgemm_aa,
         "spgemm_phased": q_spgemm_phased,
+        "spgemm_minplus": q_spgemm_minplus,
         "prune_recovery": q_prune_recovery,
         "masked_spgemm": q_masked_spgemm,
         "transpose_rowsums": q_transpose_rowsums,
@@ -735,6 +747,9 @@ def oracle_sql() -> dict[str, str]:
             FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
         "spgemm_phased": f"""{_BASE}
             SELECT a.src, b.dst, sum(a.val * b.val) AS c
+            FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
+        "spgemm_minplus": f"""{_BASE}
+            SELECT a.src, b.dst, ROUND(min(a.val + b.val), 6) AS d2
             FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
         "prune_recovery": f"""{_BASE},
             ann AS (
