@@ -40,11 +40,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # zstd shuffle/spill compression: measured 29% fewer bytes per
-        # PageRank superstep vs lz4 (594 -> 420 MB at RMAT-23) at equal
-        # steady-state walls; on a cluster the shuffle is network-bound,
-        # so fewer bytes is a straight win (BENCH.md byte-count table).
-        .config("spark.io.compression.codec", "zstd")
+        # Compression codec is SCALE-dependent (measured, BENCH.md):
+        # zstd moves 29% fewer bytes/superstep at RMAT-23 (byte-bound —
+        # the 100TB cluster regime, where shuffle crosses the network)
+        # at equal walls, but costs ~20% wall on the small/latency-bound
+        # sf0.1 suite. Default lz4 locally; flip via SPARK_GRAFT_CODEC
+        # or extra_conf — scripts/scaling.py pins zstd for the at-scale
+        # protocol.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_CODEC", "lz4"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
