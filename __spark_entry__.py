@@ -132,6 +132,19 @@ def q_spgemm_minplus(spark, sf):
         "src", "dst", F.round("val", 6).alias("d2"))
 
 
+def q_galerkin(spark, sf):
+    """Galerkin triple product S*A*T (algebraic-multigrid restriction,
+    ReleaseTests/GalerkinNew.cpp:105-106: AT = PSpGEMM(A,T);
+    SAT = PSpGEMM(S,AT)) — two chained SpGEMMs. S/T are deterministic
+    coarsening maps: vertex v -> coarse vertex v DIV 4."""
+    g = events_graph(spark, sf)
+    T = vertices(g).select(
+        F.col("id").alias("src"), F.expr("id DIV 4").alias("dst"),
+        F.lit(1.0).alias("val"))
+    S = T.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "val")
+    return spgemm(S, spgemm(g, T)).select("src", "dst", F.round("val", 6).alias("c"))
+
+
 def q_prune_recovery(spark, sf):
     from combblas_spark.operators.reduce import prune_recovery_select
 
@@ -584,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spgemm_aa": q_spgemm_aa,
         "spgemm_phased": q_spgemm_phased,
         "spgemm_minplus": q_spgemm_minplus,
+        "galerkin": q_galerkin,
         "prune_recovery": q_prune_recovery,
         "masked_spgemm": q_masked_spgemm,
         "transpose_rowsums": q_transpose_rowsums,
@@ -748,6 +762,10 @@ def oracle_sql() -> dict[str, str]:
         "spgemm_phased": f"""{_BASE}
             SELECT a.src, b.dst, sum(a.val * b.val) AS c
             FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
+        "galerkin": f"""{_BASE}
+            SELECT a.src // 4 AS src, a.dst // 4 AS dst,
+                   ROUND(sum(a.val), 6) AS c
+            FROM edges a GROUP BY a.src // 4, a.dst // 4""",
         "spgemm_minplus": f"""{_BASE}
             SELECT a.src, b.dst, ROUND(min(a.val + b.val), 6) AS d2
             FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
