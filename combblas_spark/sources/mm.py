@@ -119,3 +119,46 @@ def write_mm(edges: DataFrame, path: str, nrows: int | None = None,
             with open(part) as fh:
                 shutil.copyfileobj(fh, out)
     shutil.rmtree(tmp)
+
+
+def read_vec(spark: SparkSession, path: str, base: int = 1,
+             combine=None) -> DataFrame:
+    """FullyDistVec/FullyDistSpVec::ParallelRead analogue
+    (FullyDistSpVec.cpp:1209; ReleaseTests/VectorIO.cpp:69): text lines
+    of ``index value`` pairs, ``base``-indexed, duplicate indices
+    combined with ``combine`` (default max — the reference's
+    keep-larger-after-warning lambda). Distributed text scan; returns
+    (id, val) with 0-based ids."""
+    from pyspark.sql import functions as FF
+
+    combine = combine or FF.max
+    txt = (
+        spark.read.text(path).rdd.map(lambda r: r.value.strip())
+        .filter(lambda l: l and not l.startswith("%"))
+        .map(lambda l: (int(l.split()[0]), float(l.split()[1])))
+    )
+    df = spark.createDataFrame(txt, "id long, val double")
+    if base:
+        df = df.select((F.col("id") - base).alias("id"), "val")
+    return df.groupBy("id").agg(combine(F.col("val")).alias("val"))
+
+
+def write_vec(v: DataFrame, path: str, base: int = 1) -> None:
+    """FullyDistVec::ParallelWrite analogue (FullyDistVec.h:95-115):
+    id-ordered ``index value`` lines, single file streamed from
+    range-sorted executor parts (constant driver memory)."""
+    tmp = path + ".parts"
+    (
+        v.orderBy("id")
+        .select(F.concat_ws(
+            " ",
+            (F.col("id") + base).cast("string"),
+            F.col("val").cast("string"),
+        ).alias("value"))
+        .write.mode("overwrite").text(tmp)
+    )
+    with open(path, "w") as out:
+        for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
+            with open(part) as fh:
+                shutil.copyfileobj(fh, out)
+    shutil.rmtree(tmp)

@@ -149,3 +149,22 @@ def test_rcm_known_path(spark):
     perm = rcm_ordering(g, root=0)
     relabeled = subsref(g, perm, perm)
     assert bandwidth(relabeled) == 1
+
+
+def test_vector_io_roundtrip(spark, tmp_path):
+    """read_vec/write_vec: FullyDistVec ParallelRead/Write analogue
+    (VectorIO.cpp) — round-trip identity + duplicate combining."""
+    from combblas_spark.sources.mm import read_vec, write_vec
+
+    v = spark.createDataFrame(
+        [(i, float(i * i % 7)) for i in range(40)], "id long, val double")
+    out = str(tmp_path / "v.txt")
+    write_vec(v, out, base=1)
+    back = read_vec(spark, out, base=1)
+    assert {(r["id"], r["val"]) for r in back.collect()} == \
+           {(r["id"], r["val"]) for r in v.collect()}
+    # duplicate indices combined with max (reference keeps the larger)
+    p = tmp_path / "dups.txt"
+    p.write_text("1 5.0\n1 9.0\n2 3.0\n")
+    got = {r["id"]: r["val"] for r in read_vec(spark, str(p), base=1).collect()}
+    assert got == {0: 9.0, 1: 3.0}
