@@ -71,7 +71,9 @@ def main() -> None:
                          "invocation — keeps each run inside command timeouts)")
     ap.add_argument("--assemble", action="store_true",
                     help="write BENCH.md from accumulated fragments")
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    # NOTE: BENCH.md is hand-curated (ladder + envelope + byte tables);
+    # the assembled fragment table goes to its own file by default.
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_fragments.md"))
     args = ap.parse_args()
     graph = f"rmat:{args.scale}:16"
 
