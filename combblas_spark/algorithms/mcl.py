@@ -67,6 +67,10 @@ def mcl(
     (exact IEEE products, engine-portable — pow() is only ~1ulp and
     would break external-oracle bit parity); non-integer uses pow.
     """
+    if select_k < recover_num:
+        # keeps prune_recovery_select's omission of the reference's
+        # recovery-after-selection pass sound (ParFriends.h:290-330)
+        raise ValueError("select_k must be >= recover_num")
     sym = edges.select("src", "dst", "val").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "val")
     )

@@ -174,7 +174,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = True,
+    use_lsh: bool = False,
     n_tables: int = 4,
     n_planes: int = 6,
     seed: int = 42,
@@ -183,11 +183,15 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
 
-    use_lsh=True (DEFAULT — the scale path) restricts candidates to
-    pairs co-bucketed in >=1 of ``n_tables`` hyperplane tables; exact
-    cosine then verifies each candidate once. use_lsh=False is the
-    exact all-pairs baseline, for small corpora and recall measurement
-    only.
+    The DEFAULT is the EXACT all-pairs path (recall 1.0) so existing
+    callers never silently lose pairs; opt into use_lsh=True — the
+    100-TB scale path — at the call site (as the driver's
+    q_embedding_neardups does). LSH restricts candidates to pairs
+    co-bucketed in >=1 of ``n_tables`` hyperplane tables with exact
+    per-candidate cosine verification; recall < 1 by construction
+    (measured >= 0.7 in tests/test_functions.py). Round 2 briefly
+    flipped the default to LSH — reverted per ADVICE r2 (silent
+    behavior change behind an unchanged signature).
     """
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if use_lsh:

@@ -92,10 +92,22 @@ def prune_recovery_select(
 ) -> DataFrame:
     """Column-wise threshold prune with recovery
     (MCLPruneRecoverySelect, ParFriends.h:186-330): drop entries below
-    ``threshold``; a column that lost more than ``recover_pct`` of its
-    mass (or emptied) is RECOVERED — its top ``recover_num`` original
-    entries are kept instead, so no column vanishes from the Markov
-    matrix. One window rank + per-column mass stats; no driver loop.
+    ``threshold``; a column is RECOVERED — its top ``recover_num``
+    original entries kept instead — when BOTH (a) its kept mass fell
+    below ``recover_pct`` of its pre-prune mass (ParFriends.h:218
+    ``colSums < recoverPct``; the reference compares the raw sum
+    because MCL columns are stochastic — scaling by ``_mass`` makes
+    the same rule work on unnormalized matrices) and (b) its
+    post-prune nnz fell below ``recover_num`` (ParFriends.h:208
+    ``nnzPerColumn < recoverNum``). Round 2 inverted this (recovered
+    only on >90% mass loss, ignored the nnz precondition — ADVICE r2);
+    engine and both DuckDB oracles now carry the reference rule.
+    One window rank + per-column stats; no driver loop.
+
+    The reference's recovery-after-selection pass (ParFriends.h:290-330)
+    is intentionally absent: it can only trigger when select_num <
+    recover_num (selection cuts a column below recover_num), and every
+    caller here keeps select_k >= recover_num (mcl() asserts this).
     """
     w = Window.partitionBy("dst").orderBy(F.col("val").desc(), F.col("src").asc())
     stats = Window.partitionBy("dst")
@@ -106,8 +118,15 @@ def prune_recovery_select(
             "_kept_mass",
             F.sum(F.when(F.col("val") >= threshold, F.col("val")).otherwise(0.0)).over(stats),
         )
+        .withColumn(
+            "_kept_nnz",
+            F.sum(F.when(F.col("val") >= threshold, F.lit(1)).otherwise(F.lit(0))).over(stats),
+        )
     )
-    recovered_col = F.col("_kept_mass") < (1.0 - recover_pct) * F.col("_mass")
+    recovered_col = (
+        (F.col("_kept_mass") < recover_pct * F.col("_mass"))
+        & (F.col("_kept_nnz") < recover_num)
+    )
     return (
         annotated.filter(
             (~recovered_col & (F.col("val") >= threshold))

@@ -70,42 +70,73 @@ def edge_rate_per_window(events: DataFrame, window: str = "1 minute",
 
 # ----------------------------------------------------------- edge table
 # Layout (the Spark-native stand-in for an Iceberg table):
-#   <table>/delta/batch=<id>/   per-micro-batch summed deltas (parquet)
-#   <table>/base/bucket=<k>/    compacted base, hash(src)-bucketed
-#   <table>/_compacted.json     batch ids already absorbed into base
-#                               (written by atomic rename)
+#   <table>/delta/batch=<id>/        per-micro-batch summed deltas
+#   <table>/base/bucket=<k>/v=<n>/   IMMUTABLE per-bucket data versions,
+#                                    hash(src)-bucketed
+#   <table>/_manifest.json           THE commit point (atomic rename):
+#                                    {"batches": absorbed delta ids,
+#                                     "bucket_versions": {k: current n}}
+#   <table>/.stage-*/                compaction staging (GC'd)
 # A replayed micro-batch (foreachBatch is AT-LEAST-once, not exactly-
 # once) rewrites the SAME delta/batch=<id> directory with identical
 # content — idempotent by construction, no read-modify-write anywhere
 # in the hot path. Per-batch cost is O(batch), never O(table).
+#
+# Compaction commits like an Iceberg snapshot: new bucket versions are
+# written to fresh immutable dirs FIRST, then ONE os.replace of the
+# manifest flips readers to {new bucket versions + absorbed ids}
+# simultaneously. A crash anywhere before the rename leaves readers and
+# the next compactor on the old manifest — old bucket data AND
+# still-unabsorbed deltas, so nothing is double-counted (ADVICE r2: the
+# round-2 in-place dynamic-overwrite had a window where base was
+# rewritten but the absorbed-ids file wasn't, and a re-run re-applied
+# folded deltas). Orphan version/stage dirs from crashed attempts are
+# invisible (not in the manifest) and swept by the next compaction.
 
 N_BUCKETS = 32
 
 
-def _compacted_ids(table_path: str) -> set[int]:
+def _load_manifest(table_path: str) -> dict:
     import json
     import os
 
-    p = os.path.join(table_path, "_compacted.json")
+    p = os.path.join(table_path, "_manifest.json")
     if not os.path.exists(p):
-        return set()
+        return {"batches": [], "bucket_versions": {}}
     with open(p) as fh:
-        return set(json.load(fh)["batches"])
+        m = json.load(fh)
+    m.setdefault("batches", [])
+    m.setdefault("bucket_versions", {})
+    return m
+
+
+def _current_bucket_paths(table_path: str, manifest: dict) -> list[str]:
+    import os
+
+    return [
+        os.path.join(table_path, "base", f"bucket={k}", f"v={n}")
+        for k, n in sorted(manifest["bucket_versions"].items(), key=lambda kv: int(kv[0]))
+    ]
 
 
 def read_edge_table(spark: SparkSession, table_path: str) -> DataFrame:
-    """Current (src, dst, val) view: compacted base + unabsorbed deltas,
-    duplicate-summed (the SpParMat-ctor semantics, SpParMat.h:85-86)."""
+    """Current (src, dst, val) view: manifest-selected base bucket
+    versions + unabsorbed deltas, duplicate-summed (the SpParMat-ctor
+    semantics, SpParMat.h:85-86)."""
     import os
 
+    manifest = _load_manifest(table_path)
     parts = []
-    base = os.path.join(table_path, "base")
-    if os.path.exists(base):
-        parts.append(spark.read.parquet(base).select("src", "dst", "val"))
+    cur = _current_bucket_paths(table_path, manifest)
+    if cur:
+        base = os.path.join(table_path, "base")
+        parts.append(
+            spark.read.option("basePath", base).parquet(*cur)
+            .select("src", "dst", "val"))
     delta_root = os.path.join(table_path, "delta")
     if os.path.exists(delta_root) and any(
             d.startswith("batch=") for d in os.listdir(delta_root)):
-        absorbed = _compacted_ids(table_path)
+        absorbed = set(manifest["batches"])
         d = spark.read.option("basePath", delta_root).parquet(delta_root)
         if absorbed:
             d = d.filter(~F.col("batch").isin([int(b) for b in absorbed]))
@@ -119,67 +150,97 @@ def read_edge_table(spark: SparkSession, table_path: str) -> DataFrame:
 
 
 def compact_edge_table(spark: SparkSession, table_path: str) -> int:
-    """Fold outstanding deltas into the bucket-partitioned base,
-    REWRITING ONLY TOUCHED BUCKETS (dynamic partition overwrite) — the
-    maintenance analogue of Iceberg MERGE compaction. Returns the
-    number of batches absorbed.
+    """Fold outstanding deltas into the bucket-versioned base, WRITING
+    ONLY TOUCHED BUCKETS (each to a fresh immutable version dir) and
+    committing with a single atomic manifest rename — the maintenance
+    analogue of an Iceberg MERGE snapshot commit. Returns the number of
+    batches absorbed.
 
-    Crash ordering: base partitions are written first, the absorbed-ids
-    manifest second (atomic rename), delta dirs deleted last. Readers
-    consult the manifest, so a crash between the steps re-reads or
-    re-compacts deltas against the OLD manifest; the residual window —
-    base written but manifest not yet swapped — is the part a real
-    table format's single-commit atomicity closes.
+    Crash-safe at every point: before the manifest rename, readers and
+    re-compactions see the OLD manifest (old bucket versions, deltas
+    still unabsorbed — re-compaction just redoes the same fold into new
+    orphan dirs); after it, the new versions and absorbed ids appear
+    together. Absorbed ids stay in the manifest forever: a stream
+    replay that recreates an absorbed delta dir is ignored and swept.
     """
     import json
     import os
     import shutil
+    import time
 
     delta_root = os.path.join(table_path, "delta")
     if not os.path.exists(delta_root):
         return 0
-    absorbed = _compacted_ids(table_path)
+    manifest = _load_manifest(table_path)
+    absorbed = set(manifest["batches"])
+    versions = dict(manifest["bucket_versions"])
     all_ids = {int(d.split("=", 1)[1]) for d in os.listdir(delta_root)
                if d.startswith("batch=")}
     todo = sorted(all_ids - absorbed)
-    if not todo:
-        return 0
-    # NOTE: absorbed ids stay in the manifest FOREVER — a crash between
-    # compaction and the stream checkpoint commit replays the batch,
-    # recreating its delta dir; the manifest is what marks it already
-    # applied (else it would double-count).
-
-    d = (
-        spark.read.option("basePath", delta_root).parquet(delta_root)
-        .filter(F.col("batch").isin([int(b) for b in todo]))
-        .select("src", "dst", "val", "bucket")
-    )
     base = os.path.join(table_path, "base")
-    touched = [r["bucket"] for r in d.select("bucket").distinct().collect()]
-    merged = d
-    if os.path.exists(base):
-        existing = (
-            spark.read.parquet(base)
-            .filter(F.col("bucket").isin(touched))  # partition-pruned scan
+    if todo:
+        d = (
+            spark.read.option("basePath", delta_root).parquet(delta_root)
+            .filter(F.col("batch").isin([int(b) for b in todo]))
             .select("src", "dst", "val", "bucket")
         )
-        merged = merged.unionByName(existing)
-    (
-        merged.groupBy("src", "dst", "bucket").agg(F.sum("val").alias("val"))
-        .repartition(F.col("bucket"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")  # only touched buckets
-        .partitionBy("bucket")
-        .parquet(base)
-    )
-    tmp = os.path.join(table_path, "._compacted.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"batches": sorted(absorbed | set(todo))}, fh)
-    os.replace(tmp, os.path.join(table_path, "_compacted.json"))
-    # delete every now-absorbed dir, including ones a replay recreated
-    # after an earlier compaction already applied them
-    for b in sorted(all_ids):
+        touched = [int(r["bucket"]) for r in d.select("bucket").distinct().collect()]
+        merged = d
+        cur_touched = [
+            os.path.join(base, f"bucket={k}", f"v={versions[str(k)]}")
+            for k in touched if str(k) in versions
+        ]
+        if cur_touched:
+            existing = (
+                spark.read.option("basePath", base).parquet(*cur_touched)
+                .select("src", "dst", "val", "bucket")
+            )
+            merged = merged.unionByName(existing)
+
+        # 1. write new immutable bucket versions via a staging dir
+        stage = os.path.join(table_path, f".stage-{int(time.time() * 1000)}")
+        (
+            merged.groupBy("src", "dst", "bucket").agg(F.sum("val").alias("val"))
+            .repartition(F.col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+        )
+        for k in touched:
+            bdir = os.path.join(base, f"bucket={k}")
+            os.makedirs(bdir, exist_ok=True)
+            have = [int(v.split("=", 1)[1]) for v in os.listdir(bdir)
+                    if v.startswith("v=")]
+            newv = max(have, default=-1) + 1  # skips orphans from crashes
+            os.replace(os.path.join(stage, f"bucket={k}"),
+                       os.path.join(bdir, f"v={newv}"))
+            versions[str(k)] = newv
+        shutil.rmtree(stage, ignore_errors=True)
+
+        # 2. THE commit: one atomic rename flips versions + absorbed ids
+        tmp = os.path.join(table_path, "._manifest.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"batches": sorted(absorbed | set(todo)),
+                       "bucket_versions": versions}, fh)
+        os.replace(tmp, os.path.join(table_path, "_manifest.json"))
+        absorbed |= set(todo)
+
+    # 3. GC (safe any time after commit; a crash here only leaves
+    # garbage that the next call sweeps): absorbed delta dirs — incl.
+    # ones a replay recreated after an earlier compaction already
+    # applied them — non-current bucket versions, dead staging dirs.
+    for b in sorted(all_ids & absorbed):
         shutil.rmtree(os.path.join(delta_root, f"batch={b}"), ignore_errors=True)
+    if os.path.exists(base):
+        for bd in os.listdir(base):
+            if not bd.startswith("bucket="):
+                continue
+            k = bd.split("=", 1)[1]
+            cur = versions.get(k)
+            for vd in os.listdir(os.path.join(base, bd)):
+                if vd.startswith("v=") and int(vd.split("=", 1)[1]) != cur:
+                    shutil.rmtree(os.path.join(base, bd, vd), ignore_errors=True)
+    for s in os.listdir(table_path):
+        if s.startswith(".stage-"):
+            shutil.rmtree(os.path.join(table_path, s), ignore_errors=True)
     return len(todo)
 
 

@@ -545,3 +545,100 @@ def test_cc_awerbuch_shiloach_equivalent(spark):
     asv = {r["id"]: r["comp"] for r in connected_components_as(g).collect()}
     assert asv == fast
     g.unpersist()
+
+
+# ------------------------------------------------- maximum bipartite matching
+
+def _hopcroft_karp_cardinality(pairs):
+    """Pure-Python Hopcroft-Karp — the test oracle for MAXIMUM matching
+    cardinality (stands in for the reference's BPMaximumMatching.cpp
+    result; scipy is unavailable in this container)."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s, d in pairs:
+        adj[s].append(d)
+    ml, mr = {}, {}
+
+    def bfs():
+        dist, q, found = {}, collections.deque(), False
+        for u in adj:
+            if u not in ml:
+                dist[u] = 0
+                q.append(u)
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                w = mr.get(v)
+                if w is None:
+                    found = True
+                elif w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return dist, found
+
+    def dfs(u, dist):
+        for v in adj[u]:
+            w = mr.get(v)
+            if w is None or (dist.get(w) == dist[u] + 1 and dfs(w, dist)):
+                ml[u], mr[v] = v, u
+                return True
+        dist[u] = None
+        return False
+
+    while True:
+        dist, found = bfs()
+        if not found:
+            return len(ml)
+        for u in list(adj):
+            if u not in ml:
+                dfs(u, dist)
+
+
+def _assert_valid_matching(m, edges):
+    rows = [a for a, _ in m]
+    cols = [b for _, b in m]
+    assert len(rows) == len(set(rows))
+    assert len(cols) == len(set(cols))
+    assert all(p in edges for p in m)
+
+
+def test_maximum_matching_beats_greedy_on_adversarial_chain(spark):
+    """Alternating chain where greedy (given these md5 priorities) can
+    be suboptimal; maximum must reach the Hopcroft-Karp cardinality."""
+    from combblas_spark.algorithms.matching import bipartite_maximum_matching
+
+    pairs = [(0, 0), (1, 0), (1, 1), (2, 1), (2, 2), (3, 2), (3, 3), (4, 3),
+             (5, 5), (6, 5), (6, 6)]
+    g = df_edges(spark, pairs)
+    m = {(r["src"], r["dst"]) for r in bipartite_maximum_matching(g).collect()}
+    _assert_valid_matching(m, set(pairs))
+    assert len(m) == _hopcroft_karp_cardinality(pairs)
+
+
+def test_maximum_matching_rmat_cardinality(spark):
+    """RMAT graph (power-law, isolated+high-degree vertices): matching is
+    valid and its cardinality equals Hopcroft-Karp's optimum."""
+    from combblas_spark.algorithms.matching import (
+        bipartite_maximal_matching, bipartite_maximum_matching)
+
+    g = build_graph(rmat_edges(spark, 8, 8)).persist()
+    pairs = {(r["src"], r["dst"]) for r in g.select("src", "dst").collect()}
+    opt = _hopcroft_karp_cardinality(pairs)
+    m = {(r["src"], r["dst"]) for r in bipartite_maximum_matching(g).collect()}
+    _assert_valid_matching(m, pairs)
+    assert len(m) == opt
+    assert bipartite_maximal_matching(g).count() <= opt
+    g.unpersist()
+
+
+def test_maximum_matching_perfect_on_cycle(spark):
+    """Even cycle as bipartite graph: perfect matching exists."""
+    from combblas_spark.algorithms.matching import bipartite_maximum_matching
+
+    n = 8
+    pairs = [(i, i) for i in range(n)] + [(i, (i + 1) % n) for i in range(n)]
+    g = df_edges(spark, pairs)
+    m = {(r["src"], r["dst"]) for r in bipartite_maximum_matching(g).collect()}
+    _assert_valid_matching(m, set(pairs))
+    assert len(m) == n

@@ -12,6 +12,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import df_edges
 from combblas_spark.sources.mm import read_mm, write_mm
 from combblas_spark.operators.spgemm import spgemm
 
@@ -168,3 +169,66 @@ def test_vector_io_roundtrip(spark, tmp_path):
     p.write_text("1 5.0\n1 9.0\n2 3.0\n")
     got = {r["id"]: r["val"] for r in read_vec(spark, str(p), base=1).collect()}
     assert got == {0: 9.0, 1: 3.0}
+
+
+# ------------------------------------------------- binary triples interchange
+
+def test_bin_roundtrip(spark, tmp_path):
+    """write_bin -> read_bin is lossless (HKDT header, 1-based indices,
+    IEEE doubles) — ParallelBinaryWrite/binary-ReadDistribute analogue
+    (SpParMat.cpp:620, SpParMat.cpp:4224)."""
+    from combblas_spark.sources.bin import read_bin, write_bin
+
+    e = df_edges(spark, [(0, 1, 2.5), (3, 0, -1.0), (7, 7, 0.125),
+                         (2, 5, 1e-9), (5, 2, 3.0)])
+    p = str(tmp_path / "t.bin")
+    write_bin(e, p)
+    back, m, n = read_bin(spark, p)
+    assert (m, n) == (8, 8)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, e.collect()))
+
+
+def test_bin_header_matches_reference_layout(spark, tmp_path):
+    """Byte-level header check against FileHeader.h:52 (ParseHeader):
+    'HKDT' + version=2, objsize=8, format=0, m, n, nnz as LE uint64."""
+    import struct
+
+    from combblas_spark.sources.bin import write_bin
+
+    e = df_edges(spark, [(0, 1, 1.0), (1, 2, 2.0)])
+    p = str(tmp_path / "h.bin")
+    write_bin(e, p)
+    with open(p, "rb") as fh:
+        assert fh.read(4) == b"HKDT"
+        version, objsize, fmt, m, n, nnz = struct.unpack("<6Q", fh.read(48))
+    assert (version, objsize, fmt) == (2, 8, 0)
+    assert (m, n, nnz) == (2, 3, 2)
+    import os
+    assert os.path.getsize(p) == 52 + nnz * 24
+
+
+def test_bin_read_partition_invariant(spark, tmp_path):
+    """Decoding in 1 vs 7 partitions yields the same triples (record
+    ranges are contiguous per batch; no boundary effects)."""
+    from combblas_spark.sources.bin import read_bin, write_bin
+
+    e = df_edges(spark, [(i, (i * 3) % 11, float(i)) for i in range(50)])
+    p = str(tmp_path / "p.bin")
+    write_bin(e, p)
+    a, _, _ = read_bin(spark, p, num_partitions=1)
+    b, _, _ = read_bin(spark, p, num_partitions=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bin_mtx_cross_format(spark, tmp_path):
+    """.mtx -> write_bin -> read_bin equals the original .mtx triples
+    (binary interchange for existing CombBLAS datasets, Mtx2Bin.cpp)."""
+    from combblas_spark.sources.bin import read_bin, write_bin
+    from combblas_spark.sources.mm import read_mm
+
+    e, m, n = read_mm(spark, "/root/reference/ReleaseTests/sevenvertex.mtx")
+    p = str(tmp_path / "x.bin")
+    write_bin(e, p, nrows=m, ncols=n)
+    back, bm, bn = read_bin(spark, p)
+    assert (bm, bn) == (m, n)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, e.collect()))

@@ -394,3 +394,31 @@ def test_prune_recovery_select(spark):
     out = {(r["src"], r["dst"]): r["val"]
            for r in prune_recovery_select(g, threshold=1.0, recover_num=2).collect()}
     assert out == {(0, 0): 5.0, (1, 0): 4.0, (0, 1): 0.3, (1, 1): 0.2}
+
+
+def test_prune_recovery_reference_rule(spark):
+    """ParFriends.h:208-222 rule (ADVICE r2 fix): recover iff kept mass
+    < recover_pct * mass AND post-prune nnz < recover_num — both
+    preconditions, not >90% mass loss alone."""
+    from combblas_spark.operators.reduce import prune_recovery_select
+
+    triples = [
+        # col 0: loses 14% of mass AND drops to 1 < 2 entries -> RECOVER
+        # (round-2 rule would NOT have recovered: kept 5.0 >= 0.1*5.8)
+        (0, 0, 5.0), (1, 0, 0.4), (2, 0, 0.4),
+        # col 1: drops to 1 < 2 entries but keeps 95% of mass -> no recovery
+        (0, 1, 10.0), (1, 1, 0.5),
+        # col 2: keeps only 47% of mass but still 2 >= 2 entries ->
+        # no recovery, plain pruning applies
+        (0, 2, 2.0), (1, 2, 2.0), (2, 2, 0.9), (3, 2, 0.9),
+        (4, 2, 0.9), (5, 2, 0.9),
+    ]
+    g = df_edges(spark, [(s, d, v) for s, d, v in triples])
+    out = {(r["src"], r["dst"]): r["val"]
+           for r in prune_recovery_select(g, threshold=1.0, recover_num=2,
+                                          recover_pct=0.9).collect()}
+    assert out == {
+        (0, 0): 5.0, (1, 0): 0.4,            # recovered top-2
+        (0, 1): 10.0,                        # pruned normally
+        (0, 2): 2.0, (1, 2): 2.0,            # pruned normally, no recovery
+    }

@@ -142,3 +142,63 @@ def test_compaction_rewrites_only_touched_buckets(spark, tmp_path):
     assert got[(0, 1)] == 1.0
     # double compaction is a no-op
     assert compact_edge_table(spark, table) == 0
+
+
+def test_compaction_crash_window_cannot_double_count(spark, tmp_path):
+    """ADVICE r2: a crash AFTER writing new bucket data but BEFORE the
+    manifest commit must leave the logical view unchanged — the next
+    reader/compactor stays on the old manifest, deltas unabsorbed.
+    Simulated by running the data-write phase effects (orphan version
+    dir) without the manifest swap."""
+    nv = 16
+    table = str(tmp_path / "edges")
+
+    def delta(batch_id, rows):
+        df = (
+            spark.createDataFrame(rows, "src long, dst long, val double")
+            .withColumn("bucket", F.pmod(F.hash("src"), F.lit(32)))
+        )
+        df.write.mode("overwrite").parquet(
+            os.path.join(table, "delta", f"batch={batch_id}"))
+
+    delta(0, [(1, 2, 3.0), (4, 5, 1.0)])
+    assert compact_edge_table(spark, table) == 1
+    before = {(r["src"], r["dst"]): r["val"]
+              for r in read_edge_table(spark, table).collect()}
+
+    delta(1, [(1, 2, 2.0)])
+    mid = {(r["src"], r["dst"]): r["val"]
+           for r in read_edge_table(spark, table).collect()}
+    assert mid[(1, 2)] == 5.0
+
+    # simulate a compaction that crashed after writing the folded bucket
+    # but before the manifest rename: an ORPHAN version dir exists
+    import json
+    import shutil
+    man = json.load(open(os.path.join(table, "_manifest.json")))
+    (k, v), = [(k, v) for k, v in man["bucket_versions"].items()
+               if os.path.exists(os.path.join(table, "base", f"bucket={k}"))][:1]
+    bdir = os.path.join(table, "base", f"bucket={k}")
+    shutil.copytree(os.path.join(bdir, f"v={v}"),
+                    os.path.join(bdir, f"v={v + 1}"))  # orphan, not committed
+
+    # readers: unchanged (manifest still points at v, delta 1 unabsorbed)
+    crash = {(r["src"], r["dst"]): r["val"]
+             for r in read_edge_table(spark, table).collect()}
+    assert crash == mid
+
+    # recovery compaction absorbs delta 1 exactly once, skipping the
+    # orphan version number, and the view is still correct
+    assert compact_edge_table(spark, table) == 1
+    after = {(r["src"], r["dst"]): r["val"]
+             for r in read_edge_table(spark, table).collect()}
+    assert after == mid
+    assert after[(4, 5)] == before[(4, 5)] == 1.0
+
+    # replay of an absorbed batch: ignored and swept
+    delta(0, [(1, 2, 3.0), (4, 5, 1.0)])
+    replay = {(r["src"], r["dst"]): r["val"]
+              for r in read_edge_table(spark, table).collect()}
+    assert replay == after
+    assert compact_edge_table(spark, table) == 0
+    assert not os.path.exists(os.path.join(table, "delta", "batch=0"))
