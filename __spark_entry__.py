@@ -501,15 +501,57 @@ def q_events_daily(spark, sf):
 
 # ---------------------------- rows-only (no exact SQL twin; see oracle_sql)
 
+PAGES_N = 300
+
+
 def q_pages_pipeline(spark, sf):
     """HTML->links->dense-id edges over the deterministic synthetic pages
-    table (the north-rule ingestion path; generated in-engine, so no
-    DuckDB twin -> rows-only check)."""
+    table — the north-rule ingestion path end-to-end: HTML generation,
+    Arrow-batched link extraction, URL dictionary (sorted-label ids),
+    dense-id edge multiset. The oracle (_pages_pipeline_sql) re-derives
+    the expected multiset from the same seeded RMAT rule WITHOUT going
+    through Spark, HTML, regexes, or the dictionary join — so a bug in
+    any of those stages breaks the match (VERDICT r2 item 5; was the
+    last no_oracle row)."""
     from combblas_spark.sources.pages import generate_pages, pages_to_edges
 
-    pages = generate_pages(spark, n_pages=300)
+    pages = generate_pages(spark, n_pages=PAGES_N)
     edges, _ = pages_to_edges(pages)
     return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("multiplicity"))
+
+
+def _pages_pipeline_sql(n_pages: int = PAGES_N, n_sites: int = 10,
+                        out_links: int = 4, seed: int = 42) -> str:
+    """Expected pages_pipeline output as a VALUES literal: the link
+    graph of the synthetic pages table equals the seeded RMAT fixture by
+    construction (pages.py:96-117), so the expectation is computable
+    driver-side in numpy from the generator RULE alone — independently
+    of the entire Spark pipeline under test (HTML encode/decode,
+    pandas-UDF extraction, dictionary join, groupBy)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from combblas_spark.sources.pages import _url
+    from combblas_spark.sources.rmat import rmat_pandas
+
+    scale = max(1, (n_pages - 1).bit_length())
+    eids = np.arange(n_pages * out_links, dtype=np.int64)
+    _, dsts = rmat_pandas(eids, scale, seed)
+    dsts = (dsts % n_pages).reshape(n_pages, out_links)
+    url_edges = [
+        (_url(i, n_sites), _url(int(j), n_sites))
+        for i in range(n_pages) for j in dsts[i] if int(j) != i
+    ]
+    labels = sorted({u for e in url_edges for u in e})
+    idx = {u: k for k, u in enumerate(labels)}
+    mult = Counter((idx[a], idx[b]) for a, b in url_edges)
+    rows = ", ".join(f"({s},{d},{c})" for (s, d), c in sorted(mult.items()))
+    return (
+        "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, "
+        "CAST(multiplicity AS BIGINT) AS multiplicity "
+        f"FROM (VALUES {rows}) AS t(src, dst, multiplicity)"
+    )
 
 
 MIS_ROUNDS = 8  # oracle unroll bound; Luby converges in O(log n) rounds
@@ -1070,9 +1112,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
                    count(*) AS n, ROUND(sum(value), 6) AS sum_value
             FROM events GROUP BY window_start, event_type""",
-        # media_features: synthetic binary decode plumbing -> rows-only check.
-        # mcl_clusters / betweenness / pages_pipeline: iterative ->
-        #   rows-only check.
+        # media_features: synthetic binary decode plumbing -> the ONLY
+        # rows-only check left (every other query has an oracle).
     }
     sqls["lsh_topk"] = _lsh_topk_sql()
     sqls["embedding_neardups"] = _embedding_neardups_lsh_sql()
@@ -1081,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["betweenness"] = _betweenness_sql()
     sqls["bipartite_matching"] = _bipartite_matching_sql()
     sqls["maximum_matching"] = _maximum_matching_sql()
+    sqls["pages_pipeline"] = _pages_pipeline_sql()
     # bin round-trip is lossless by construction -> oracle is the edge table
     sqls["bin_roundtrip"] = sqls["graph_edges"]
     sqls["mis"] = _mis_sql()

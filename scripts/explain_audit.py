@@ -45,6 +45,21 @@ def main() -> None:
               ["a", "c"], "left_semi")
         .agg(F.count(F.lit(1)))
     ).explain("formatted")
+
+    print("=== 4. id-dictionary (ReadGeneralizedTuples path): Python-free ===")
+    from combblas_spark.graph import relabel_to_dense_ids
+
+    e = spark.createDataFrame(
+        [(f"u{i}", f"u{(i * 7) % 50}") for i in range(200)],
+        "src_url string, dst_url string")
+    _, d = relabel_to_dense_ids(e)
+    d.explain("formatted")
+    lineage = d._jdf.queryExecution().toRdd().toDebugString()
+    assert "PythonRDD" not in lineage, "PythonRDD in dictionary lineage"
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert all(m not in plan for m in
+               ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))
+    print("dictionary plan + lineage: PYTHON-FREE (asserted)")
     spark.stop()
 
 

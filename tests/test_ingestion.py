@@ -90,3 +90,36 @@ def test_relabel_deterministic(spark):
     assert lookup == {"a": 0, "b": 1, "c": 2}  # sorted-label order
     got = {(r["src"], r["dst"]) for r in edges.collect()}
     assert got == {(1, 0), (2, 0), (0, 1)}
+
+
+def test_relabel_dictionary_plan_is_python_free(spark):
+    """The label->id dictionary (ReadGeneralizedTuples analogue) is the
+    mandated 100-TB ingestion path: its physical plan must contain no
+    Python evaluation node (VERDICT r2 — the round-2 RDD zipWithIndex
+    pickled every row through a Python worker)."""
+    e = spark.createDataFrame(
+        [(f"u{i}", f"u{(i * 7) % 50}") for i in range(200)],
+        "src_url string, dst_url string")
+    _, d = relabel_to_dense_ids(e)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python stage in dictionary plan:\n{plan}"
+    # the physical plan's checkpoint leaf prints as Scan ExistingRDD for
+    # JVM and Python RDDs alike — the JVM lineage is where a Python
+    # stage would actually show (PythonRDD)
+    lineage = d._jdf.queryExecution().toRdd().toDebugString()
+    assert "PythonRDD" not in lineage, f"PythonRDD in lineage:\n{lineage}"
+
+
+def test_relabel_parallelism_invariant(spark):
+    """Same label->id mapping regardless of input partitioning (the
+    checkpointed sort pins partition boundaries between the count pass
+    and the offset pass)."""
+    rows = [(f"u{(i * 13) % 97}", f"u{(i * 29) % 97}") for i in range(300)]
+    e = spark.createDataFrame(rows, "src_url string, dst_url string")
+    _, d1 = relabel_to_dense_ids(e.repartition(1))
+    _, d17 = relabel_to_dense_ids(e.repartition(17))
+    m1 = {r["label"]: r["id"] for r in d1.collect()}
+    m17 = {r["label"]: r["id"] for r in d17.collect()}
+    assert m1 == m17
+    assert sorted(m1.values()) == list(range(len(m1)))
