@@ -632,6 +632,24 @@ def q_maximum_matching(spark, sf):
         g, max_phases=MAXM_PHASES, max_depth=MAXM_DEPTH).select("src", "dst")
 
 
+AWPM_ROUNDS = 4  # fixed round count so the oracle unrolls exactly;
+                 # convergence-to-fixpoint is pytest-verified
+
+
+def q_awpm(spark, sf):
+    """Approximate-weight perfect matching (AWPM / TwoThirdApprox,
+    ApproxWeightPerfectMatching.h:794): maximum-cardinality init +
+    4 locally-dominant weight-augmenting 2-flip rounds, fully
+    deterministic; the oracle unrolls the identical rounds. The 2/3
+    weight bound vs brute-force optimum is pytest-verified."""
+    from combblas_spark.algorithms.matching import approx_weight_perfect_matching
+
+    g = events_graph(spark, sf)
+    return approx_weight_perfect_matching(
+        g, max_rounds=AWPM_ROUNDS, max_card_phases=MAXM_PHASES,
+    ).select("src", "dst")
+
+
 def q_bin_roundtrip(spark, sf):
     """CombBLAS binary-triples interchange (ParallelBinaryWrite
     SpParMat.cpp:620 / binary ReadDistribute SpParMat.cpp:4224):
@@ -685,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "bipartite_matching": q_bipartite_matching,
         "maximum_matching": q_maximum_matching,
+        "awpm": q_awpm,
         "lsh_topk": q_lsh_topk,
         "simhash_neardups": q_simhash_neardups,
         "events_daily": q_events_daily,
@@ -731,9 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_degree_ewise": q_total_degree_ewise,
         "transpose_rowsums": q_transpose_rowsums,
         "pointer_jump": q_pointer_jump,
-        "kselect_top2": q_kselect_top2,
         # --- 4. long-stable basics (outside the 50-row window;
         #        green r01+r02, pytest-covered) -------------------------
+        "kselect_top2": q_kselect_top2,
         "kth_value": q_kth_value,
         "vector_assign": q_vector_assign,
         "subsref": q_subsref,
@@ -1122,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["betweenness"] = _betweenness_sql()
     sqls["bipartite_matching"] = _bipartite_matching_sql()
     sqls["maximum_matching"] = _maximum_matching_sql()
+    sqls["awpm"] = _awpm_sql(AWPM_ROUNDS)
     sqls["pages_pipeline"] = _pages_pipeline_sql()
     # bin round-trip is lossless by construction -> oracle is the edge table
     sqls["bin_roundtrip"] = sqls["graph_edges"]
@@ -1332,8 +1352,8 @@ def _bipartite_matching_sql(rounds: int = BPM_ROUNDS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst FROM {final}"
 
 
-def _maximum_matching_sql(phases: int = MAXM_PHASES, depth: int = MAXM_DEPTH,
-                          init_rounds: int = BPM_ROUNDS) -> str:
+def _maximum_matching_ctes(phases: int = MAXM_PHASES, depth: int = MAXM_DEPTH,
+                           init_rounds: int = BPM_ROUNDS) -> tuple[list, str]:
     """DuckDB twin of algorithms.matching.bipartite_maximum_matching:
     the unrolled greedy init, then ``phases`` unrolled augmenting
     phases. Per phase p (matching mm{p-1}):
@@ -1346,7 +1366,8 @@ def _maximum_matching_sql(phases: int = MAXM_PHASES, depth: int = MAXM_DEPTH,
       (parent edges) / remove (matched edges) sets; mm{p} applies the
       flip. Phases/levels past convergence are empty no-ops, so the
       unroll bound only needs to be >= the converged counts
-      (engine runs the SAME bounded phase/depth parameters)."""
+      (engine runs the SAME bounded phase/depth parameters).
+    Returns (ctes, final_matching_cte); needs no pre-existing CTEs."""
     ctes, init_final = _maximal_matching_ctes(init_rounds)
     ctes = [f"edges AS MATERIALIZED ({EDGES})",
             "ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)"] + ctes
@@ -1412,7 +1433,70 @@ def _maximum_matching_sql(phases: int = MAXM_PHASES, depth: int = MAXM_DEPTH,
           WHERE NOT EXISTS (SELECT 1 FROM rems{p} r
                             WHERE r.src = m.src AND r.dst = m.dst)
           UNION ALL SELECT src, dst FROM adds{p})""")
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst FROM mm{phases}"
+    return ctes, f"mm{phases}"
+
+
+def _maximum_matching_sql(phases: int = MAXM_PHASES,
+                          depth: int = MAXM_DEPTH) -> str:
+    ctes, final = _maximum_matching_ctes(phases, depth)
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst FROM {final}"
+
+
+def _awpm_sql(rounds: int = 4, phases: int = MAXM_PHASES,
+              depth: int = MAXM_DEPTH) -> str:
+    """DuckDB twin of algorithms.matching.approx_weight_perfect_matching
+    at a FIXED round count: maximum-cardinality unroll, then ``rounds``
+    unrolled locally-dominant 2-flip rounds. Every round is fully
+    deterministic (gain desc / partner-id asc tie-breaks; events-graph
+    weights are integer counts, so gains compare exactly in IEEE)."""
+    ctes, mm_final = _maximum_matching_ctes(phases, depth)
+    ctes.append("wt AS MATERIALIZED (SELECT src, dst, max(val) AS w "
+                "FROM edges GROUP BY src, dst)")
+    ctes.append(
+        f"""a0 AS MATERIALIZED (
+          SELECT m.src, m.dst, wt.w FROM {mm_final} m
+          JOIN wt ON wt.src = m.src AND wt.dst = m.dst)""")
+    for r in range(1, rounds + 1):
+        p = f"a{r-1}"
+        ctes.append(
+            f"""cand{r} AS MATERIALIZED (
+          SELECT mi.i, mi.mi, mi.wi, ej.j, ej.mj, ej.wj,
+                 ei.w_imj, er.w_jmi,
+                 ei.w_imj + er.w_jmi - mi.wi - ej.wj AS gain
+          FROM (SELECT src AS i, dst AS mj, w AS w_imj FROM wt) ei
+          JOIN (SELECT src AS i, dst AS mi, w AS wi FROM {p}) mi
+            ON mi.i = ei.i
+          JOIN (SELECT src AS j, dst AS mj, w AS wj FROM {p}) ej
+            ON ej.mj = ei.mj
+          JOIN (SELECT src AS j, dst AS mi, w AS w_jmi FROM wt) er
+            ON er.j = ej.j AND er.mi = mi.mi
+          WHERE mi.i <> ej.j
+            AND ei.w_imj + er.w_jmi - mi.wi - ej.wj > 1e-12)""")
+        ctes.append(
+            f"""bi{r} AS (SELECT i, j FROM (
+          SELECT i, j, row_number() OVER (
+            PARTITION BY i ORDER BY gain DESC, j) AS rn FROM cand{r})
+          WHERE rn = 1)""")
+        ctes.append(
+            f"""bj{r} AS (SELECT i, j FROM (
+          SELECT i, j, row_number() OVER (
+            PARTITION BY j ORDER BY gain DESC, i) AS rn FROM cand{r})
+          WHERE rn = 1)""")
+        ctes.append(
+            f"""sw{r} AS MATERIALIZED (
+          SELECT c.* FROM cand{r} c
+          JOIN bi{r} ON bi{r}.i = c.i AND bi{r}.j = c.j
+          JOIN bj{r} ON bj{r}.i = c.i AND bj{r}.j = c.j
+          WHERE c.i < c.j)""")
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+          SELECT src, dst, w FROM {p} m
+          WHERE NOT EXISTS (SELECT 1 FROM sw{r} s
+                            WHERE (s.i = m.src AND s.mi = m.dst)
+                               OR (s.j = m.src AND s.mj = m.dst))
+          UNION ALL SELECT i, mj, w_imj FROM sw{r}
+          UNION ALL SELECT j, mi, w_jmi FROM sw{r})""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst FROM a{rounds}"
 
 
 def _betweenness_sql(n_roots: int = BC_ROOTS, depth: int = BC_DEPTH) -> str:

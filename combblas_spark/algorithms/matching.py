@@ -100,7 +100,12 @@ def bipartite_maximum_matching(
                 steps traverse the unique MATCHED edge col->row. Each
                 column is visited once per phase and records
                 (parent row, tree root) — parent = min adjacent frontier
-                row, so the forest is deterministic.
+                row, so the forest is deterministic. The BFS runs to
+                frontier exhaustion (not first-endpoint-level stop:
+                measured on RMAT-8, stopping early cut per-phase work
+                but multiplied the PHASE count — every tree whose
+                shortest path was longer got deferred — for a >2x
+                net wall regression).
       select  : per tree root, ONE reached free column (min by
                 (level, id)). Trees partition the visited vertices, so
                 the selected augmenting paths are vertex-disjoint by
@@ -124,7 +129,12 @@ def bipartite_maximum_matching(
     e = edges.select("src", "dst").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
 
-    matching = bipartite_maximal_matching(e).localCheckpoint(eager=True)
+    matching = superstep_checkpoint(bipartite_maximal_matching(e), 0)
+    _step = [0]
+
+    def _ck(df):
+        _step[0] += 1
+        return superstep_checkpoint(df, _step[0])
 
     phase = 0
     while max_phases is None or phase < max_phases:
@@ -134,8 +144,8 @@ def bipartite_maximum_matching(
         roots = (
             e.select("src").distinct().join(m_src, "src", "left_anti")
             .select(F.col("src").alias("id"), F.col("src").alias("root"))
-            .localCheckpoint(eager=True)
         )
+        roots = _ck(roots)
         if roots.isEmpty():
             break
 
@@ -156,33 +166,34 @@ def bipartite_maximum_matching(
                 .groupBy("dst")
                 .agg(F.min("src").alias("psrc"), F.min_by("root", "src").alias("root"))
                 .withColumn("lvl", F.lit(t))
-                .localCheckpoint(eager=True)
             )
+            new_d = _ck(new_d)
             if new_d.isEmpty():
                 break
-            visited_d = visited_d.unionByName(new_d.select("dst")).localCheckpoint(eager=True)
-            parent_d = parent_d.unionByName(new_d).localCheckpoint(eager=True)
-            free_d = new_d.join(m_dst, "dst", "left_anti")
-            endpoints = endpoints.unionByName(free_d).localCheckpoint(eager=True)
+            # unions of already-checkpointed leaves: shallow lineage,
+            # no materialization needed (job-count matters — each eager
+            # checkpoint is a Spark job, and phases run O(depth) levels)
+            visited_d = visited_d.unionByName(new_d.select("dst"))
+            parent_d = parent_d.unionByName(new_d)
+            endpoints = endpoints.unionByName(new_d.join(m_dst, "dst", "left_anti"))
             # even step: matched columns -> their matched row (forced edge)
-            frontier = (
+            frontier = _ck(
                 new_d.join(m_of_dst, "dst")
                 .select(F.col("msrc").alias("id"), "root")
-                .localCheckpoint(eager=True)
             )
             if frontier.isEmpty():
                 break
 
         if endpoints.isEmpty():
-            break  # no augmenting path anywhere -> maximum
+            break  # BFS exhausted without a free column -> maximum
 
         # one endpoint per tree: min (lvl, dst)
         chosen = (
             endpoints.groupBy("root")
             .agg(F.min_by(F.struct("lvl", "dst", "psrc"), F.struct("lvl", "dst")).alias("c"))
             .select("root", F.col("c.dst").alias("dst"), F.col("c.lvl").alias("lvl"))
-            .localCheckpoint(eager=True)
         )
+        chosen = _ck(chosen)
         n_aug = chosen.count()
         if metrics is not None:
             metrics.append({"phase": phase, "augmented": n_aug})
@@ -192,24 +203,135 @@ def bipartite_maximum_matching(
         adds = spark.createDataFrame([], "src long, dst long")
         removes = spark.createDataFrame([], "src long, dst long")
         while not cur.isEmpty():
-            step = cur.join(parent_d.select("dst", "psrc", F.col("lvl").alias("_plvl")), "dst")
+            step = cur.join(
+                parent_d.select("dst", "psrc", F.col("lvl").alias("_plvl")), "dst"
+            )
+            step = _ck(step)  # one job; adds/removes/cur derive
             adds = adds.unionByName(
-                step.select(F.col("psrc").alias("src"), "dst")).localCheckpoint(eager=True)
-            deeper = step.filter(F.col("_plvl") > 1)
-            back = deeper.join(m_of_src.withColumnRenamed("src", "psrc"), "psrc")
+                step.select(F.col("psrc").alias("src"), "dst"))
+            back = (
+                step.filter(F.col("_plvl") > 1)
+                .join(m_of_src.withColumnRenamed("src", "psrc"), "psrc")
+            )
             removes = removes.unionByName(
-                back.select(F.col("psrc").alias("src"), F.col("mdst").alias("dst"))
-            ).localCheckpoint(eager=True)
+                back.select(F.col("psrc").alias("src"), F.col("mdst").alias("dst")))
             cur = back.select(
-                "root", F.col("mdst").alias("dst"), (F.col("_plvl") - 2).alias("lvl")
-            ).localCheckpoint(eager=True)
+                "root", F.col("mdst").alias("dst"), (F.col("_plvl") - 2).alias("lvl"))
 
-        matching = (
+        matching = _ck(
             matching.join(removes, ["src", "dst"], "left_anti")
             .unionByName(adds)
-            .localCheckpoint(eager=True)
         )
         phase += 1
 
     e.unpersist()
     return matching
+
+
+def approx_weight_perfect_matching(
+    edges: DataFrame,
+    max_rounds: int = 16,
+    max_card_phases: int | None = None,
+    metrics: list | None = None,
+) -> DataFrame:
+    """Approximate maximum-WEIGHT matching of maximum cardinality —
+    the reference's AWPM / TwoThirdApprox
+    (BipartiteMatchings/ApproxWeightPerfectMatching.h:794,
+    ApproxWeightPerfectMatching.cpp:184): start from a maximum-
+    cardinality matching, then repeatedly improve total weight with
+    weight-augmenting 4-cycles ("2-flips": matched pairs (i,mi),(j,mj)
+    swap to (i,mj),(j,mi) when both cross edges exist and gain > 0).
+    A 4-cycle-local-optimum is a 2/3-approximation of the optimal
+    perfect matching weight (Pettie & Sanders; the bound the reference
+    names this routine after).
+
+    Spark form, per round (all deterministic, hence SQL-unrollable):
+
+      candidates : cross-edge join — for every edge (i, mj) between a
+                   matched row i and a column matched to j != i, join
+                   the reverse cross edge (j, mi); gain = w(i,mj) +
+                   w(j,mi) - w(i,mi) - w(j,mj) > 0. Edge-sized joins on
+                   matched keys, never all-pairs.
+      dominant   : each swap involves exactly two matched edges; keep
+                   swaps that are the arg-max gain (ties: partner id)
+                   for BOTH sides — the locally-dominant set is
+                   conflict-free by construction, so all its swaps
+                   apply in parallel (same role as the reference's
+                   phase-wise conflict resolution, .h:555-758).
+      apply      : drop the two old matched edges, insert the two new.
+
+    Rounds stop when no positive-gain dominant swap remains. Weight is
+    monotone non-decreasing and cardinality is preserved exactly.
+    Returns matched (src, dst) pairs (weights re-joinable from edges).
+    """
+    w = edges.groupBy("src", "dst").agg(F.max("val").alias("w")) \
+        if "val" in edges.columns else \
+        edges.select("src", "dst").distinct().withColumn("w", F.lit(1.0))
+    w = w.persist(StorageLevel.MEMORY_AND_DISK)
+    w.count()
+
+    matching = bipartite_maximum_matching(
+        w.select("src", "dst"), max_phases=max_card_phases)
+    m = superstep_checkpoint(
+        matching.join(w, ["src", "dst"]).select("src", "dst", "w"), 0)
+
+    for rnd in range(max_rounds):
+        mi = m.select(F.col("src").alias("i"), F.col("dst").alias("mi"),
+                      F.col("w").alias("wi"))
+        mj = m.select(F.col("src").alias("j"), F.col("dst").alias("mj"),
+                      F.col("w").alias("wj"))
+        # cross edge (i, mj) with i != j, plus reverse cross edge (j, mi)
+        cand = (
+            w.select(F.col("src").alias("i"), F.col("dst").alias("mj"),
+                     F.col("w").alias("w_imj"))
+            .join(mi, "i").join(mj, "mj")
+            .filter(F.col("i") != F.col("j"))
+            .join(
+                w.select(F.col("src").alias("j"), F.col("dst").alias("mi"),
+                         F.col("w").alias("w_jmi")),
+                ["j", "mi"],
+            )
+            .withColumn("gain",
+                        F.col("w_imj") + F.col("w_jmi")
+                        - F.col("wi") - F.col("wj"))
+            .filter(F.col("gain") > 1e-12)
+        )
+        # dominant: best swap per i AND per j (ties by partner id)
+        best_i = cand.groupBy("i").agg(
+            F.min_by(F.struct("j", "gain"), F.struct(-F.col("gain"), F.col("j"))).alias("b")
+        ).select("i", F.col("b.j").alias("j"))
+        best_j = cand.groupBy("j").agg(
+            F.min_by(F.struct("i", "gain"), F.struct(-F.col("gain"), F.col("i"))).alias("b")
+        ).select(F.col("b.i").alias("i"), "j")
+        swaps = (
+            cand.join(best_i, ["i", "j"], "left_semi")
+            .join(best_j, ["i", "j"], "left_semi")
+            .filter(F.col("i") < F.col("j"))  # each cycle once
+        )
+        swaps = superstep_checkpoint(swaps, 2 * rnd + 1)
+        stats = swaps.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("gain").alias("g")).collect()[0]
+        n_swaps = stats["n"]
+        if metrics is not None:
+            metrics.append({"round": rnd, "swaps": n_swaps,
+                            "gain": stats["g"] or 0.0})
+        if n_swaps == 0:
+            break
+        old = (
+            swaps.select(F.col("i").alias("src"), F.col("mi").alias("dst"))
+            .unionByName(swaps.select(F.col("j").alias("src"),
+                                      F.col("mj").alias("dst")))
+        )
+        new = (
+            swaps.select(F.col("i").alias("src"), F.col("mj").alias("dst"),
+                         F.col("w_imj").alias("w"))
+            .unionByName(swaps.select(F.col("j").alias("src"),
+                                      F.col("mi").alias("dst"),
+                                      F.col("w_jmi").alias("w")))
+        )
+        m = superstep_checkpoint(
+            m.join(old, ["src", "dst"], "left_anti").unionByName(new),
+            2 * rnd + 2)
+
+    w.unpersist()
+    return m.select("src", "dst")

@@ -144,6 +144,57 @@ def mcl(
     return comps.select("id", F.col("comp").alias("cluster"))
 
 
+def write_mcl_clusters(clusters: DataFrame, path: str,
+                       labels: DataFrame | None = None, base: int = 0) -> int:
+    """MCL-style labeled cluster output (Applications/WriteMCLClusters.h:
+    45 labeled / :149 id+base variants): one line per cluster listing
+    its members (labels if given, else ids+base), clusters renumbered
+    contiguously. Members are sorted within a line and lines stream to
+    the file in cluster order with constant driver memory (the
+    SaveGathered shape, like sources.mm.write_vec). Returns #clusters.
+
+    Renumbering uses the same JVM-only zip_with_index as the id
+    dictionary; a cluster's line is one row, so line width is bounded
+    by the largest cluster — the format's own constraint, as in the
+    reference (it gathers each cluster onto its owner process).
+    ``clusters``: (id, cluster); ``labels``: (id, label) optional.
+    """
+    import glob
+    import os
+    import shutil
+
+    from combblas_spark.operators.indexing import zip_with_index
+
+    c = clusters.select("id", "cluster")
+    if labels is not None:
+        c = (
+            c.join(labels.select("id", "label"), "id")
+            .select(F.col("label").alias("member"), "cluster")
+        )
+    else:
+        c = c.select((F.col("id") + base).cast("string").alias("member"), "cluster")
+    dense = zip_with_index(
+        c.select("cluster").distinct(), [F.col("cluster").asc()],
+        ["cluster"], pos_col="cidx")
+    lines = (
+        c.join(dense, "cluster")
+        .groupBy("cidx")
+        .agg(F.array_join(F.array_sort(F.collect_list("member")), "\t").alias("line"))
+    )
+    n = dense.count()
+    tmp = path + ".parts"
+    (
+        lines.orderBy("cidx").select("line")
+        .write.mode("overwrite").text(tmp)
+    )
+    with open(path, "w") as out:
+        for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
+            with open(part) as fh:
+                shutil.copyfileobj(fh, out)
+    shutil.rmtree(tmp)
+    return n
+
+
 def mcl_incremental(
     edges: DataFrame,
     prev_clusters: DataFrame,

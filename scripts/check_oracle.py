@@ -51,6 +51,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = entrymod.queries()
+    n_or = len(entrymod.oracle_sql())
+    print(f"registry: {len(qs)} queries, {n_or} oracled, "
+          f"{len(qs) - n_or} rows-only "
+          f"({', '.join(k for k in qs if k not in entrymod.oracle_sql())})")
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():

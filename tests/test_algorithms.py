@@ -642,3 +642,99 @@ def test_maximum_matching_perfect_on_cycle(spark):
     m = {(r["src"], r["dst"]) for r in bipartite_maximum_matching(g).collect()}
     _assert_valid_matching(m, set(pairs))
     assert len(m) == n
+
+
+# ------------------------------------- approx-weight perfect matching (AWPM)
+
+def _brute_best_weight(pw):
+    """Max weight over maximum-cardinality matchings (exponential; tiny
+    fixtures only) — the AWPM test oracle, standing in for the optimum
+    the reference's TwoThirdApprox is measured against."""
+    lefts = sorted({s for s, _ in pw})
+    rights = sorted({d for _, d in pw})
+    best = [0, 0.0]
+
+    def rec(i, used, card, wsum):
+        if i == len(lefts):
+            if card > best[0] or (card == best[0] and wsum > best[1]):
+                best[0], best[1] = card, wsum
+            return
+        rec(i + 1, used, card, wsum)
+        for r in rights:
+            if r not in used and (lefts[i], r) in pw:
+                rec(i + 1, used | {r}, card + 1, wsum + pw[(lefts[i], r)])
+
+    rec(0, frozenset(), 0, 0.0)
+    return best[0], best[1]
+
+
+def test_awpm_two_thirds_bound_random(spark):
+    """Valid matching, maximum cardinality, weight >= 2/3 of the optimal
+    max-cardinality matching weight (TwoThirdApprox's guarantee,
+    ApproxWeightPerfectMatching.h:794) on seeded random weighted
+    bipartite graphs."""
+    import random
+
+    from combblas_spark.algorithms.matching import approx_weight_perfect_matching
+
+    rng = random.Random(7)
+    for _ in range(2):
+        n = rng.randint(4, 5)
+        pw = {(s, d): round(rng.uniform(0.1, 10.0), 3)
+              for s in range(n) for d in range(n) if rng.random() < 0.7}
+        if not pw:
+            continue
+        g = df_edges(spark, [(s, d, w) for (s, d), w in pw.items()])
+        m = [(r["src"], r["dst"])
+             for r in approx_weight_perfect_matching(g).collect()]
+        _assert_valid_matching(set(m), set(pw))
+        card, opt = _brute_best_weight(pw)
+        assert len(m) == card
+        assert sum(pw[p] for p in m) >= (2.0 / 3.0) * opt - 1e-9
+
+
+def test_awpm_finds_heavy_swap(spark):
+    """2x2 where the cardinality phase can pick the light diagonal: the
+    2-flip round must swap to the heavy one."""
+    from combblas_spark.algorithms.matching import approx_weight_perfect_matching
+
+    pw = {(0, 0): 1.0, (0, 1): 10.0, (1, 0): 10.0, (1, 1): 1.0}
+    g = df_edges(spark, [(s, d, w) for (s, d), w in pw.items()])
+    m = {(r["src"], r["dst"])
+         for r in approx_weight_perfect_matching(g).collect()}
+    assert m == {(0, 1), (1, 0)}
+
+
+def test_awpm_weight_monotone_rounds(spark):
+    """Each improvement round must strictly raise total weight, and the
+    loop must terminate at a fixpoint (no positive-gain dominant swap)."""
+    from combblas_spark.algorithms.matching import approx_weight_perfect_matching
+
+    raw = build_graph(rmat_edges(spark, 6, 6))
+    met = []
+    m = approx_weight_perfect_matching(raw, metrics=met)
+    m.count()
+    gains = [r["gain"] for r in met]
+    assert all(g > 0 for g in gains[:-1] if gains)  # improving rounds
+    if met:
+        assert met[-1]["swaps"] == 0  # terminated at fixpoint
+
+
+def test_write_mcl_clusters_format(spark, tmp_path):
+    """WriteMCLClusters.h output: one line per cluster, members sorted,
+    clusters in contiguous renumbered order; labeled + id variants."""
+    from combblas_spark.algorithms.mcl import write_mcl_clusters
+
+    cl = spark.createDataFrame(
+        [(0, 0), (3, 0), (1, 1), (5, 1), (4, 1), (9, 9)], "id long, cluster long")
+    p = str(tmp_path / "c.out")
+    n = write_mcl_clusters(cl, p, base=1)
+    assert n == 3
+    assert open(p).read().splitlines() == ["1\t4", "2\t5\t6", "10"]
+
+    labels = spark.createDataFrame(
+        [(0, "a"), (3, "d"), (1, "b"), (5, "f"), (4, "e"), (9, "j")],
+        "id long, label string")
+    p2 = str(tmp_path / "cl.out")
+    assert write_mcl_clusters(cl, p2, labels=labels) == 3
+    assert open(p2).read().splitlines() == ["a\td", "b\te\tf", "j"]
