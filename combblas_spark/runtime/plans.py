@@ -60,16 +60,25 @@ def _warn_fallback(what: str, err: Exception) -> None:
         )
 
 
+HUGE_STATS_BITS = 1 << 30
+
+
 def plan_stats_bits(df: DataFrame) -> int:
     """Bit length of the optimized plan's sizeInBytes estimate, or -1 if
-    the (private) API is unavailable. bitLength() is a Java int, so this
-    is safe to call even when the BigInteger has thousands of digits —
-    converting the VALUE through py4j is not (int-conversion cap)."""
+    the (private) API is unavailable.
+
+    py4j auto-converts the Scala BigInt to a Python int via a decimal
+    string, which CPython caps at 4300 digits (~14281 bits) — a
+    ValueError here therefore IS the blowup signal (measured: one
+    superstep can jump 5.5k -> 16.7k bits, leaping the parse limit in
+    a single step), reported as HUGE_STATS_BITS so the caller resets
+    unconditionally. Only non-ValueError failures mean the API itself
+    is unavailable (warned once, cadence fallback)."""
     try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats()
-            .sizeInBytes().bitLength()
-        )
+        v = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(v).bit_length()
+    except ValueError:
+        return HUGE_STATS_BITS
     except Exception as e:  # pragma: no cover - private-API guard
         _warn_fallback("plan_stats_bits", e)
         return -1

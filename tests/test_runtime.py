@@ -129,3 +129,39 @@ def test_labelprop_resume_exact(spark, graph, tmp_path):
     resumed = {r["id"]: r["label"]
                for r in label_propagation(graph, n_rounds=4, runner=r2).collect()}
     assert resumed == full
+
+
+def test_superstep_checkpoint_bounds_plan_stats(spark):
+    """The exponential-Catalyst-stats repro (BENCH.md round-2 discovery):
+    a double-self-join loop multiplies inherited sizeInBytes DIGITS per
+    superstep. superstep_checkpoint must keep the bit-length bounded
+    (conditional reset), while raw localCheckpoint lets it grow."""
+    from pyspark.sql import functions as F
+
+    from combblas_spark.runtime.plans import (
+        STATS_RESET_BITS, plan_stats_bits, superstep_checkpoint)
+
+    def step(df):
+        a = df.select(F.col("id"), (F.col("v") + 1).alias("v"))
+        b = df.select(F.col("id"), F.col("v").alias("w"))
+        return (
+            a.join(b, "id").join(b.withColumnRenamed("w", "u"), "id")
+            .select("id", (F.col("v") + F.col("w") + F.col("u")).alias("v"))
+        )
+
+    state = spark.range(33).select("id", F.lit(0.0).alias("v"))
+    raw_bits, managed_bits = [], []
+    raw = state
+    for it in range(6):
+        raw = step(raw).localCheckpoint(eager=True)
+        raw_bits.append(plan_stats_bits(raw))
+    managed = state
+    for it in range(10):
+        managed = superstep_checkpoint(step(managed), it)
+        managed_bits.append(plan_stats_bits(managed))
+
+    assert raw_bits[-1] > raw_bits[0] * 8      # the blowup is real
+    # conditional reset: bounded by one superstep's growth past the gate
+    assert max(managed_bits) <= STATS_RESET_BITS * 16
+    assert managed_bits[-1] < raw_bits[-1]
+    assert raw.count() == 33 and managed.count() == 33
