@@ -408,6 +408,19 @@ def q_rcm(spark, sf):
     return rcm_ordering(g, root=0).select("pos", "id")
 
 
+MD_ROUNDS = 3  # bounded multiple-elimination rounds (oracle unroll bound)
+
+
+def q_min_degree(spark, sf):
+    """Fill-reducing minimum-degree ordering (Ordering/MD.cpp analogue)
+    — Liu-style multiple elimination, bounded to MD_ROUNDS rounds with a
+    deterministic (degree, id) tail so the oracle unrolls exactly."""
+    from combblas_spark.algorithms.ordering import min_degree_ordering
+
+    g = events_graph(spark, sf)
+    return min_degree_ordering(g, rounds=MD_ROUNDS).select("pos", "id")
+
+
 def q_salted_spmv(spark, sf):
     g = events_graph(spark, sf)
     x = reduce_dim(g, "row", F.count)
@@ -712,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "pages_pipeline": q_pages_pipeline,
         "bin_roundtrip": q_bin_roundtrip,
+        "min_degree": q_min_degree,
         # --- 2. training-data block (green r01, starved r02) -----------
         "dedup_exact": q_dedup_exact,
         "minhash": q_minhash,
@@ -1148,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["mis"] = _mis_sql()
     sqls["connected_components_as"] = sqls["connected_components"]
     sqls["rcm"] = _rcm_sql()
+    sqls["min_degree"] = _min_degree_sql()
     return sqls
 
 
@@ -1267,6 +1282,89 @@ def _rcm_sql(depth: int = RCM_DEPTH, root: int = 0) -> str:
         + f"""
         SELECT (SELECT count(*) FROM p{depth}) - 1 - pos AS pos, id
         FROM p{depth}"""
+    )
+
+
+def _min_degree_sql(rounds: int = MD_ROUNDS, seed: int = 42) -> str:
+    """DuckDB twin of algorithms.ordering.min_degree_ordering(rounds=k):
+    per round, candidates at the global minimum external degree, Luby
+    md5-priority independent winners, positions by id within the round,
+    clique fill among each winner's neighbors; after k rounds the
+    still-active vertices append in (degree, id) order. A round on an
+    exhausted graph is a no-op on both sides."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        """sym0 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+          WHERE src <> dst)""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym0)",
+        "ap0 AS (SELECT CAST(NULL AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS id WHERE FALSE)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""deg{k} AS MATERIALIZED (
+          SELECT v.id, count(s.dst) AS d
+          FROM v{k} v LEFT JOIN sym{k} s ON s.src = v.id
+          GROUP BY v.id)"""
+        )
+        ctes.append(
+            f"""cand{k} AS MATERIALIZED (
+          SELECT id, md5('{seed}:{k}:' || CAST(id AS VARCHAR)) AS p
+          FROM deg{k} WHERE d = (SELECT min(d) FROM deg{k}))"""
+        )
+        ctes.append(
+            f"""nm{k} AS (
+          SELECT e.dst AS id, min(cs.p) AS np
+          FROM sym{k} e
+          JOIN cand{k} cs ON cs.id = e.src
+          JOIN cand{k} cd ON cd.id = e.dst
+          GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""win{k} AS MATERIALIZED (
+          SELECT c.id FROM cand{k} c LEFT JOIN nm{k} n ON n.id = c.id
+          WHERE n.np IS NULL OR c.p < n.np)"""
+        )
+        ctes.append(
+            f"""ap{k+1} AS MATERIALIZED (
+          SELECT pos, id FROM ap{k}
+          UNION ALL
+          SELECT row_number() OVER (ORDER BY id) - 1
+                 + (SELECT count(*) FROM ap{k}) AS pos, id
+          FROM win{k})"""
+        )
+        ctes.append(
+            f"""nb{k} AS MATERIALIZED (
+          SELECT w.id AS v, s.dst AS a
+          FROM sym{k} s JOIN win{k} w ON w.id = s.src)"""
+        )
+        ctes.append(
+            f"""sym{k+1} AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT s.src, s.dst FROM sym{k} s
+            WHERE s.src NOT IN (SELECT id FROM win{k})
+              AND s.dst NOT IN (SELECT id FROM win{k})
+            UNION ALL
+            SELECT x.a AS src, y.a AS dst
+            FROM nb{k} x JOIN nb{k} y ON x.v = y.v WHERE x.a <> y.a))"""
+        )
+        ctes.append(
+            f"""v{k+1} AS MATERIALIZED (
+          SELECT id FROM v{k} WHERE id NOT IN (SELECT id FROM win{k}))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+        rem AS (
+          SELECT v.id, count(s.dst) AS d
+          FROM v{rounds} v LEFT JOIN sym{rounds} s ON s.src = v.id
+          GROUP BY v.id)
+        SELECT pos, id FROM ap{rounds}
+        UNION ALL
+        SELECT row_number() OVER (ORDER BY d, id) - 1
+               + (SELECT count(*) FROM ap{rounds}) AS pos, id
+        FROM rem"""
     )
 
 

@@ -155,7 +155,11 @@ def zip_with_index(df: DataFrame, order_cols: list, keep_cols: list[str],
     for r in sorted(counts, key=lambda r: r["pid"]):
         offsets += [F.lit(int(r["pid"])).cast("long"), F.lit(acc).cast("long")]
         acc += r["count"]
-    mapping = F.create_map(*offsets) if offsets else F.create_map()
+    if not offsets:
+        # empty input: create_map() types as map<void,void> and fails
+        # analysis — return the (empty) result with the right schema
+        return ordered.select(F.lit(None).cast("long").alias(pos_col), *keep_cols)
+    mapping = F.create_map(*offsets)
     mid = F.monotonically_increasing_id()
     pos = mapping[F.shiftrightunsigned(mid, 33)] + mid.bitwiseAND(F.lit((1 << 33) - 1))
     return ordered.select(pos.alias(pos_col), *keep_cols)

@@ -738,3 +738,34 @@ def test_write_mcl_clusters_format(spark, tmp_path):
     p2 = str(tmp_path / "cl.out")
     assert write_mcl_clusters(cl, p2, labels=labels) == 3
     assert open(p2).read().splitlines() == ["a\td", "b\te\tf", "j"]
+
+
+def test_min_degree_known_graph(spark):
+    """Star(5; 0..4) + path 0-1-2-3-4: hand-traced multiple elimination.
+    Round 0: min-deg 2 -> {0,4} independent, both win (pos 0,1 by id).
+    Round 1: {1,3} win (fill edges 1-5, 3-5 already present).
+    Round 2: {2,5} adjacent tie -> md5 priority picks one; tail gets the
+    other. Result must be a permutation with 0,4 first and 1,3 next."""
+    from combblas_spark.algorithms.ordering import min_degree_ordering
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)] + [(5, i) for i in range(5)],
+        "src long, dst long")
+    got = {r["pos"]: r["id"] for r in min_degree_ordering(edges).collect()}
+    assert sorted(got) == list(range(6))
+    assert sorted(got.values()) == list(range(6))
+    assert (got[0], got[1]) == (0, 4)
+    assert (got[2], got[3]) == (1, 3)
+    assert {got[4], got[5]} == {2, 5}
+
+
+def test_min_degree_bounded_matches_full_when_exhausted(spark):
+    """rounds past exhaustion are no-ops: bounded(rounds=8) == full run
+    on a graph that empties in fewer rounds."""
+    from combblas_spark.algorithms.ordering import min_degree_ordering
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 0)], "src long, dst long")
+    full = sorted(map(tuple, min_degree_ordering(edges).collect()))
+    bounded = sorted(map(tuple, min_degree_ordering(edges, rounds=8).collect()))
+    assert full == bounded

@@ -232,3 +232,42 @@ def test_bin_mtx_cross_format(spark, tmp_path):
     back, bm, bn = read_bin(spark, p)
     assert (bm, bn) == (m, n)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, e.collect()))
+
+
+@pytest.mark.skipif(not os.path.exists(BCSSTK), reason="reference data absent")
+def test_min_degree_reduces_fill_on_bcsstk01(spark):
+    """Minimum-degree ordering must reduce Cholesky symbolic fill on the
+    reference-bundled bcsstk01 matrix (MD.cpp's purpose) vs the natural
+    order. Fill counted by a sequential elimination oracle."""
+    from combblas_spark.algorithms.ordering import min_degree_ordering
+
+    A, m, n = read_mm(spark, BCSSTK)
+
+    adj0 = {}
+    for r in A.select("src", "dst").filter("src <> dst").distinct().collect():
+        adj0.setdefault(r["src"], set()).add(r["dst"])
+        adj0.setdefault(r["dst"], set()).add(r["src"])
+
+    def fill_count(order):
+        adj = {v: set(s) for v, s in adj0.items()}
+        fill = 0
+        for v in order:
+            nbrs = adj.pop(v, set())
+            for u in nbrs:
+                adj[u].discard(v)
+            nbrs = [u for u in nbrs if u in adj]
+            for i, u in enumerate(nbrs):
+                for w in nbrs[i + 1:]:
+                    if w not in adj[u]:
+                        adj[u].add(w)
+                        adj[w].add(u)
+                        fill += 1
+        return fill
+
+    perm = min_degree_ordering(A)
+    md_order = [r["id"] for r in perm.orderBy("pos").collect()]
+    assert sorted(md_order) == sorted(adj0)          # permutation of all vertices
+    natural = sorted(adj0)
+    md_fill, nat_fill = fill_count(md_order), fill_count(natural)
+    assert md_fill < nat_fill                        # strictly fill-reducing
+    assert md_fill <= 0.8 * nat_fill                 # and substantially so
