@@ -663,6 +663,21 @@ def q_awpm(spark, sf):
     ).select("src", "dst")
 
 
+AUCTION_ROUNDS = 4   # bounded bidding rounds so the oracle unrolls
+AUCTION_EPS = 1e-3
+
+
+def q_auction(spark, sf):
+    """Bertsekas auction maximum-weight bipartite matching
+    (BipartiteMatchings/auction.cpp completed into the price loop) —
+    bounded rounds, deterministic tie-breaks, unrolled oracle."""
+    from combblas_spark.algorithms.matching import auction_matching
+
+    g = events_graph(spark, sf)
+    return auction_matching(
+        g, eps=AUCTION_EPS, max_rounds=AUCTION_ROUNDS).select("src", "dst")
+
+
 def q_bin_roundtrip(spark, sf):
     """CombBLAS binary-triples interchange (ParallelBinaryWrite
     SpParMat.cpp:620 / binary ReadDistribute SpParMat.cpp:4224):
@@ -726,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pipeline": q_pages_pipeline,
         "bin_roundtrip": q_bin_roundtrip,
         "min_degree": q_min_degree,
+        "auction": q_auction,
         # --- 2. training-data block (green r01, starved r02) -----------
         "dedup_exact": q_dedup_exact,
         "minhash": q_minhash,
@@ -1163,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["connected_components_as"] = sqls["connected_components"]
     sqls["rcm"] = _rcm_sql()
     sqls["min_degree"] = _min_degree_sql()
+    sqls["auction"] = _auction_sql()
     return sqls
 
 
@@ -1366,6 +1383,66 @@ def _min_degree_sql(rounds: int = MD_ROUNDS, seed: int = 42) -> str:
                + (SELECT count(*) FROM ap{rounds}) AS pos, id
         FROM rem"""
     )
+
+
+def _auction_sql(rounds: int = AUCTION_ROUNDS, eps: float = AUCTION_EPS) -> str:
+    """DuckDB twin of algorithms.matching.auction_matching(max_rounds=k):
+    per round, unmatched bidders' best/second-best profits (single-
+    object bidders take second = best - 9999999, the relative form of
+    auction.cpp:40's default), bid price+best-second+eps on the best
+    object (ties by object id), each object accepts the highest bid
+    (ties by bidder id), price rises to the bid, previous owner is
+    revoked. Arithmetic written in the identical order as the Spark
+    Columns so double results are bit-equal; output is (src, dst) only.
+    Rounds past convergence are no-ops."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "w AS MATERIALIZED (SELECT src, dst, max(val) AS w FROM edges GROUP BY src, dst)",
+        "price0 AS (SELECT DISTINCT dst, CAST(0.0 AS DOUBLE) AS price FROM w)",
+        "m0 AS (SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst WHERE FALSE)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""prof{k} AS (
+          SELECT e.src, e.dst, p.price, e.w - p.price AS profit,
+                 row_number() OVER (PARTITION BY e.src
+                                    ORDER BY e.w - p.price DESC, e.dst) AS rn
+          FROM w e JOIN price{k} p ON p.dst = e.dst
+          WHERE e.src NOT IN (SELECT src FROM m{k} WHERE src IS NOT NULL))"""
+        )
+        ctes.append(
+            f"""p2_{k} AS (
+          SELECT src, max(profit) AS p2 FROM prof{k} WHERE rn > 1 GROUP BY src)"""
+        )
+        ctes.append(
+            f"""bid{k} AS (
+          SELECT b.src, b.dst,
+                 b.price + b.profit
+                   - coalesce(p2.p2, b.profit - 9999999.0) + {eps!r} AS bid
+          FROM prof{k} b LEFT JOIN p2_{k} p2 ON p2.src = b.src
+          WHERE b.rn = 1)"""
+        )
+        ctes.append(
+            f"""win{k} AS MATERIALIZED (
+          SELECT src, dst, bid FROM (
+            SELECT src, dst, bid,
+                   row_number() OVER (PARTITION BY dst
+                                      ORDER BY bid DESC, src) AS wr
+            FROM bid{k}) WHERE wr = 1)"""
+        )
+        ctes.append(
+            f"""price{k+1} AS MATERIALIZED (
+          SELECT p.dst, coalesce(x.bid, p.price) AS price
+          FROM price{k} p LEFT JOIN win{k} x ON x.dst = p.dst)"""
+        )
+        ctes.append(
+            f"""m{k+1} AS MATERIALIZED (
+          SELECT src, dst FROM m{k}
+          WHERE dst NOT IN (SELECT dst FROM win{k})
+          UNION ALL SELECT src, dst FROM win{k})"""
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT src, dst FROM m{rounds}")
 
 
 def _mis_sql(rounds: int = MIS_ROUNDS, seed: int = 42) -> str:

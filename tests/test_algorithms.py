@@ -769,3 +769,45 @@ def test_min_degree_bounded_matches_full_when_exhausted(spark):
     full = sorted(map(tuple, min_degree_ordering(edges).collect()))
     bounded = sorted(map(tuple, min_degree_ordering(edges, rounds=8).collect()))
     assert full == bounded
+
+
+def test_auction_optimal_within_eps_bound(spark):
+    """Bertsekas auction on a dense 4x4 assignment instance: matched
+    weight within n*eps of the brute-force optimum (eps-complementary
+    slackness bound), full cardinality."""
+    from itertools import permutations
+
+    from combblas_spark.algorithms.matching import auction_matching
+
+    import random
+    random.seed(7)
+    rows, cols = [0, 1, 2, 3], [10, 11, 12, 13]
+    W = {(r, c): round(random.uniform(1, 10), 3) for r in rows for c in cols}
+    edges = spark.createDataFrame(
+        [(r, c, w) for (r, c), w in W.items()], "src long, dst long, val double")
+    got = {(r["src"], r["dst"]) for r in auction_matching(edges, eps=1e-3).collect()}
+    assert len(got) == 4
+    assert len({s for s, _ in got}) == 4 and len({d for _, d in got}) == 4
+    wt = sum(W[p] for p in got)
+    best = max(sum(W[(rows[i], cols[p[i]])] for i in range(4))
+               for p in permutations(range(4)))
+    assert best - wt <= 4 * 1e-3 + 1e-9
+
+
+def test_auction_sparse_exact_and_deficient_bounded(spark):
+    """Sparse feasible instance where the greedy row-wise choice is
+    wrong (must route 0->10 so 2 can take 11); and a structurally
+    deficient instance (2 bidders, 1 object) stays a valid 1-matching
+    under the bounded round cap instead of looping."""
+    from combblas_spark.algorithms.matching import auction_matching
+
+    e3 = spark.createDataFrame(
+        [(0, 10, 5.0), (0, 11, 6.0), (1, 10, 4.0), (2, 11, 9.0),
+         (2, 12, 2.0), (1, 12, 1.0)], "src long, dst long, val double")
+    assert sorted(map(tuple, auction_matching(e3, eps=1e-4).collect())) == \
+        [(0, 10), (1, 12), (2, 11)]
+
+    e2 = spark.createDataFrame([(0, 5, 1.0), (1, 5, 9.0)],
+                               "src long, dst long, val double")
+    m2 = sorted(map(tuple, auction_matching(e2, max_rounds=6).collect()))
+    assert len(m2) == 1 and m2[0] in [(0, 5), (1, 5)]
