@@ -666,6 +666,24 @@ def q_awpm(spark, sf):
 AUCTION_ROUNDS = 4   # bounded bidding rounds so the oracle unrolls
 AUCTION_EPS = 1e-3
 
+IVF_K = 3
+IVF_NC = 8        # centroids
+IVF_ITERS = 2     # Lloyd iterations (oracle unroll bound)
+IVF_NPROBE = 2
+IVF_CAP = 128     # per-inverted-list cap (skew guard, oracle-replicated)
+
+
+def q_ivf_topk(spark, sf):
+    """IVF approximate nearest-neighbor top-k: deterministic Lloyd
+    k-means coarse quantizer (md5-sampled init, 6dp-rounded updates so
+    the oracle replays bit-stably), nprobe nearest inverted lists per
+    query, exact cosine within lists, window top-k."""
+    from combblas_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ivf_topk(emb, k=IVF_K, n_centroids=IVF_NC, iters=IVF_ITERS,
+                    nprobe=IVF_NPROBE, per_list_cap=IVF_CAP)
+
 
 def q_auction(spark, sf):
     """Bertsekas auction maximum-weight bipartite matching
@@ -742,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_roundtrip": q_bin_roundtrip,
         "min_degree": q_min_degree,
         "auction": q_auction,
+        "ivf_topk": q_ivf_topk,
         # --- 2. training-data block (green r01, starved r02) -----------
         "dedup_exact": q_dedup_exact,
         "minhash": q_minhash,
@@ -1180,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["rcm"] = _rcm_sql()
     sqls["min_degree"] = _min_degree_sql()
     sqls["auction"] = _auction_sql()
+    sqls["ivf_topk"] = _ivf_topk_sql()
     return sqls
 
 
@@ -1823,6 +1843,84 @@ def _lsh_topk_sql(k: int = 3, n_tables: int = 4, n_planes: int = 6,
           JOIN v c ON c.id = d.neighbor_id)
         QUALIFY row_number() OVER (
           PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) <= {k}"""
+
+
+def _ivf_topk_sql(k: int = IVF_K, nc: int = IVF_NC, iters: int = IVF_ITERS,
+                  nprobe: int = IVF_NPROBE, cap: int = IVF_CAP) -> str:
+    """DuckDB twin of functions.similarity.ivf_topk: md5-sampled init,
+    ``iters`` unrolled Lloyd iterations (assignment on 6dp-rounded
+    cosine, ties by cid; centroid update = per-component mean rounded
+    6dp; empty cells keep the previous centroid), final assignment vs
+    the final quantizer, per-list md5 cap, nprobe probes, exact cosine
+    within probed lists, top-k."""
+
+    def _cos(a: str, b: str) -> str:
+        return (f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+                f" * sqrt(list_dot_product({b}, {b})))")
+
+    ctes = [
+        """emb AS MATERIALIZED (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""",
+        f"""cent0 AS MATERIALIZED (
+          SELECT rn - 1 AS cid, list_transform(e, x -> ROUND(x, 6)) AS cv
+          FROM (SELECT id, e, row_number() OVER (
+                  ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn FROM emb)
+          WHERE rn <= {nc})""",
+        """expl AS MATERIALIZED (
+          SELECT id, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM emb)""",
+    ]
+    assign = (
+        "SELECT id, cid FROM ("
+        "  SELECT v.id, c.cid, row_number() OVER ("
+        f"    PARTITION BY v.id ORDER BY ROUND({_cos('v.e', 'c.cv')}, 6) DESC,"
+        "     c.cid) AS rn"
+        "  FROM emb v, cent{t} c) WHERE rn = 1"
+    )
+    for t in range(iters):
+        ctes.append(f"a{t} AS MATERIALIZED ({assign.format(t=t)})")
+        ctes.append(
+            f"""comp{t} AS (
+          SELECT a.cid, u.pos, ROUND(avg(u.x), 6) AS m
+          FROM a{t} a JOIN expl u ON u.id = a.id
+          GROUP BY a.cid, u.pos)"""
+        )
+        ctes.append(
+            f"newc{t} AS (SELECT cid, list(m ORDER BY pos) AS nv FROM comp{t} GROUP BY cid)"
+        )
+        ctes.append(
+            f"""cent{t+1} AS MATERIALIZED (
+          SELECT c.cid, coalesce(n.nv, c.cv) AS cv
+          FROM cent{t} c LEFT JOIN newc{t} n ON n.cid = c.cid)"""
+        )
+    ctes.append(f"af AS MATERIALIZED ({assign.format(t=iters)})")
+    ctes.append(
+        f"""lists AS (
+          SELECT id, cid FROM af
+          QUALIFY row_number() OVER (
+            PARTITION BY cid ORDER BY md5(CAST(id AS VARCHAR)), id) <= {cap})"""
+    )
+    ctes.append(
+        f"""probes AS (
+          SELECT id AS query_id, cid FROM (
+            SELECT v.id, c.cid, row_number() OVER (
+              PARTITION BY v.id ORDER BY ROUND({_cos('v.e', 'c.cv')}, 6) DESC,
+              c.cid) AS rn
+            FROM emb v, cent{iters} c) WHERE rn <= {nprobe})"""
+    )
+    ctes.append(
+        """cands AS (
+          SELECT DISTINCT p.query_id, l.id AS neighbor_id
+          FROM probes p JOIN lists l ON l.cid = p.cid
+          WHERE l.id <> p.query_id)"""
+    )
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos FROM (
+          SELECT d.query_id, d.neighbor_id, {_cos('q.e', 'c.e')} AS cos
+          FROM cands d
+          JOIN emb q ON q.id = d.query_id
+          JOIN emb c ON c.id = d.neighbor_id)
+        QUALIFY row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) <= {k}""")
 
 
 def _embedding_neardups_lsh_sql(threshold: float = 0.2, n_tables: int = 4,

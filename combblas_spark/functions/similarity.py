@@ -249,3 +249,137 @@ def lsh_topk(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
     )
+
+
+def ivf_centroids_and_assignments(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic Lloyd k-means.
+
+    Init: the ``n_centroids`` vectors with the smallest
+    md5(id) (a deterministic pseudo-random sample; TakeOrdered top-n,
+    never a full sort), cid assigned in that md5 order. Per Lloyd
+    iteration: assign every vector to the argmax-cosine centroid
+    (cosine ROUNDED to 6dp before comparison, ties by cid — the
+    rounding makes the comparison stable across engines whose
+    double-sum orders differ), then recompute centroids as the
+    per-component mean, ROUNDED to 6dp (same reason). A centroid that
+    loses all members keeps its previous value.
+
+    Returns (centroids(cid, cv), assignments(id, cid)). Centroids are
+    driver-small (n_centroids rows) and broadcast into every
+    assignment join; assignment cost is n_vectors * n_centroids dots
+    per iteration — never quadratic in n_vectors. All vector math is
+    JVM higher-order functions.
+    """
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seedc = (
+        v.withColumn("h", F.md5(F.col("id").cast("string").cast("binary")))
+        .orderBy("h", "id").limit(n_centroids)
+    )
+    from combblas_spark.operators.indexing import zip_with_index
+    cids = zip_with_index(
+        seedc.select("id", "h"), [F.col("h").asc(), F.col("id").asc()],
+        ["id"], pos_col="cid")
+    cent = (
+        cids.join(v, "id")
+        .select("cid", F.transform("v", lambda x: F.round(x.cast("double"), 6)).alias("cv"))
+    )
+
+    def _assign(c):
+        scored = (
+            v.crossJoin(F.broadcast(c))
+            .select("id", "cid",
+                    F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cosr"))
+        )
+        return scored.groupBy("id").agg(
+            F.min_by(F.struct("cid"), F.struct(-F.col("cosr"), F.col("cid"))).alias("b")
+        ).select("id", F.col("b.cid").alias("cid"))
+
+    for _ in range(iters):
+        assign = _assign(cent)
+        comp = (
+            assign.join(v, "id")
+            .select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos").agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        )
+        newc = (
+            comp.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .select("cid", F.transform("s", lambda t: t["m"]).alias("nv"))
+        )
+        cent = (
+            cent.join(newc, "cid", "left")
+            .select("cid", F.coalesce("nv", "cv").alias("cv"))
+        )
+    # inverted lists are built against the FINAL quantizer (faiss-style)
+    return cent, _assign(cent)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    per_list_cap: int | None = None,
+) -> DataFrame:
+    """IVF approximate all-pairs top-k — the inverted-file counterpart
+    to lsh_topk: a deterministic k-means coarse quantizer partitions
+    the corpus into ``n_centroids`` inverted lists; each vector probes
+    its ``nprobe`` nearest centroids and brute-forces only those
+    lists' members. Exact cosine per candidate, window top-k per
+    query (ranked on the full double, output rounded 6dp — same
+    contract as lsh_topk / brute_force_topk).
+
+    Scale shape: centroids broadcast; candidate generation is an
+    equi-join on cid (shuffle keyed on cid); the in-list quadratic is
+    bounded by list sizes and optionally by ``per_list_cap`` (members
+    kept by md5(id) order — the same deterministic skew guard as the
+    LSH per_bucket_cap). At 10^9 vectors with sqrt-scaled n_centroids
+    the per-list work is ~n^{3/2}/nprobe, never n^2.
+    """
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cent, assign = ivf_centroids_and_assignments(
+        vectors, n_centroids, iters, id_col, vec_col)
+    if per_list_cap is not None:
+        w = Window.partitionBy("cid").orderBy(
+            F.md5(F.col("id").cast("string").cast("binary")), F.col("id"))
+        assign = (
+            assign.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= per_list_cap).drop("_rk")
+        )
+    probes = (
+        v.crossJoin(F.broadcast(cent))
+        .select("id", "cid",
+                F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cosr"))
+    )
+    pw = Window.partitionBy("id").orderBy(F.col("cosr").desc(), F.col("cid").asc())
+    probes = (
+        probes.withColumn("_rk", F.row_number().over(pw))
+        .filter(F.col("_rk") <= nprobe)
+        .select(F.col("id").alias("query_id"), "cid")
+    )
+    cands = (
+        probes.join(assign.select(F.col("id").alias("neighbor_id"), "cid"), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id").distinct()
+    )
+    scored = (
+        cands
+        .join(v.select(F.col("id").alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(v.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv")), "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
+    )

@@ -178,3 +178,47 @@ def test_multimodal_plumbing(spark):
     # determinism
     again = extract_media_features(synthetic_media(spark, n=30)).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_ivf_topk_recall_and_partition(big_vectors):
+    """IVF probing must recover most true top-k neighbors on clustered
+    data; the quantizer's inverted lists must partition the corpus; a
+    larger nprobe must not reduce recall (probing only adds lists)."""
+    from combblas_spark.functions.similarity import (
+        ivf_centroids_and_assignments, ivf_topk)
+
+    k = 3
+    truth = {}
+    for r in brute_force_topk(big_vectors, big_vectors, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    cent, assign = ivf_centroids_and_assignments(
+        big_vectors, n_centroids=10, iters=2)
+    assert cent.count() == 10
+    rows = assign.collect()
+    assert len(rows) == 200                      # every vector in exactly
+    assert len({r["id"] for r in rows}) == 200   # one inverted list
+
+    def recall(nprobe):
+        got = {}
+        for r in ivf_topk(big_vectors, k=k, n_centroids=10, iters=2,
+                          nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return hits / (len(truth) * k)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1 - 1e-9    # more probes only add candidates
+    assert r3 >= 0.7          # 10 lists / 3 probes on 20-cluster data
+
+
+def test_ivf_per_list_cap(big_vectors):
+    """per_list_cap bounds candidate-list membership (skew guard)."""
+    from combblas_spark.functions.similarity import ivf_topk
+
+    got = ivf_topk(big_vectors, k=3, n_centroids=4, iters=1, nprobe=1,
+                   per_list_cap=5)
+    # with every list capped at 5 members, no query can see more than
+    # nprobe*cap candidates -> at most 5 neighbors reported
+    per_q = got.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_q <= 5
