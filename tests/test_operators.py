@@ -422,3 +422,25 @@ def test_prune_recovery_reference_rule(spark):
         (0, 1): 10.0,                        # pruned normally
         (0, 2): 2.0, (1, 2): 2.0,            # pruned normally, no recovery
     }
+
+
+def test_packed_spmv_matches_row_plan(spark):
+    """CSR-block packed SpMV (operators/packed.py) must be value-
+    identical to the row-plan spmv() — the experiment's correctness
+    gate (plus_times, duplicate-free RMAT graph)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from combblas_spark.graph import build_graph
+    from combblas_spark.operators.packed import pack_adjacency, spmv_packed
+    from combblas_spark.operators.spmv import spmv
+    from combblas_spark.sources.rmat import rmat_edges
+
+    g = build_graph(rmat_edges(spark, 8, 8))
+    x = (g.select(F.col("src").alias("id")).distinct()
+         .withColumn("val", (F.col("id") % 7 + 1).cast("double")))
+    row = {r["id"]: r["val"] for r in spmv(g, x).collect()}
+    pk = {r["id"]: r["val"] for r in spmv_packed(pack_adjacency(g, 8), x).collect()}
+    assert set(row) == set(pk)
+    assert all(math.isclose(row[k], pk[k], rel_tol=1e-9) for k in row)
