@@ -6,6 +6,10 @@ from combblas_spark.streaming.edges import (
     run_edge_merge,
     stream_to_edge_deltas,
 )
+from combblas_spark.streaming.stateful import (
+    run_vertex_stats,
+    stateful_vertex_stats,
+)
 
 __all__ = [
     "compact_edge_table",
@@ -13,5 +17,7 @@ __all__ = [
     "read_edge_table",
     "read_event_stream",
     "run_edge_merge",
+    "run_vertex_stats",
+    "stateful_vertex_stats",
     "stream_to_edge_deltas",
 ]

@@ -202,3 +202,61 @@ def test_compaction_crash_window_cannot_double_count(spark, tmp_path):
     assert replay == after
     assert compact_edge_table(spark, table) == 0
     assert not os.path.exists(os.path.join(table, "delta", "batch=0"))
+
+
+def test_stateful_vertex_stats_across_restarts(spark, tmp_path):
+    """applyInPandasWithState running totals must (a) match the batch
+    engine's per-src count/sum over the union of all events, and (b)
+    carry state ACROSS A QUERY RESTART via the checkpoint — the
+    streaming half of the resumability requirement."""
+    from combblas_spark.streaming import run_vertex_stats
+
+    nv = 16
+    src_dir = str(tmp_path / "in")
+    out = str(tmp_path / "stats")
+    ck = str(tmp_path / "ck")
+
+    # HASH_C % 16 == 1, so dst == event_id % nv: offset the user ids so
+    # no event is a self-loop and every key appears in BOTH batches
+    batch1 = [(i, i % 60, (i + 1) % nv) for i in range(40)]
+    batch2 = [(100 + i, i % 60, (i + 3) % nv) for i in range(40)]
+
+    _events(spark, batch1).write.mode("append").parquet(src_dir)
+    q = run_vertex_stats(spark, src_dir, out, ck, n_vertices=nv)
+    q.awaitTermination(120)
+
+    _events(spark, batch2).write.mode("append").parquet(src_dir)
+    q2 = run_vertex_stats(spark, src_dir, out, ck, n_vertices=nv)  # RESTART
+    q2.awaitTermination(120)
+
+    # latest emitted row per src = current running totals
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["src"])
+        if cur is None or r["out_degree"] > cur[0]:
+            latest[r["src"]] = (r["out_degree"], r["weight_sum"])
+
+    expected = {}
+    all_events = _events(spark, batch1 + batch2).collect()
+    for e in all_events:
+        src, dst = e["user_id"], (e["event_id"] * HASH_C) % nv
+        if src == dst:
+            continue
+        c, w = expected.get(src, (0, 0.0))
+        expected[src] = (c + 1, w + e["value"])
+
+    assert set(latest) == set(expected)
+    for s in expected:
+        assert latest[s][0] == expected[s][0], s
+        assert abs(latest[s][1] - expected[s][1]) < 1e-9, s
+    # restart really continued (batch-2 keys show cumulative counts
+    # greater than their batch-2-only contribution where applicable)
+    b1_counts = {}
+    for e in _events(spark, batch1).collect():
+        src, dst = e["user_id"], (e["event_id"] * HASH_C) % nv
+        if src != dst:
+            b1_counts[src] = b1_counts.get(src, 0) + 1
+    carried = [s for s in latest
+               if b1_counts.get(s, 0) > 0 and latest[s][0] > b1_counts[s]]
+    assert carried, "no key accumulated across the restart"
