@@ -725,8 +725,13 @@ def q_lsh_topk(spark, sf):
 
 
 def q_media_features(spark, sf):
+    """Multimodal decode plumbing (mapInPandas over binary payloads).
+    The driver row checks the decode METADATA exactly (the stubbed
+    decode is a pure function with a SQL twin); the float feature
+    vector stays pytest-covered (test_functions plumbing tests)."""
     media = synthetic_media(spark, n=200)
-    return extract_media_features(media)
+    return extract_media_features(media).select(
+        "media_id", "kind", "width", "height", "n_frames")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1200,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["min_degree"] = _min_degree_sql()
     sqls["auction"] = _auction_sql()
     sqls["ivf_topk"] = _ivf_topk_sql()
+    sqls["media_features"] = _media_features_sql()
     return sqls
 
 
@@ -1921,6 +1927,29 @@ def _ivf_topk_sql(k: int = IVF_K, nc: int = IVF_NC, iters: int = IVF_ITERS,
           JOIN emb c ON c.id = d.neighbor_id)
         QUALIFY row_number() OVER (
           PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) <= {k}""")
+
+
+def _media_features_sql(n: int = 200, seed: int = 42) -> str:
+    """DuckDB twin of q_media_features (metadata columns of the stubbed
+    decode): payload = sha256(seed:i) bytes repeated (1 + i%4) times,
+    dims from md5 of the payload HEX (hex of concatenated bytes == the
+    hex strings concatenated, so the payload never needs blob ops),
+    n_frames = 1 for images else 1 + payload_len % 32."""
+    return f"""WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+        m AS (
+          SELECT i AS media_id,
+                 CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                 md5(repeat(sha256('{seed}:' || CAST(i AS VARCHAR)),
+                            1 + i % 4)) AS hx,
+                 32 * (1 + i % 4) AS plen
+          FROM ids)
+        SELECT media_id, kind,
+               CAST(16 + (('0x' || substr(hx, 1, 2))::INT % 64) AS INT) AS width,
+               CAST(16 + (('0x' || substr(hx, 3, 2))::INT % 64) AS INT) AS height,
+               CAST(CASE WHEN kind = 'image' THEN 1
+                         ELSE 1 + plen % 32 END AS INT) AS n_frames
+        FROM m"""
 
 
 def _embedding_neardups_lsh_sql(threshold: float = 0.2, n_tables: int = 4,

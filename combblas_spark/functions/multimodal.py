@@ -33,10 +33,13 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
 
     Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
     raising NotImplementedError would break the plumbing tests, so a
-    deterministic fake stands in: dims from the md5, an 8-dim feature
-    from byte statistics.
+    deterministic fake stands in: dims from the md5 of the payload's
+    HEX (hex-keyed so the metadata twin is expressible in ANSI SQL —
+    DuckDB's md5 is VARCHAR-only; hex of concatenated bytes is the
+    concatenation of hexes, so the oracle never needs blob hashing),
+    an 8-dim feature from byte statistics.
     """
-    h = hashlib.md5(payload).digest()
+    h = hashlib.md5(payload.hex().encode()).digest()
     w, hgt = 16 + h[0] % 64, 16 + h[1] % 64
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
     feat = np.array([
