@@ -352,7 +352,11 @@ def auction_matching(
     max_rounds: int = 64,
     metrics: list | None = None,
 ) -> DataFrame:
-    """Bertsekas auction for maximum-weight bipartite matching —
+    """Bertsekas auction for the maximum-weight ASSIGNMENT problem —
+    every bidder is matched when structurally feasible, even where an
+    unrestricted max-weight matching would leave a bidder out to keep
+    a heavier edge (assignment semantics, like the reference's
+    mateRow2Col contract) —
     the reference's auction path (BipartiteMatchings/auction.cpp:338,
     whose SubMaxSR semiring SpMV computes each bidder's best and
     second-best profit, auction.cpp:60-105) completed into the full

@@ -132,3 +132,83 @@ def test_invert_roundtrip_on_injective_vectors(spark, xv):
     back = invert(invert(v))
     got = {r["id"]: r["val"] for r in back.collect()}
     assert got == {i: float(val) for i, val in pairs}
+
+
+@st.composite
+def bipartite_weighted(draw):
+    """Small random weighted bipartite edge set: rows [0,4), cols [10,14),
+    integer weights (ties likely — exercises the tie-breaks)."""
+    n = draw(st.integers(min_value=1, max_value=12))
+    coords = draw(st.lists(
+        st.tuples(st.integers(0, 3), st.integers(10, 13)),
+        min_size=n, max_size=n, unique=True))
+    vals = draw(st.lists(st.integers(1, 5), min_size=len(coords),
+                         max_size=len(coords)))
+    return [(r, c, float(v)) for (r, c), v in zip(coords, vals)]
+
+
+def _brute_best_assignment(triples):
+    """Exhaustive max-weight matching PERFECT ON THE BIDDER SIDE (the
+    assignment problem the auction solves — it matches every bidder
+    when feasible even at a weight sacrifice, unlike unrestricted
+    max-weight matching). None if no perfect-on-bidders matching."""
+    import itertools
+    W = {(r, c): v for r, c, v in triples}
+    rows = sorted({r for r, _, _ in triples})
+    cols = sorted({c for _, c, _ in triples})
+    best = None
+    for cs in itertools.permutations(cols, len(rows)):
+        if all((r, c) in W for r, c in zip(rows, cs)):
+            w = sum(W[(r, c)] for r, c in zip(rows, cs))
+            best = w if best is None else max(best, w)
+    return best
+
+
+@settings(**SETTINGS)
+@given(bipartite_weighted())
+def test_auction_valid_and_near_optimal(spark, triples):
+    """Auction output is always a valid matching; when it matches every
+    bidder, its weight is within n*eps of the brute-force ASSIGNMENT
+    optimum (best perfect-on-bidders matching — the problem the
+    auction solves; eps-complementary slackness bound)."""
+    from combblas_spark.algorithms.matching import auction_matching
+
+    eps = 1e-3
+    edges = df_edges(spark, triples)
+    got = [(r["src"], r["dst"])
+           for r in auction_matching(edges, eps=eps, max_rounds=48).collect()]
+    W = {(r, c): v for r, c, v in triples}
+    assert all(p in W for p in got)                       # matched pairs exist
+    assert len({s for s, _ in got}) == len(got)           # valid matching
+    assert len({d for _, d in got}) == len(got)
+    rows = {r for r, _, _ in triples}
+    if len(got) == len(rows):                             # perfect on bidders
+        best = _brute_best_assignment(triples)
+        assert best is not None
+        wt = sum(W[p] for p in got)
+        assert wt >= best - len(got) * eps - 1e-9
+
+
+@st.composite
+def small_graph(draw):
+    n = draw(st.integers(min_value=1, max_value=14))
+    coords = draw(st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=n, max_size=n, unique=True))
+    return [(a, b) for a, b in coords if a != b]
+
+
+@settings(**SETTINGS)
+@given(small_graph())
+def test_min_degree_is_total_permutation(spark, pairs):
+    """min_degree_ordering always emits a bijection pos<->vertex over
+    the non-isolated vertex set, for any small graph."""
+    from combblas_spark.algorithms.ordering import min_degree_ordering
+
+    if not pairs:
+        return
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = min_degree_ordering(edges, rounds=4).collect()
+    verts = {a for a, _ in pairs} | {b for _, b in pairs}
+    assert sorted(r["id"] for r in got) == sorted(verts)
+    assert sorted(r["pos"] for r in got) == list(range(len(verts)))
