@@ -352,11 +352,10 @@ def auction_matching(
     max_rounds: int = 64,
     metrics: list | None = None,
 ) -> DataFrame:
-    """Bertsekas auction for the maximum-weight ASSIGNMENT problem —
+    """Bertsekas auction for the maximum-weight ASSIGNMENT problem:
     every bidder is matched when structurally feasible, even where an
     unrestricted max-weight matching would leave a bidder out to keep
-    a heavier edge (assignment semantics, like the reference's
-    mateRow2Col contract) —
+    a heavier edge (the reference's mateRow2Col contract). This is
     the reference's auction path (BipartiteMatchings/auction.cpp:338,
     whose SubMaxSR semiring SpMV computes each bidder's best and
     second-best profit, auction.cpp:60-105) completed into the full

@@ -53,7 +53,8 @@ def load_graph(spark, spec: str, shuffle_n: int):
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--graph", required=True, help="rmat:<scale>:<ef> or parquet path")
-    p.add_argument("--algo", default="pagerank", choices=["pagerank", "cc"])
+    p.add_argument("--algo", default="pagerank",
+               choices=["pagerank", "cc", "labelprop", "triangles"])
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--alpha", type=float, default=0.85)
     p.add_argument("--checkpoint-dir", default=None)
@@ -78,7 +79,9 @@ def main() -> None:
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     from combblas_spark.algorithms.components import connected_components
+    from combblas_spark.algorithms.labelprop import label_propagation
     from combblas_spark.algorithms.pagerank import pagerank
+    from combblas_spark.algorithms.triangles import triangles_per_vertex
     from combblas_spark.runtime import SuperstepRunner
 
     t0 = time.perf_counter()
@@ -123,10 +126,16 @@ def main() -> None:
     if args.algo == "pagerank":
         res = pagerank(g, alpha=args.alpha, n_iter=args.iters, metrics=metrics,
                        runner=runner, broadcast_max_vertices=args.broadcast_max_vertices)
-    else:
+    elif args.algo == "cc":
         res = connected_components(g, max_iter=args.iters, metrics=metrics,
                                    runner=runner,
                                    broadcast_max_vertices=args.broadcast_max_vertices)
+    elif args.algo == "labelprop":
+        res = label_propagation(g, n_rounds=args.iters, metrics=metrics,
+                                runner=runner,
+                                broadcast_max_vertices=args.broadcast_max_vertices)
+    else:  # triangles: one-shot (no supersteps) -- eps = edges / wall
+        res = triangles_per_vertex(g)
     res = res.persist()
     nrows = res.count()
     t_loop = time.perf_counter() - t1
@@ -134,7 +143,8 @@ def main() -> None:
     if args.output:
         res.write.mode("overwrite").parquet(args.output)
 
-    supersteps = len(metrics) if metrics else args.iters
+    supersteps = (1 if args.algo == "triangles"
+                  else len(metrics) if metrics else args.iters)
     eps = nedges * supersteps / t_loop if t_loop > 0 else 0.0
     # per-superstep walls from the metrics timestamps; the MEDIAN is the
     # steady-state number (robust against host steal-time bursts and
