@@ -101,6 +101,8 @@ def _bfs(edges: DataFrame, root: int, directed: bool,
     adj.unpersist()
     if want_parents:
         return visited.select("id", "parent")
+    if want_parents is None:
+        return visited.select("id", "level", "parent")
     return visited.select("id", "level")
 
 
@@ -124,3 +126,64 @@ def bfs_parents(edges: DataFrame, root: int, directed: bool = False,
     predecessor at the discovering level; root's parent is itself,
     matching parents.Set semantics TopDownBFS.cpp:433)."""
     return _bfs(edges, root, directed, broadcast_threshold, max_depth, True)
+
+
+def bfs_tree(edges: DataFrame, root: int, directed: bool = False,
+             broadcast_threshold: int = 1_000_000, max_depth: int = 1000) -> DataFrame:
+    """(id, level, parent) — full kernel-2 output, the input shape
+    ``validate_bfs_tree`` checks."""
+    return _bfs(edges, root, directed, broadcast_threshold, max_depth, None)
+
+
+def validate_bfs_tree(edges: DataFrame, tree: DataFrame, root: int,
+                      directed: bool = False) -> dict:
+    """Graph500 kernel-2 result validation, distributed.
+
+    The official Graph500 harness validates every kernel-2 run before
+    timing counts (spec §4.3; the reference instead prints the parent
+    tree for offline diff, TopDownBFS.cpp:450-454 — this implements the
+    actual spec rules as DataFrame checks so RMAT-scale runs validate
+    in-engine, no collect of vertex data):
+
+      r1_root      the root's row is (root, level 0, parent root)
+      r2_unique    every vertex appears exactly once in the tree
+      r3_tree_edge each non-root (parent(v), v) is an edge of the graph
+      r4_level     level(v) == level(parent(v)) + 1 for every non-root
+                   (monotone levels => the parent pointers are acyclic)
+      r5_span      the tree spans exactly root's component: no graph
+                   edge leads from a discovered vertex to an
+                   undiscovered one
+
+    Returns {"ok": bool, "violations": {rule: count}}. Each rule is one
+    distributed count over vertex- or edge-sized joins — the same scale
+    envelope as a BFS superstep, so validation works at any size the
+    BFS itself works at.
+    """
+    adj = (edges.select("src", "dst") if directed
+           else symmetrize(edges).select("src", "dst"))
+    t = tree.select("id", "level", "parent").persist(StorageLevel.MEMORY_AND_DISK)
+    nonroot = t.filter(F.col("id") != root)
+
+    v = {}
+    v["r1_root"] = int(t.filter(
+        (F.col("id") == root) & (F.col("level") == 0) & (F.col("parent") == root)
+    ).count() != 1)
+    v["r2_unique"] = t.groupBy("id").count().filter(F.col("count") > 1).count()
+    v["r3_tree_edge"] = (
+        nonroot.select(F.col("parent").alias("src"), F.col("id").alias("dst"))
+        .join(adj, ["src", "dst"], "left_anti")
+        .count()
+    )
+    parent_level = t.select(F.col("id").alias("parent"), F.col("level").alias("_pl"))
+    v["r4_level"] = (
+        nonroot.join(parent_level, "parent", "left")
+        .filter(F.col("_pl").isNull() | (F.col("level") != F.col("_pl") + 1))
+        .count()
+    )
+    v["r5_span"] = (
+        adj.join(t.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(t.select(F.col("id").alias("dst")), "dst", "left_anti")
+        .count()
+    )
+    t.unpersist()
+    return {"ok": all(c == 0 for c in v.values()), "violations": v}

@@ -49,6 +49,13 @@ def get_spark(
         # protocol.
         .config("spark.io.compression.codec",
                 os.environ.get("SPARK_GRAFT_CODEC", "lz4"))
+        # Expose bucketed-scan sort order to the planner (off by default
+        # since SPARK-28595 because multi-file buckets made it
+        # pessimistic). Spark still checks one-file-per-bucket before
+        # using it, and write_bucketed_edges (sources/io.py) guarantees
+        # exactly that — so joins on a bucketed edge table need neither
+        # an exchange NOR a sort on the edge side.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -39,6 +39,65 @@ def write_table(df: DataFrame, name: str, mode: str = "overwrite",
         w.saveAsTable(name)
 
 
+def write_bucketed_edges(
+    df: DataFrame,
+    table: str,
+    buckets: int = 32,
+    key: str = "src",
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an edge table hash-bucketed and row-sorted — the durable
+    form of the north star's "hash-partitioned CSR-block tables", and
+    the storage analogue of the reference's static 2D block distribution
+    (SpParMat carries its block layout across operations instead of
+    re-distributing per call; include/CombBLAS/SpParMat.h:62-115).
+
+    ``bucketBy(buckets, key)`` records HashPartitioning(key, buckets) in
+    the catalog, so every later join or aggregation on ``key`` reads the
+    edge side WITHOUT an exchange — at 100 TB that deletes the one
+    edge-sized shuffle a cold-loaded superstep would otherwise pay; only
+    the vector side moves. ``sortBy(key, other)`` makes each bucket file
+    a CSR-like run (a vertex's edges contiguous, neighbors ordered), so
+    — with one file per bucket (guaranteed below) and
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (set in
+    session.py) — sort-merge joins skip the edge-side sort too, and
+    parquet gets long RLE runs on the key column. Measured plan for
+    SpMV-shaped ``edges JOIN vector ON src``: zero Exchange, zero Sort
+    above the edge FileScan (tests/test_ingestion.py).
+
+    ``path`` makes it an external table (data at ``path``, bucketing
+    metadata in the catalog). Bucket metadata lives in the catalog, not
+    the files — read back with ``read_bucketed_edges`` / ``spark.table``,
+    NOT ``spark.read.parquet`` (a path read would silently drop the
+    partitioning guarantee).
+    """
+    other = "dst" if key == "src" else "src"
+    cols = [c for c in (key, other) if c in df.columns] + [
+        c for c in df.columns if c not in ("src", "dst")
+    ]
+    # repartition on the bucket key into exactly `buckets` partitions:
+    # repartition and bucketBy share the Murmur3 hash, so every task
+    # holds exactly one bucket and each bucket lands in ONE file — the
+    # precondition for the scan to expose outputOrdering and let
+    # sort-merge joins skip the edge-side sort entirely.
+    w = (
+        df.select(*cols).repartition(buckets, key)
+        .write.mode(mode).format("parquet")
+        .bucketBy(buckets, key).sortBy(key, other)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed_edges(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read of a ``write_bucketed_edges`` table — the scan
+    carries HashPartitioning(key, buckets), which Catalyst uses to drop
+    the edge-side exchange from joins/aggs on the bucket key."""
+    return spark.table(table)
+
+
 def read_triples(
     spark: SparkSession,
     name: str,

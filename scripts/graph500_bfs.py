@@ -33,9 +33,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--direction-optimizing", action="store_true")
+    ap.add_argument("--validate", action="store_true",
+                    help="Graph500 spec kernel-2 validation per root "
+                         "(untimed, like the official harness)")
     args = ap.parse_args()
 
-    from combblas_spark.algorithms.bfs import bfs_parents
+    from combblas_spark.algorithms.bfs import bfs_parents, bfs_tree, validate_bfs_tree
     from combblas_spark.graph import build_graph, degrees
     from combblas_spark.session import get_spark
     from combblas_spark.sources.rmat import rmat_edges
@@ -58,9 +61,14 @@ def main() -> None:
     ]
 
     mteps = []
+    validated = 0
     for root in roots:
         t1 = time.perf_counter()
-        parents = bfs_parents(g, root=root, directed=False)
+        if args.validate:
+            tree = bfs_tree(g, root=root, directed=False).persist()
+            parents = tree.select("id", "parent")
+        else:
+            parents = bfs_parents(g, root=root, directed=False)
         # traversed edges = sum of (undirected) degrees of discovered
         # vertices / 2 (TopDownBFS.cpp:455-462 accounting)
         traversed = (
@@ -68,6 +76,15 @@ def main() -> None:
         ) / 2.0
         dt = time.perf_counter() - t1
         mteps.append(traversed / dt / 1e6)
+        if args.validate:
+            # Graph500 spec validation happens OUTSIDE the timed window,
+            # like the official harness (validate_bfs_tree docstring)
+            res = validate_bfs_tree(g, tree, root=root, directed=False)
+            tree.unpersist()
+            if not res["ok"]:
+                print(json.dumps({"root": root, **res}), file=sys.stderr)
+            else:
+                validated += 1
 
     hmean = len(mteps) / sum(1.0 / m for m in mteps if m > 0)
     out = {
@@ -82,6 +99,8 @@ def main() -> None:
         "mteps_harmonic_mean": round(hmean, 3),
         "cores": args.cores,
     }
+    if args.validate:
+        out["validated_ok"] = f"{validated}/{len(roots)}"
     print(json.dumps(out))
     spark.stop()
 

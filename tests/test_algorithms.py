@@ -811,3 +811,56 @@ def test_auction_sparse_exact_and_deficient_bounded(spark):
                                "src long, dst long, val double")
     m2 = sorted(map(tuple, auction_matching(e2, max_rounds=6).collect()))
     assert len(m2) == 1 and m2[0] in [(0, 5), (1, 5)]
+
+
+def test_graph500_validator_accepts_valid_tree(spark):
+    """validate_bfs_tree implements the Graph500 spec §4.3 kernel-2
+    checks (the reference prints the parent array for offline diff,
+    TopDownBFS.cpp:450-454; we validate in-engine). A real BFS tree on a
+    multi-component graph must pass all five rules."""
+    from combblas_spark.algorithms.bfs import bfs_tree, validate_bfs_tree
+
+    edges = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 2), (10, 11)]
+    g = df_edges(spark, edges)
+    tree = bfs_tree(g, root=0).persist()
+    res = validate_bfs_tree(g, tree, root=0)
+    assert res["ok"], res
+    # spans exactly root's component (not the 10-11 one)
+    assert {r["id"] for r in tree.collect()} == {0, 1, 2, 3, 4}
+    tree.unpersist()
+
+
+def test_graph500_validator_catches_corruptions(spark):
+    from pyspark.sql import functions as F
+
+    from combblas_spark.algorithms.bfs import bfs_tree, validate_bfs_tree
+
+    edges = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 2)]
+    g = df_edges(spark, edges)
+    tree = bfs_tree(g, root=0).persist()
+
+    # r4: a wrong level breaks the level-monotonicity rule
+    bad_level = tree.withColumn(
+        "level", F.when(F.col("id") == 3, F.lit(99)).otherwise(F.col("level")))
+    v = validate_bfs_tree(g, bad_level, root=0)["violations"]
+    assert v["r4_level"] > 0
+
+    # r3: a parent with no corresponding graph edge
+    bad_parent = tree.withColumn(
+        "parent", F.when(F.col("id") == 3, F.lit(4)).otherwise(F.col("parent")))
+    v = validate_bfs_tree(g, bad_parent, root=0)["violations"]
+    assert v["r3_tree_edge"] > 0
+
+    # r5: dropping a reachable leaf leaves a discovered->undiscovered edge
+    v = validate_bfs_tree(g, tree.filter(F.col("id") != 3), root=0)["violations"]
+    assert v["r5_span"] > 0
+
+    # r2: a duplicated vertex row
+    v = validate_bfs_tree(g, tree.unionAll(tree.filter(F.col("id") == 1)),
+                          root=0)["violations"]
+    assert v["r2_unique"] > 0
+
+    # r1: missing/incorrect root row
+    v = validate_bfs_tree(g, tree.filter(F.col("id") != 0), root=0)["violations"]
+    assert v["r1_root"] == 1
+    tree.unpersist()

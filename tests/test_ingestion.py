@@ -123,3 +123,52 @@ def test_relabel_parallelism_invariant(spark):
     m17 = {r["label"]: r["id"] for r in d17.collect()}
     assert m1 == m17
     assert sorted(m1.values()) == list(range(len(m1)))
+
+
+def test_bucketed_edge_table_roundtrip_and_exchange_free_plans(spark, tmp_path):
+    """write_bucketed_edges persists the hash-bucketed CSR-run layout
+    (north star: 'hash-partitioned CSR-block tables'); on reload, joins
+    and aggs on the bucket key must read the edge side with NO exchange
+    and NO sort — only the vector moves (the cold-load analogue of the
+    in-loop regime partitioning in pagerank.py/components.py)."""
+    from combblas_spark.sources.io import read_bucketed_edges, write_bucketed_edges
+
+    e = spark.createDataFrame(
+        [(i % 23, (i * 7) % 23, float(i % 5)) for i in range(400)],
+        "src long, dst long, val double",
+    )
+    write_bucketed_edges(e, "t_bkt_edges", buckets=4, key="src",
+                         path=str(tmp_path / "tbl"))
+    try:
+        t = read_bucketed_edges(spark, "t_bkt_edges")
+        # round-trip: same edge multiset
+        assert sorted(map(tuple, t.collect())) == sorted(map(tuple, e.collect()))
+
+        def final_plan(df):
+            df.collect()
+            s = df._jdf.queryExecution().executedPlan().toString()
+            return s.split("+- == Initial Plan ==")[0]
+
+        # aggregation on the bucket key: zero exchanges anywhere
+        agg = t.groupBy("src").agg(F.sum("val").alias("s"))
+        p = final_plan(agg)
+        assert "Bucketed: true" in p
+        assert "Exchange" not in p, p
+
+        # SpMV-shaped join on the bucket key (force SMJ so the shuffle
+        # shape is visible): exactly ONE exchange and ONE sort — both on
+        # the vector side; the bucketed edge scan feeds the join bare.
+        vec = spark.createDataFrame(
+            [(i, float(i)) for i in range(23)], "src long, r double")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = t.join(vec, "src").select("dst", (F.col("val") * F.col("r")).alias("c"))
+            p = final_plan(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in p, p
+        assert p.count("Exchange hashpartitioning") == 1, p
+        assert p.count("Sort ") == 1, p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_edges")
