@@ -40,6 +40,8 @@ def connected_components(
     small_vector_threshold: int = 100_000,
     runner=None,
     initial_labels: DataFrame | None = None,
+    assume_symmetric: bool = False,
+    edge_layout: str | None = None,
 ) -> DataFrame:
     """Returns (id, comp) where comp = min vertex id in the component.
 
@@ -55,6 +57,18 @@ def connected_components(
     a SUBGRAPH of the current graph preserves it. GROW-ONLY deltas
     only: after edge deletions components can split and stale labels
     would point outside the component — rerun cold in that case.
+
+    ``assume_symmetric`` skips the internal symmetrize union when the
+    stored table already holds both edge directions; ``edge_layout``
+    ("src"/"dst") additionally declares the table is hash-partitioned on
+    that key (a ``write_bucketed_edges`` table read via ``spark.table``,
+    sources/io.py) and skips the setup repartition when it matches the
+    regime key. Together they make a cold start over a bucketed
+    symmetric adjacency exchange-free before the first superstep — the
+    same contract as pagerank(edge_layout=...). A wrong layout
+    declaration costs an avoidable shuffle, never wrong results
+    (assume_symmetric excepted: that one IS a semantic claim about the
+    data).
     """
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -72,7 +86,10 @@ def connected_components(
     #    (dst partitioning here would pay BOTH: a join shuffle by src
     #    AND the agg exchange — measured 2x superstep cost at RMAT-22.)
     part_key = "dst" if can_broadcast else "src"
-    sym = symmetrize(edges).repartition(shuffle_n, part_key).persist(StorageLevel.MEMORY_AND_DISK)
+    sym = edges.select("src", "dst") if assume_symmetric else symmetrize(edges)
+    if not (assume_symmetric and edge_layout == part_key):
+        sym = sym.repartition(shuffle_n, part_key)
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 
     start_it = 0

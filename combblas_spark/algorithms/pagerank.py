@@ -61,12 +61,26 @@ def pagerank(
     small_vector_threshold: int = 100_000,
     runner=None,
     initial_ranks: DataFrame | None = None,
+    edge_layout: str | None = None,
 ) -> DataFrame:
     """Returns (id, rank) over the vertex set src UNION dst.
 
     n_iter set -> EXACTLY that many synchronous iterations (used by the
     DuckDB oracle, which unrolls the same recurrence); tol set -> run to
     L1 convergence (used by correctness-vs-numpy tests and bench).
+
+    ``edge_layout`` declares that ``edges`` is ALREADY hash-partitioned
+    by that column ("src"/"dst") — e.g. a ``write_bucketed_edges`` table
+    read via ``spark.table`` (sources/io.py). When the declared layout
+    matches the regime's key, the setup repartition is skipped, and with
+    a bucketed-by-src input the whole cold path (degree agg, normalize
+    join, cache fill) runs with ZERO edge-sized exchanges — the 100-TB
+    cold-start analogue of the reference re-using SpParMat's fixed block
+    distribution across calls instead of re-distributing per operation
+    (include/CombBLAS/SpParMat.h:62-115). Declarative on purpose: like
+    the reference, the caller owns the layout contract; a wrong
+    declaration costs an avoidable shuffle downstream, never wrong
+    results (hash partitioning only affects placement).
     """
     spark = edges.sparkSession
 
@@ -83,7 +97,14 @@ def pagerank(
     outw = edges.groupBy("src").agg(F.sum(w).alias("_outw"))
     enorm = edges.join(outw, "src").select("src", "dst", (w / F.col("_outw")).alias("w"))
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if can_broadcast:
+    regime_key = "dst" if can_broadcast else "src"
+    if edge_layout == regime_key:
+        # caller declared the input already partitioned on the regime
+        # key (bucketed table) — keep its layout; the normalize join
+        # above is co-partitioned with the degree agg for layout "src",
+        # so the whole setup ran exchange-free.
+        pass
+    elif can_broadcast:
         # broadcast regime: pre-partition edges by the AGGREGATION key
         # (dst). The per-superstep SpMV is then a broadcast join + an
         # agg whose partitioning is already satisfied -> ZERO exchanges

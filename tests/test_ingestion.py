@@ -172,3 +172,61 @@ def test_bucketed_edge_table_roundtrip_and_exchange_free_plans(spark, tmp_path):
         assert p.count("Sort ") == 1, p
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_edges")
+
+
+def test_pagerank_edge_layout_over_bucketed_table(spark, tmp_path):
+    """pagerank(edge_layout="src") over a bucketed-by-src table must give
+    identical ranks to the default path (layout only affects placement),
+    in both regimes."""
+    from combblas_spark.algorithms.pagerank import pagerank
+    from combblas_spark.sources.io import read_bucketed_edges, write_bucketed_edges
+
+    e = spark.createDataFrame(
+        [(i % 13, (i * 5 + 1) % 13, 1.0) for i in range(60)],
+        "src long, dst long, val double",
+    ).groupBy("src", "dst").agg(F.lit(1.0).alias("val"))
+    write_bucketed_edges(e, "t_bkt_pr", buckets=4, key="src",
+                         path=str(tmp_path / "prtbl"))
+    try:
+        t = read_bucketed_edges(spark, "t_bkt_pr")
+        ref = {r["id"]: r["rank"] for r in pagerank(e, n_iter=8).collect()}
+        for bmax in (0, 8_000_000):  # shuffle + broadcast regimes
+            got = {
+                r["id"]: r["rank"]
+                for r in pagerank(t, n_iter=8, broadcast_max_vertices=bmax,
+                                  edge_layout="src").collect()
+            }
+            assert got.keys() == ref.keys()
+            for k in ref:
+                assert abs(got[k] - ref[k]) < 1e-12
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_pr")
+
+
+def test_cc_assume_symmetric_layout_over_bucketed_table(spark, tmp_path):
+    """connected_components(assume_symmetric, edge_layout) over a
+    bucketed symmetric adjacency matches the default path in both
+    regimes."""
+    from combblas_spark.algorithms.components import connected_components
+    from combblas_spark.graph import symmetrize
+    from combblas_spark.sources.io import read_bucketed_edges, write_bucketed_edges
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (5, 6), (6, 0), (7, 8)],
+        "src long, dst long",
+    ).withColumn("val", F.lit(1.0))
+    write_bucketed_edges(symmetrize(e), "t_bkt_cc", buckets=4, key="src",
+                         path=str(tmp_path / "cctbl"))
+    try:
+        t = read_bucketed_edges(spark, "t_bkt_cc")
+        ref = {r["id"]: r["comp"] for r in connected_components(e).collect()}
+        for bmax in (0, 8_000_000):
+            got = {
+                r["id"]: r["comp"]
+                for r in connected_components(
+                    t, broadcast_max_vertices=bmax,
+                    assume_symmetric=True, edge_layout="src").collect()
+            }
+            assert got == ref
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_cc")
