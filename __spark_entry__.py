@@ -250,6 +250,25 @@ def q_pagerank(spark, sf):
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_bucketed(spark, sf):
+    """PageRank over a write_bucketed_edges store with the edge_layout
+    contract (sources/io.py; BENCH.md cold-start measurement), forced
+    into the shuffle regime so the layout-match skip path actually runs
+    at sf0.01. Bucketing may change placement only, never values — so
+    this shares q_pagerank's unrolled oracle."""
+    import tempfile
+
+    from combblas_spark.sources.io import read_bucketed_edges, write_bucketed_edges
+
+    g = events_graph(spark, sf)
+    write_bucketed_edges(g, "q_pr_bucketed_edges", buckets=8, key="src",
+                         path=tempfile.mkdtemp(prefix="qprbkt") + "/t")
+    t = read_bucketed_edges(spark, "q_pr_bucketed_edges")
+    r = pagerank(t, alpha=ALPHA, n_iter=PR_ITERS, edge_layout="src",
+                 broadcast_max_vertices=0)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_labelprop(spark, sf):
     g = events_graph(spark, sf)
     return label_propagation(g, n_rounds=LP_ROUNDS).select("id", "label")
@@ -749,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 1. never driver-verified before round 3 -------------------
+        "pagerank_bucketed": q_pagerank_bucketed,
         "mcl_clusters": q_mcl_clusters,
         "betweenness": q_betweenness,
         "mis": q_mis,
@@ -1021,6 +1041,8 @@ def oracle_sql() -> dict[str, str]:
                               WHERE s.dst = v.id AND p.lvl = v.lvl - 1) END AS parent
             FROM lv v""",
         "pagerank": _pagerank_sql(),
+        # same recurrence: bucketing affects placement, never values
+        "pagerank_bucketed": _pagerank_sql(),
         "labelprop": _labelprop_sql(),
         "spasgn": f"""{_BASE}
             SELECT src, dst, val FROM edges WHERE NOT (src < 10 AND dst < 10)
