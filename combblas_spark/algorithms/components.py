@@ -72,7 +72,10 @@ def connected_components(
     """
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    verts = vertices(edges)
+    # cache the vertex set: its count decides the regime AND it seeds f —
+    # without the persist the union+distinct runs twice (count job +
+    # init-checkpoint job)
+    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n_est = verts.count()
     can_broadcast = n_est <= broadcast_max_vertices
     small_vector = n_est <= small_vector_threshold
@@ -110,6 +113,7 @@ def connected_components(
             f = verts.select("id", F.col("id").alias("val"))
         f = f.coalesce(1) if small_vector else f.repartition(shuffle_n, "id")
     f = f.localCheckpoint(eager=True)
+    verts.unpersist()
 
     for it in range(start_it, max_iter):
         fv = F.broadcast(f) if can_broadcast else f

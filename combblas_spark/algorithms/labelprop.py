@@ -52,7 +52,9 @@ def label_propagation(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sym.count()
-    verts = vertices(edges)
+    # cache the vertex set: its count decides the regime AND it seeds the
+    # labels — without the persist the union+distinct runs twice
+    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
     can_broadcast = n <= broadcast_max_vertices
     small_vector = n <= small_vector_threshold
@@ -67,6 +69,7 @@ def label_propagation(
         labels = verts.select("id", F.col("id").alias("label"))
         labels = labels.coalesce(1) if small_vector else labels.repartition(shuffle_n, "id")
     labels = labels.localCheckpoint(eager=True)
+    verts.unpersist()
 
     for r in range(start_r, n_rounds):
         lv = labels.select(F.col("id").alias("src"), "label")
