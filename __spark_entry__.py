@@ -599,6 +599,18 @@ def q_mis(spark, sf):
     return maximal_independent_set(g, seed=42).select("id")
 
 
+def q_filtered_mis(spark, sf):
+    """Semantic-filtered MIS (FilteredMIS.cpp / TwitterEdge.h pattern:
+    per-edge predicate evaluated inside the Luby semiring — CombBLAS's
+    hard case, Spark's easy case: filter BEFORE the loop, SURVEY §2.6).
+    MIS runs on the subgraph whose edges satisfy the predicate; its
+    vertex set is the filtered graph's."""
+    from combblas_spark.algorithms.mis import maximal_independent_set
+
+    g = events_graph(spark, sf).filter(F.col("val") >= 2.0)
+    return maximal_independent_set(g, seed=42).select("id")
+
+
 MCL_ITERS = 3
 MCL_SELECT_K = 20
 MCL_THRESHOLD = 1e-4
@@ -769,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- 1. never driver-verified before round 3 -------------------
         "pagerank_bucketed": q_pagerank_bucketed,
+        "filtered_mis": q_filtered_mis,
         "mcl_clusters": q_mcl_clusters,
         "betweenness": q_betweenness,
         "mis": q_mis,
@@ -1222,6 +1235,8 @@ def oracle_sql() -> dict[str, str]:
     # bin round-trip is lossless by construction -> oracle is the edge table
     sqls["bin_roundtrip"] = sqls["graph_edges"]
     sqls["mis"] = _mis_sql()
+    sqls["filtered_mis"] = _mis_sql(
+        edges_sql=f"SELECT * FROM ({EDGES}) WHERE val >= 2.0")
     sqls["connected_components_as"] = sqls["connected_components"]
     sqls["rcm"] = _rcm_sql()
     sqls["min_degree"] = _min_degree_sql()
@@ -1493,12 +1508,15 @@ def _auction_sql(rounds: int = AUCTION_ROUNDS, eps: float = AUCTION_EPS) -> str:
             + f"\nSELECT src, dst FROM m{rounds}")
 
 
-def _mis_sql(rounds: int = MIS_ROUNDS, seed: int = 42) -> str:
+def _mis_sql(rounds: int = MIS_ROUNDS, seed: int = 42,
+             edges_sql: str | None = None) -> str:
     """DuckDB twin of algorithms.mis.maximal_independent_set: unrolled
     Luby rounds with the same md5("seed:round:id") priorities; a round
-    past convergence has an empty candidate set and is a no-op."""
+    past convergence has an empty candidate set and is a no-op.
+    ``edges_sql`` overrides the edge CTE (the filtered_mis twin passes
+    the semantically filtered graph, FilteredMIS.cpp analogue)."""
     ctes = [
-        f"edges AS MATERIALIZED ({EDGES})",
+        f"edges AS MATERIALIZED ({edges_sql or EDGES})",
         "sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)",
         "cand0 AS (SELECT DISTINCT src AS id FROM sym)",
     ]
