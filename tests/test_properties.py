@@ -212,3 +212,22 @@ def test_min_degree_is_total_permutation(spark, pairs):
     verts = {a for a, _ in pairs} | {b for _, b in pairs}
     assert sorted(r["id"] for r in got) == sorted(verts)
     assert sorted(r["pos"] for r in got) == list(range(len(verts)))
+
+
+@settings(**SETTINGS)
+@given(small_graph())
+def test_bfs_variants_all_pass_graph500_validation(spark, pairs):
+    """Every BFS variant's (level, parent) tree passes the five
+    Graph500 spec kernel-2 rules (validate_bfs_tree) on arbitrary small
+    graphs — including disconnected ones, where rule 5 pins the tree to
+    exactly the root's component."""
+    from combblas_spark.algorithms.bfs import bfs_tree, validate_bfs_tree
+
+    if not pairs:
+        return
+    g = df_edges(spark, pairs)
+    root = pairs[0][0]
+    for kwargs in ({}, {"directed": True}):
+        tree = bfs_tree(g, root=root, **kwargs)
+        res = validate_bfs_tree(g, tree, root=root, **kwargs)
+        assert res["ok"], (pairs, kwargs, res)
