@@ -51,10 +51,14 @@ def minhash_signatures(
     h_i = min over shingles of md5('<i>:' || shingle) — string-min over
     hex digests; engine-portable and exactly oracle-checkable.
     """
+    # NO distinct on the exploded shingles: min over the multiset equals
+    # min over the set, and the dedup would cost a full shuffle of the
+    # exploded table (~shingle_k x corpus bytes) before the aggregation.
+    # The groupBy's map-side partial min absorbs duplicates in place.
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    ).distinct()
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
         for i in range(num_hashes)

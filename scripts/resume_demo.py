@@ -72,10 +72,10 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     args = ap.parse_args()
 
-    args.zip = tempfile.mktemp(suffix=".zip")
+    work = tempfile.mkdtemp(prefix="resume_demo")
+    args.zip = os.path.join(work, "combblas_spark.zip")
     subprocess.run(["zip", "-qr", args.zip, "combblas_spark"],
                    cwd=REPO, check=True)
-    work = tempfile.mkdtemp(prefix="resume_demo")
     ck_a, out_a = os.path.join(work, "ck_a"), os.path.join(work, "out_a")
     ck_b, out_b = os.path.join(work, "ck_b"), os.path.join(work, "out_b")
 
@@ -130,7 +130,6 @@ def main() -> None:
         "identical": diff[0] == 0.0 and diff[1] == diff[2] == diff[3],
     }))
     shutil.rmtree(work, ignore_errors=True)
-    os.unlink(args.zip)
 
 
 if __name__ == "__main__":
