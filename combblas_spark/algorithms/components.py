@@ -231,7 +231,8 @@ def connected_components_as(
             .localCheckpoint(eager=True)
         )
         bad = gp.filter(F.col("gpv") != F.col("pv"))
-        marked = bad.select(F.col("gpv").alias("mid")).distinct()
+        # no distinct: marked only feeds a left_anti join (dups harmless)
+        marked = bad.select(F.col("gpv").alias("mid"))
         star = (
             gp.join(bad.select("id"), "id", "left_anti")
             .join(marked, gp["pv"] == F.col("mid"), "left_anti")

@@ -64,11 +64,14 @@ def maximal_independent_set(
             .select("id")
             .localCheckpoint(eager=True)
         )
-        # remove winners and their neighbors from the candidate set
+        # remove winners and their neighbors from the candidate set.
+        # No distinct: dead only feeds a left_anti join, whose result is
+        # identical with duplicates on the right — the dedup would cost
+        # an extra shuffle per round.
         dead = winners.unionByName(
             sym.join(winners.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"))
-        ).distinct()
+        )
         mis = mis.unionByName(winners).localCheckpoint(eager=True)
         cand = superstep_checkpoint(cand.join(dead, "id", "left_anti"), it)
         if metrics is not None:
