@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from combblas_spark.graph import symmetrize, vertices
+from combblas_spark.graph import symmetrize_partitioned, vertices
 from combblas_spark.runtime.plans import superstep_checkpoint
 
 
@@ -32,7 +32,9 @@ def betweenness_centrality(
     BC, small graphs); pass a subset for the reference's sampled/batched
     mode (BetwCent.cpp batchSize x nBatches)."""
     spark = edges.sparkSession
-    e = edges.select("src", "dst") if directed else symmetrize(edges).select("src", "dst")
+    shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = (edges.select("src", "dst") if directed
+         else symmetrize_partitioned(edges, "src", shuffle_n).select("src", "dst"))
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
     verts = vertices(edges)

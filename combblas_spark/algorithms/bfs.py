@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from combblas_spark.graph import symmetrize
+from combblas_spark.graph import symmetrize, symmetrize_partitioned
 from combblas_spark.runtime.plans import superstep_checkpoint
 
 
@@ -30,7 +30,12 @@ def _bfs(edges: DataFrame, root: int, directed: bool,
          bottom_up_fraction: float = 0.05) -> DataFrame:
     from combblas_spark.graph import vertices
 
-    adj = (edges.select("src", "dst") if directed else symmetrize(edges).select("src", "dst"))
+    # src-partitioned adjacency in the same single exchange the
+    # symmetrize dedup costs anyway — every level's frontier join on src
+    # then reads the cache shuffle-free
+    shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    adj = (edges.select("src", "dst") if directed
+           else symmetrize_partitioned(edges, "src", shuffle_n).select("src", "dst"))
     adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
     spark = edges.sparkSession

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from combblas_spark.graph import symmetrize, vertices
+from combblas_spark.graph import symmetrize_partitioned, vertices
 from combblas_spark.runtime.plans import superstep_checkpoint
 from combblas_spark.operators.semiring import SELECT2ND_MIN
 from combblas_spark.operators.spmv import spmv
@@ -89,9 +89,13 @@ def connected_components(
     #    (dst partitioning here would pay BOTH: a join shuffle by src
     #    AND the agg exchange — measured 2x superstep cost at RMAT-22.)
     part_key = "dst" if can_broadcast else "src"
-    sym = edges.select("src", "dst") if assume_symmetric else symmetrize(edges)
-    if not (assume_symmetric and edge_layout == part_key):
-        sym = sym.repartition(shuffle_n, part_key)
+    if assume_symmetric:
+        sym = edges.select("src", "dst")
+        if edge_layout != part_key:
+            sym = sym.repartition(shuffle_n, part_key)
+    else:
+        # one fused exchange: dedup rides on the layout partitioning
+        sym = symmetrize_partitioned(edges, part_key, shuffle_n)
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 
@@ -215,8 +219,8 @@ def connected_components_as(
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = vertices(edges)
-    sym = symmetrize(edges).select("src", "dst")
-    sym = sym.repartition(shuffle_n, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    sym = symmetrize_partitioned(edges, "src", shuffle_n).select("src", "dst")
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
 
     f = verts.select("id", F.col("id").alias("val")).localCheckpoint(eager=True)

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from combblas_spark.runtime.plans import superstep_checkpoint
-from combblas_spark.graph import symmetrize, vertices
+from combblas_spark.graph import symmetrize_partitioned, vertices
 
 
 def label_propagation(
@@ -46,9 +46,9 @@ def label_propagation(
     neighbors keep their label (none here: vertex set = src+dst)."""
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # one fused exchange: the (src,dst) dedup rides the dst partitioning
     sym = (
-        symmetrize(edges).select("src", "dst")
-        .repartition(shuffle_n, "dst")
+        symmetrize_partitioned(edges, "dst", shuffle_n).select("src", "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sym.count()

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from combblas_spark.graph import symmetrize, vertices
+from combblas_spark.graph import symmetrize_partitioned, vertices
 from combblas_spark.runtime.plans import superstep_checkpoint
 
 
@@ -37,7 +37,11 @@ def maximal_independent_set(
 
     Isolated vertices (no edges) are always in the MIS.
     """
-    sym = symmetrize(edges).select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    # src-partitioned in the same single exchange the dedup costs anyway:
+    # every round's sym-join on src then reads the cache without a shuffle
+    shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sym = (symmetrize_partitioned(edges, "src", shuffle_n)
+           .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK))
     sym.count()
 
     cand = vertices(edges).localCheckpoint(eager=True)

@@ -52,6 +52,28 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return sym.distinct().withColumn("val", F.lit(1.0))
 
 
+def symmetrize_partitioned(edges: DataFrame, key: str, num_partitions: int) -> DataFrame:
+    """symmetrize() already partitioned by ``key`` — in ONE exchange.
+
+    symmetrize().repartition(key) pays two edge-sized shuffles (the
+    dedup's hash(src,dst) exchange, then the layout repartition).
+    Partitioning by ``key`` FIRST lets the dedup aggregate run on top
+    with no further exchange: HashPartitioning(key) co-locates every
+    duplicate of (src,dst) because key is one of the two columns, and
+    Catalyst accepts it for the (src,dst) clustering (subset rule).
+    Output carries HashPartitioning(key, num_partitions) — exactly what
+    the iterative loops cache. Plan-asserted in tests/test_operators.
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        sym.repartition(num_partitions, key)
+        .dropDuplicates(["src", "dst"])
+        .withColumn("val", F.lit(1.0))
+    )
+
+
 def vertices(edges: DataFrame) -> DataFrame:
     """All vertex ids appearing as src or dst: (id)."""
     return (

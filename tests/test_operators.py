@@ -444,3 +444,23 @@ def test_packed_spmv_matches_row_plan(spark):
     pk = {r["id"]: r["val"] for r in spmv_packed(pack_adjacency(g, 8), x).collect()}
     assert set(row) == set(pk)
     assert all(math.isclose(row[k], pk[k], rel_tol=1e-9) for k in row)
+
+
+def test_symmetrize_partitioned_single_exchange(spark):
+    """symmetrize_partitioned must dedup ON TOP of the layout
+    partitioning: exactly one Exchange in the whole plan (the
+    repartition), none for the (src,dst) dedup aggregate — and the
+    result must equal plain symmetrize."""
+    from pyspark.sql import functions as F
+
+    from combblas_spark.graph import symmetrize, symmetrize_partitioned
+
+    e = df_edges(spark, [(i % 9, (i * 5 + 1) % 9) for i in range(40)])
+    fused = symmetrize_partitioned(e, "src", 8)
+    fused.collect()
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
+    got = sorted(map(tuple, fused.select("src", "dst").collect()))
+    ref = sorted(map(tuple, symmetrize(e).select("src", "dst").collect()))
+    assert got == ref
