@@ -46,7 +46,11 @@ def lower_triangle(edges: DataFrame, order_by_degree: bool = False) -> DataFrame
 
 def triangle_count(edges: DataFrame, order_by_degree: bool = False) -> int:
     """Total number of triangles in the undirected view of ``edges``."""
-    L = lower_triangle(edges, order_by_degree)
+    # L feeds the plan THREE times (both wedge sides + the closing mask)
+    # and Catalyst does NOT reuse the symmetrize-dedup subtree across
+    # them (measured: 9 exchanges, 0 ReusedExchange on the events graph)
+    # — persist it so the dedup runs once.
+    L = lower_triangle(edges, order_by_degree).persist()
     # wedges a<b<c from L(a,b) and L(b,c); close with L(a,c)
     ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -54,12 +58,18 @@ def triangle_count(edges: DataFrame, order_by_degree: bool = False) -> int:
     closed = wedges.join(
         L.select(F.col("src").alias("a"), F.col("dst").alias("c")), ["a", "c"], "left_semi"
     )
-    return closed.count()
+    n = closed.count()
+    L.unpersist()
+    return n
 
 
 def triangles_per_vertex(edges: DataFrame, order_by_degree: bool = False) -> DataFrame:
-    """(id, tri) — number of triangles incident to each vertex."""
-    L = lower_triangle(edges, order_by_degree)
+    """(id, tri) — number of triangles incident to each vertex.
+
+    L persisted for the same triple-reference reason as triangle_count;
+    the result is materialized (eager localCheckpoint) so the cache can
+    be released before returning."""
+    L = lower_triangle(edges, order_by_degree).persist()
     ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = (
@@ -74,4 +84,6 @@ def triangles_per_vertex(edges: DataFrame, order_by_degree: bool = False) -> Dat
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("tri"))
     )
+    per_v = per_v.localCheckpoint(eager=True)
+    L.unpersist()
     return per_v
