@@ -109,7 +109,12 @@ def mcl(
         # (MCLPruneRecoverySelect semantics)
         kept = prune_recovery_select(
             inflated, prune_threshold, recover_num, recover_pct)
-        kept = kselect(kept, select_k, dim="col")
+        # persist: kept feeds BOTH the column-stat agg and the normalize
+        # join, and Catalyst duplicates the whole expand+prune+kselect
+        # subtree across them (measured: 12 Window nodes, 1 reused
+        # exchange without the cache) — the expansion is the engine's
+        # heaviest operator, so run it once per iteration
+        kept = kselect(kept, select_k, dim="col").persist()
 
         # normalize + chaos (MCL.cpp:389-394, 407-420) in ONE pass: the
         # column-sum groupBy also yields max and sum-of-squares, so the
@@ -133,6 +138,7 @@ def mcl(
         )
         A_new = superstep_checkpoint(A_new, it)
         chaos = obs.get["chaos"] or 0.0
+        kept.unpersist()
         A = A_new
         if metrics is not None:
             metrics.append({"iter": it, "chaos": chaos})
