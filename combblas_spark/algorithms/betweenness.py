@@ -37,7 +37,9 @@ def betweenness_centrality(
          else symmetrize_partitioned(edges, "src", shuffle_n).select("src", "dst"))
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
-    verts = vertices(edges)
+    # checkpoint: verts is referenced by the source frontier (roots=None),
+    # the final bc stitch, and the normalize count — one distinct, not three
+    verts = vertices(edges).localCheckpoint(eager=True)
 
     if roots is None:
         fr0 = verts.select(F.col("id").alias("root"), F.col("id"), F.lit(1.0).alias("sigma"))

@@ -80,7 +80,13 @@ def lsh_candidate_pairs(
     concatenated rows; candidates = self-equi-join per band key (the
     scale path: join on the band key, never all-pairs).
     """
-    sig = minhash_signatures(docs, id_col, text_col, bands * rows_per_band, shingle_k)
+    # materialize: the band self-join references the signature subtree on
+    # BOTH sides and Catalyst replans it twice (same recompute class as
+    # the triangle L / MCL kept caches) — the shingle explode+agg is the
+    # expensive part, run it once
+    sig = minhash_signatures(
+        docs, id_col, text_col, bands * rows_per_band, shingle_k
+    ).localCheckpoint(eager=True)
     band_rows = None
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -144,7 +150,9 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     band equality on 4 bit-slices (a pair within distance<=3 must agree
     on >=1 of 4 slices — pigeonhole; max_hamming must stay < 4 for the
     candidate generation to be complete)."""
-    sh = simhash(docs, id_col, text_col, bits).persist()
+    # eager checkpoint, not persist: the band self-join reads sh on both
+    # sides, and a checkpoint needs no unpersist bookkeeping on return
+    sh = simhash(docs, id_col, text_col, bits).localCheckpoint(eager=True)
     slice_bits = bits // 4
     mask = (1 << slice_bits) - 1
     bands = None

@@ -157,8 +157,12 @@ def lsh_candidate_pairs(
     computed, so each surviving pair pays for exactly one exact
     verification regardless of how many tables it collided in.
     """
+    # materialize: the self-join references the (windowed, capped) table
+    # assignments on both sides — checkpoint so the hyperplane scoring
+    # and per-bucket cap window run once
     tb = lsh_table_assignments(
-        vectors, n_tables, n_planes, seed, id_col, vec_col, dim, per_bucket_cap)
+        vectors, n_tables, n_planes, seed, id_col, vec_col, dim, per_bucket_cap
+    ).localCheckpoint(eager=True)
     a, c = tb.alias("a"), tb.alias("c")
     return (
         a.join(c, (F.col("a.tbl") == F.col("c.tbl"))
