@@ -193,8 +193,10 @@ def ngram_jaccard(
             F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
         )
 
-    sa = sh_set(docs_a, "id_a")
-    sb = sh_set(docs_b, "id_b")
+    # each shingle set feeds both the intersection join and its own size
+    # aggregate — checkpoint so the explode runs once per side
+    sa = sh_set(docs_a, "id_a").localCheckpoint(eager=True)
+    sb = sh_set(docs_b, "id_b").localCheckpoint(eager=True)
     inter = (
         pairs.join(sa, "id_a").join(sb, ["id_b", "sh"])
         .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
