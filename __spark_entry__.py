@@ -586,6 +586,262 @@ def _pages_pipeline_sql(n_pages: int = PAGES_N, n_sites: int = 10,
     )
 
 
+# ------------------------------------------- webgraph analyses (round-3 tail)
+
+ANF_HOPS = 3
+ANF_K = 4
+ANF_RBITS = 24
+ANF_SEED = 42
+HITS_ITERS = 5
+KCORE_K = 15
+KCORE_ROUNDS = 14     # oracle unroll; engine converges in 11 at sf0.01
+CORENESS_ITERS = 13   # oracle unroll; engine converges in 10 at sf0.01
+THIN_MOD, THIN_KEEP = 10, 2
+
+
+def _thin_edges(g: DataFrame) -> DataFrame:
+    """Deterministic ~20% edge sample keyed on md5("src:dst") — the
+    events graph is near-complete at test scales, so core queries run
+    on this thinned twin to have real peel structure. SQL-identical
+    predicate in _THIN_PRED."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("src").cast("string"), F.col("dst").cast("string")
+                    ).cast("binary")
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+    )
+    return g.filter(h % THIN_MOD < THIN_KEEP)
+
+
+_THIN_PRED = (
+    "('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {THIN_MOD} < {THIN_KEEP}"
+)
+
+
+def q_anf(spark, sf):
+    """Approximate neighborhood function (ANF, KDD'02): N(h) estimates
+    for h=0..3 from md5-seeded Flajolet-Martin sketches merged by
+    bit_or supersteps — the OR-semiring SpMV. sum_lzb is the exact
+    integer anchor; est is the FM estimate (6dp)."""
+    from combblas_spark.algorithms.anf import neighborhood_function
+
+    g = events_graph(spark, sf)
+    return neighborhood_function(
+        g, hops=ANF_HOPS, k=ANF_K, r_bits=ANF_RBITS, seed=ANF_SEED
+    )
+
+
+def q_hits(spark, sf):
+    """HITS hubs/authorities, 5 L2-normalized power iterations over the
+    dual-layout edge cache (one copy per aggregation dimension)."""
+    from combblas_spark.algorithms.hits import hits
+
+    g = events_graph(spark, sf)
+    out = hits(g, n_iter=HITS_ITERS)
+    return out.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def q_k_core(spark, sf):
+    """k-core peel (k=15) on the thinned events graph — iterated
+    Reduce(Row)+PruneRowsCols until fixed point."""
+    from combblas_spark.algorithms.kcore import k_core
+
+    g = _thin_edges(events_graph(spark, sf))
+    return k_core(g, KCORE_K)
+
+
+def q_coreness(spark, sf):
+    """Full coreness decomposition via distributed h-index iteration
+    (Lü et al. 2016) on the thinned events graph."""
+    from combblas_spark.algorithms.kcore import core_numbers
+
+    g = _thin_edges(events_graph(spark, sf))
+    return core_numbers(g)
+
+
+def q_host_graph(spark, sf):
+    """Host-level contraction of the synthetic Common-Crawl-style page
+    link graph: urls -> hosts (JVM regexp) -> weighted host edges. The
+    oracle re-derives the expected multiset from the generator rule
+    alone (same independence argument as pages_pipeline)."""
+    from combblas_spark.sources.pages import generate_pages, host_link_graph
+
+    pages = generate_pages(spark, n_pages=PAGES_N)
+    return host_link_graph(pages)
+
+
+def _host_graph_sql(n_pages: int = PAGES_N, n_sites: int = 10,
+                    out_links: int = 4, seed: int = 42) -> str:
+    """Expected host_graph output as a VALUES literal, derived from the
+    seeded RMAT rule in numpy — independent of the Spark pipeline under
+    test (HTML encode, pandas-UDF extraction, regexp host parse,
+    contraction groupBy)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from combblas_spark.sources.rmat import rmat_pandas
+
+    scale = max(1, (n_pages - 1).bit_length())
+    eids = np.arange(n_pages * out_links, dtype=np.int64)
+    _, dsts = rmat_pandas(eids, scale, seed)
+    dsts = (dsts % n_pages).reshape(n_pages, out_links)
+    mult: Counter = Counter()
+    for i in range(n_pages):
+        hs = f"site{i % n_sites}.example"
+        for j in dsts[i]:
+            j = int(j)
+            if j == i:
+                continue  # generator drops self page-links
+            hd = f"site{j % n_sites}.example"
+            if hs != hd:  # host_link_graph drops intra-host links
+                mult[(hs, hd)] += 1
+    rows = ", ".join(
+        f"('{s}','{d}',{c})" for (s, d), c in sorted(mult.items())
+    )
+    return (
+        "SELECT src_host, dst_host, CAST(weight AS BIGINT) AS weight "
+        f"FROM (VALUES {rows}) AS t(src_host, dst_host, weight)"
+    )
+
+
+def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
+             seed: int = ANF_SEED) -> str:
+    """DuckDB twin of algorithms.anf.neighborhood_function: identical
+    md5-seeded FM masks, bit_or hop merges, lowest-zero-bit estimate."""
+    cap = 1 << (r_bits - 1)
+    ms = list(range(k))
+    u_exprs = ", ".join(
+        f"('0x' || substr(md5('{seed}:{j}:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT AS u{j}"
+        for j in ms
+    )
+    m_exprs = ", ".join(
+        f"CASE WHEN (u{j} & -u{j}) = 0 THEN {cap} "
+        f"ELSE least(u{j} & -u{j}, {cap}) END AS m{j}"
+        for j in ms
+    )
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)",
+        f"s0 AS MATERIALIZED (SELECT id, {m_exprs} FROM (SELECT id, {u_exprs} FROM verts))",
+    ]
+    for h in range(1, hops + 1):
+        bors = ", ".join(f"bit_or(l.m{j}) AS b{j}" for j in ms)
+        merged = ", ".join(f"p.m{j} | coalesce(n.b{j}, 0) AS m{j}" for j in ms)
+        ctes.append(
+            f"n{h} AS (SELECT s.dst AS id, {bors} FROM sym s "
+            f"JOIN s{h-1} l ON l.id = s.src GROUP BY s.dst)"
+        )
+        ctes.append(
+            f"s{h} AS MATERIALIZED (SELECT p.id, {merged} FROM s{h-1} p "
+            f"LEFT JOIN n{h} n ON n.id = p.id)"
+        )
+    lzb = " + ".join(
+        f"CAST(log2((~m{j}) & (m{j} + 1)) AS INT)" for j in ms
+    )
+    summaries = " UNION ALL ".join(
+        f"SELECT CAST({h} AS INT) AS h, CAST(sum(tot) AS BIGINT) AS sum_lzb, "
+        f"ROUND(sum(pow(2.0, tot / {float(k)})) / 0.77351, 6) AS est "
+        f"FROM (SELECT ({lzb}) AS tot FROM s{h})"
+        for h in range(0, hops + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT h, sum_lzb, est FROM ({summaries})"
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """DuckDB twin of algorithms.hits.hits: unrolled L2-normalized
+    power iterations (hub init 1.0)."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "h0 AS (SELECT id, 1.0 AS v FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"ar{t} AS MATERIALIZED (SELECT e.dst AS id, sum(h.v) AS v "
+            f"FROM edges e JOIN h{t-1} h ON h.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(f"an{t} AS (SELECT sqrt(sum(v * v)) AS nrm FROM ar{t})")
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT id, v / nrm AS v FROM ar{t} CROSS JOIN an{t})"
+        )
+        ctes.append(
+            f"hr{t} AS MATERIALIZED (SELECT e.src AS id, sum(a.v) AS v "
+            f"FROM edges e JOIN a{t} a ON a.id = e.dst GROUP BY e.src)"
+        )
+        ctes.append(f"hn{t} AS (SELECT sqrt(sum(v * v)) AS nrm FROM hr{t})")
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT id, v / nrm AS v FROM hr{t} CROSS JOIN hn{t})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT v.id, ROUND(coalesce(h.v, 0.0), 6) AS hub,
+               ROUND(coalesce(a.v, 0.0), 6) AS auth
+        FROM verts v LEFT JOIN h{iters} h ON h.id = v.id
+        LEFT JOIN a{iters} a ON a.id = v.id"""
+    )
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """DuckDB twin of algorithms.kcore.k_core on the thinned graph:
+    unrolled peel rounds (extra rounds past the fixed point are
+    no-ops, so the unroll bound only needs to exceed convergence)."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) WHERE src <> dst)",
+        "a0 AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+          SELECT s.dst AS id FROM sym s
+          JOIN a{r-1} x ON x.id = s.src
+          JOIN a{r-1} y ON y.id = s.dst
+          GROUP BY s.dst HAVING count(*) >= {k})"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM a{rounds}"
+
+
+def _coreness_sql(iters: int = CORENESS_ITERS) -> str:
+    """DuckDB twin of algorithms.kcore.core_numbers: h-index iteration
+    from the degree vector, unrolled past convergence."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) WHERE src <> dst)",
+        "c0 AS (SELECT dst AS id, count(*) AS core FROM sym GROUP BY dst)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+          SELECT dst AS id, max(r) AS core FROM (
+            SELECT s.dst, c.core AS cc,
+                   row_number() OVER (PARTITION BY s.dst ORDER BY c.core DESC) AS r
+            FROM sym s JOIN c{t-1} c ON c.id = s.src)
+          WHERE cc >= r GROUP BY dst)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(core AS BIGINT) AS core FROM c{iters}"
+    )
+
+
 MIS_ROUNDS = 8  # oracle unroll bound; Luby converges in O(log n) rounds
 
 
@@ -780,6 +1036,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 1. never driver-verified before round 3 -------------------
+        "anf": q_anf,
+        "hits": q_hits,
+        "k_core": q_k_core,
+        "coreness": q_coreness,
+        "host_graph": q_host_graph,
         "pagerank_bucketed": q_pagerank_bucketed,
         "filtered_mis": q_filtered_mis,
         "mcl_clusters": q_mcl_clusters,
@@ -1243,6 +1504,11 @@ def oracle_sql() -> dict[str, str]:
     sqls["auction"] = _auction_sql()
     sqls["ivf_topk"] = _ivf_topk_sql()
     sqls["media_features"] = _media_features_sql()
+    sqls["anf"] = _anf_sql()
+    sqls["hits"] = _hits_sql()
+    sqls["k_core"] = _kcore_sql()
+    sqls["coreness"] = _coreness_sql()
+    sqls["host_graph"] = _host_graph_sql()
     return sqls
 
 

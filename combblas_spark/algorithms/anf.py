@@ -1,0 +1,271 @@
+"""ANF — approximate neighborhood function via Flajolet–Martin sketches.
+
+The neighborhood function N(h) = |{(u,v) : dist(u,v) <= h}| is the
+standard webgraph summary behind effective-diameter estimates (Palmer,
+Gibbons & Faloutsos, "ANF: A Fast and Scalable Tool for Data Mining in
+Massive Graphs", KDD 2002 — the same family as HyperANF/WebGraph). Not
+in the reference (CombBLAS ships no distance-sketch kernel), but it is
+the canonical link-graph analysis a Common-Crawl-scale user runs right
+after PageRank/CC, and it is a pure semiring superstep: the OR-semiring
+SpMV of SURVEY.md §2.2 with bitmask values.
+
+Spark-first design (and why it scales to 10^12 vertices):
+* state = K Flajolet–Martin bitmasks per vertex, packed into K LONG
+  columns — 8*K bytes/vertex, vertex-sized, never wider.
+* one hop = one join (frontier masks against the cached symmetric
+  adjacency, partitioned by dst) + one ``bit_or`` aggregation. bit_or
+  is associative/commutative/idempotent, so Spark's map-side partial
+  aggregation absorbs in-degree skew exactly like the PlusTimes SpMV
+  (hub pages combine locally before the exchange); with the adjacency
+  pre-partitioned by dst the agg clustering is already satisfied —
+  ZERO edge-sized exchange per hop in the broadcast regime (the same
+  measured recipe as pagerank.py/labelprop.py).
+* sketches merge by OR, so the result is partitioning- and
+  order-invariant — bit-reproducible across cluster sizes (unlike
+  sampled-BFS diameter estimators).
+* per-hop summaries ride the checkpoint job as an ``Observation`` —
+  no extra job, no driver collect of vertex data.
+
+Determinism contract: bit j of vertex v's mask k is seeded from
+md5("{seed}:{k}:{v}") — reproducible across engines, so the DuckDB
+oracle (driver correctness gate) unrolls the identical recurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from combblas_spark.graph import symmetrize_partitioned, vertices
+from combblas_spark.runtime.plans import superstep_checkpoint
+
+# Flajolet–Martin bias correction: E[2^R] = n / PHI_FM
+PHI_FM = 0.77351
+
+
+def _init_mask(j: int, seed: int, r_bits: int):
+    """FM mask for sketch j: a single geometric bit 2^b, b = trailing
+    zeros of a 32-bit md5-derived uniform, capped at r_bits-1.
+
+    u & -u isolates the lowest set bit (already 2^b), so the cap is a
+    plain ``least`` against 2^(r_bits-1) — no float log in the seed
+    path, bit-identical in any engine with md5 + integer ops."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.lit(str(j)), F.col("id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    lowbit = u.bitwiseAND(-u)
+    cap = F.lit(1 << (r_bits - 1)).cast("long")
+    return F.when(lowbit == 0, cap).otherwise(F.least(lowbit, cap)).alias(f"m{j}")
+
+
+def _lzb(col, r_bits: int):
+    """Index of the lowest ZERO bit of a mask: (~m) & (m+1) is that bit
+    as a power of two; log2 of an exact power of two is exact."""
+    return F.log2((F.bitwise_not(col)).bitwiseAND(col + F.lit(1).cast("long"))).cast("int")
+
+
+def _summary_aggs(k: int, r_bits: int):
+    """(sum_lzb, est) aggregate expressions over the sketch state.
+
+    sum_lzb is an exact integer (hash-stable anchor for the oracle);
+    est is the FM neighborhood estimate sum_v 2^(avg lzb) / PHI_FM."""
+    lzbs = [_lzb(F.col(f"m{j}"), r_bits) for j in range(k)]
+    tot = lzbs[0]
+    for e in lzbs[1:]:
+        tot = tot + e
+    sum_lzb = F.sum(tot.cast("long")).alias("sum_lzb")
+    est = (F.sum(F.pow(F.lit(2.0), tot / F.lit(float(k)))) / F.lit(PHI_FM)).alias("est")
+    return sum_lzb, est
+
+
+def anf_sketches(
+    edges: DataFrame,
+    hops: int = 3,
+    k: int = 4,
+    r_bits: int = 24,
+    seed: int = 42,
+    directed: bool = False,
+    broadcast_max_vertices: int = 8_000_000,
+    small_vector_threshold: int = 100_000,
+    summaries: list | None = None,
+) -> DataFrame:
+    """Runs ``hops`` OR-semiring supersteps; returns the final sketch
+    state (id, m0..m{k-1}). If ``summaries`` is given it is appended
+    one dict per hop (h, sum_lzb, est) — measured via Observation on
+    the checkpoint job itself (h=0 is the seed state: N(0) ~= n)."""
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if directed:
+        adj = edges.select("src", "dst").distinct().repartition(shuffle_n, "dst")
+    else:
+        adj = symmetrize_partitioned(edges, "dst", shuffle_n).select("src", "dst")
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+
+    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    can_broadcast = n <= broadcast_max_vertices
+    small_vector = n <= small_vector_threshold
+
+    state = verts.select("id", *[_init_mask(j, seed, r_bits) for j in range(k)])
+    state = state.coalesce(1) if small_vector else state.repartition(shuffle_n, "id")
+    if summaries is not None:
+        obs0 = Observation()
+        sum_lzb, est = _summary_aggs(k, r_bits)
+        state = state.observe(obs0, sum_lzb, est)
+    state = state.localCheckpoint(eager=True)
+    if summaries is not None:
+        got = obs0.get
+        summaries.append({"h": 0, "sum_lzb": int(got["sum_lzb"]), "est": float(got["est"])})
+    verts.unpersist()
+
+    mask_cols = [f"m{j}" for j in range(k)]
+    for h in range(1, hops + 1):
+        mv = state.select(F.col("id").alias("src"), *mask_cols)
+        if can_broadcast:
+            mv = F.broadcast(mv)
+        # neighbor OR-reduce: HashPartitioning(dst) satisfies the agg
+        # clustering -> map-side combine then zero exchange
+        nbr = (
+            adj.join(mv, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.bit_or(c).alias(f"_n{j}") for j, c in enumerate(mask_cols)])
+        )
+        stitched = F.broadcast(nbr) if small_vector else nbr
+        new_state = state.join(stitched, "id", "left").select(
+            "id",
+            *[
+                (F.col(c).bitwiseOR(F.coalesce(F.col(f"_n{j}"), F.lit(0).cast("long")))).alias(c)
+                for j, c in enumerate(mask_cols)
+            ],
+        )
+        obs = None
+        if summaries is not None:
+            obs = Observation()
+            sum_lzb, est = _summary_aggs(k, r_bits)
+            new_state = new_state.observe(obs, sum_lzb, est)
+        state = superstep_checkpoint(new_state, h)
+        if obs is not None:
+            got = obs.get
+            summaries.append(
+                {"h": h, "sum_lzb": int(got["sum_lzb"]), "est": float(got["est"])}
+            )
+
+    adj.unpersist()
+    return state
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    hops: int = 3,
+    k: int = 4,
+    r_bits: int = 24,
+    seed: int = 42,
+    directed: bool = False,
+) -> DataFrame:
+    """Returns (h, sum_lzb, est): the estimated number of vertex pairs
+    within distance h, for h = 0..hops. sum_lzb is the exact integer
+    sum of lowest-zero-bit indexes (the oracle's bit-stable anchor);
+    est rounds to 6dp for cross-engine comparison."""
+    spark = edges.sparkSession
+    summaries: list = []
+    anf_sketches(
+        edges, hops=hops, k=k, r_bits=r_bits, seed=seed, directed=directed,
+        summaries=summaries,
+    )
+    out = spark.createDataFrame(
+        [(s["h"], s["sum_lzb"], s["est"]) for s in summaries],
+        "h INT, sum_lzb BIGINT, est DOUBLE",
+    )
+    return out.select("h", "sum_lzb", F.round("est", 6).alias("est"))
+
+
+def effective_diameter(
+    edges: DataFrame,
+    q: float = 0.9,
+    max_hops: int = 64,
+    k: int = 16,
+    r_bits: int = 24,
+    seed: int = 42,
+) -> dict:
+    """Smallest h with N(h) >= q * N(infinity), interpolated like the
+    WebGraph convention. Runs hops until the sketch sum stops changing
+    (sum_lzb is monotone non-decreasing and bounded, so this
+    terminates); each extra hop is one superstep."""
+    summaries: list = []
+    # run incrementally: hop until sum_lzb stable two hops in a row
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = symmetrize_partitioned(edges, "dst", shuffle_n).select("src", "dst")
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    small_vector = n <= 100_000
+
+    state = verts.select("id", *[_init_mask(j, seed, r_bits) for j in range(k)])
+    state = state.coalesce(1) if small_vector else state.repartition(shuffle_n, "id")
+    obs0 = Observation()
+    sum_lzb, est = _summary_aggs(k, r_bits)
+    state = state.observe(obs0, sum_lzb, est).localCheckpoint(eager=True)
+    got = obs0.get
+    summaries.append({"h": 0, "sum_lzb": int(got["sum_lzb"]), "est": float(got["est"])})
+    verts.unpersist()
+
+    mask_cols = [f"m{j}" for j in range(k)]
+    for h in range(1, max_hops + 1):
+        mv = F.broadcast(state.select(F.col("id").alias("src"), *mask_cols))
+        nbr = (
+            adj.join(mv, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.bit_or(c).alias(f"_n{j}") for j, c in enumerate(mask_cols)])
+        )
+        stitched = F.broadcast(nbr) if small_vector else nbr
+        new_state = state.join(stitched, "id", "left").select(
+            "id",
+            *[
+                (F.col(c).bitwiseOR(F.coalesce(F.col(f"_n{j}"), F.lit(0).cast("long")))).alias(c)
+                for j, c in enumerate(mask_cols)
+            ],
+        )
+        obs = Observation()
+        sum_lzb, est = _summary_aggs(k, r_bits)
+        new_state = new_state.observe(obs, sum_lzb, est)
+        state = superstep_checkpoint(new_state, h)
+        got = obs.get
+        summaries.append({"h": h, "sum_lzb": int(got["sum_lzb"]), "est": float(got["est"])})
+        if summaries[-1]["sum_lzb"] == summaries[-2]["sum_lzb"]:
+            break
+    adj.unpersist()
+
+    n_inf = summaries[-1]["est"]
+    target = q * n_inf
+    eff = float(len(summaries) - 1)
+    for i, s in enumerate(summaries):
+        if s["est"] >= target:
+            if i == 0:
+                eff = 0.0
+            else:
+                prev, cur = summaries[i - 1]["est"], s["est"]
+                frac = (target - prev) / (cur - prev) if cur > prev else 0.0
+                eff = (i - 1) + frac
+            break
+    return {
+        "effective_diameter": round(eff, 3),
+        "hops_run": len(summaries) - 1,
+        "nf": summaries,
+    }

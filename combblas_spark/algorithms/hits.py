@@ -1,0 +1,112 @@
+"""HITS — hubs & authorities by power iteration (Kleinberg 1999).
+
+Not in the reference (CombBLAS ships PageRank-adjacent kernels only via
+third-party comparison code); HITS is the other canonical link-analysis
+primitive a web-graph user expects next to PageRank, and it is a pure
+pair of semiring SpMVs per iteration:
+
+    a = normalize( A^T h )        # authority: sum of in-neighbor hubs
+    h = normalize( A a )          # hub: sum of out-neighbor authorities
+
+Scale design — the DUAL-LAYOUT pattern (new here, measured in BENCH.md):
+unlike PageRank, each HITS iteration aggregates on BOTH matrix
+dimensions (dst for the authority step, src for the hub step). One edge
+cache can only satisfy one of those clusterings, so the other half-step
+would pay an edge-sized exchange EVERY iteration. We instead cache the
+normalized edge list TWICE — once hash-partitioned by dst, once by src
+(2x storage, the classic space-for-shuffle trade; the reference
+analogue is SpParMat storing A and A^T for kernels that need both
+orientations, e.g. the BFS direction-optimization pair). Each half-step
+then joins a broadcast vector against the copy whose partitioning
+already satisfies its aggregation -> ZERO edge-sized exchange per
+iteration in the broadcast regime; in the big-vector regime each copy
+pins its half-step's JOIN side so only vector-sized data moves.
+
+L2 norms ride the half-step's checkpoint job as an ``Observation`` (no
+extra pass); the scalar re-enters the next plan as a literal — Python
+float sqrt is IEEE-correctly-rounded, identical to SQL sqrt.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from combblas_spark.graph import vertices
+from combblas_spark.runtime.plans import superstep_checkpoint
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    broadcast_max_vertices: int = 8_000_000,
+    small_vector_threshold: int = 100_000,
+) -> DataFrame:
+    """Returns (id, hub, auth) over the vertex set src UNION dst after
+    ``n_iter`` synchronous iterations, each L2-normalized (vertices with
+    no in-edges have auth 0; no out-edges -> hub 0). Fixed iteration
+    count so the DuckDB oracle can unroll the identical recurrence."""
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select("src", "dst")
+    # dual layout: one copy per aggregation dimension (see module doc)
+    e_dst = e.repartition(shuffle_n, "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    e_src = e.repartition(shuffle_n, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e_dst.count()
+    e_src.count()
+
+    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    can_broadcast = n <= broadcast_max_vertices
+
+    def _vec(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if can_broadcast else df
+
+    def _half_step(edge_copy: DataFrame, vec: DataFrame, join_key: str,
+                   agg_key: str, step_id: int) -> DataFrame:
+        """One semiring SpMV: sum vec over ``join_key`` neighbors, group
+        by ``agg_key``; the copy's partitioning satisfies the agg (or
+        pins the join side in the shuffle regime). Returns the
+        L2-NORMALIZED sparse vector, checkpointed."""
+        raw = (
+            edge_copy.join(_vec(vec), edge_copy[join_key] == vec["id"])
+            .groupBy(edge_copy[agg_key].alias("id"))
+            .agg(F.sum("v").alias("v"))
+        )
+        obs = Observation()
+        raw = raw.observe(obs, F.sum(F.col("v") * F.col("v")).alias("ss"))
+        raw = superstep_checkpoint(raw, step_id)
+        nrm = math.sqrt(float(obs.get["ss"] or 0.0))
+        if nrm == 0.0:
+            return raw
+        return raw.select("id", (F.col("v") / F.lit(nrm)).alias("v"))
+
+    h = verts.select("id", F.lit(1.0).alias("v"))
+    h = h.coalesce(1) if n <= small_vector_threshold else h.repartition(shuffle_n, "id")
+    h = h.localCheckpoint(eager=True)
+    a = None
+    for it in range(n_iter):
+        # authority: join on src (hub side), aggregate by dst
+        a = _half_step(e_dst, h, "src", "dst", 2 * it)
+        # hub: join on dst (authority side), aggregate by src
+        h = _half_step(e_src, a, "dst", "src", 2 * it + 1)
+
+    out = (
+        verts.join(h.select("id", F.col("v").alias("_h")), "id", "left")
+        .join(a.select("id", F.col("v").alias("_a")), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("_h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("_a"), F.lit(0.0)).alias("auth"),
+        )
+    )
+    # materialize before dropping the caches
+    out = out.localCheckpoint(eager=True)
+    verts.unpersist()
+    e_dst.unpersist()
+    e_src.unpersist()
+    return out

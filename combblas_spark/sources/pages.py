@@ -151,6 +151,32 @@ def extract_link_edges(pages: DataFrame) -> DataFrame:
     )
 
 
+HOST_RE = r"^https?://([^/]+)"
+
+
+def host_link_graph(pages: DataFrame, drop_self: bool = True) -> DataFrame:
+    """Host-level contraction of the page link graph: (src_host,
+    dst_host, weight) where weight = number of page-level links.
+
+    The standard Common-Crawl coarsening (page graph -> host graph,
+    cf. the CC host-level webgraph releases): host parse is a JVM
+    regexp Column, the contraction is one groupBy — the Galerkin
+    triple-product R A R^T of operators/spgemm.py specialised to the
+    0/1 host-membership R, fused into the extraction so page-level
+    edges never materialize wide. drop_self removes intra-host links
+    (the usual convention for host-graph analyses)."""
+    url_edges = extract_link_edges(pages)
+    hosts = url_edges.select(
+        F.regexp_extract("src_url", HOST_RE, 1).alias("src_host"),
+        F.regexp_extract("dst_url", HOST_RE, 1).alias("dst_host"),
+    )
+    if drop_self:
+        hosts = hosts.filter(F.col("src_host") != F.col("dst_host"))
+    return hosts.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+
+
 def pages_to_edges(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Full ingestion: html -> links -> url dictionary -> dense-id edges.
 

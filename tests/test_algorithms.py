@@ -864,3 +864,179 @@ def test_graph500_validator_catches_corruptions(spark):
     v = validate_bfs_tree(g, tree.filter(F.col("id") != 0), root=0)["violations"]
     assert v["r1_root"] == 1
     tree.unpersist()
+
+
+# ----------------------------------------------- webgraph analyses (r3 tail)
+
+
+def _rand_directed_edges(seed, n=14, m=45):
+    rng = np.random.RandomState(seed)
+    es = set()
+    while len(es) < m:
+        s, d = rng.randint(0, n, 2)
+        if s != d:
+            es.add((int(s), int(d)))
+    return sorted(es)
+
+
+def test_hits_vs_numpy(spark):
+    """HITS hubs/authorities match the dense numpy power iteration to
+    1e-9 after 5 normalized iterations."""
+    from combblas_spark.algorithms.hits import hits
+
+    E = _rand_directed_edges(7, n=12, m=40)
+    out = {r["id"]: (r["hub"], r["auth"])
+           for r in hits(df_edges(spark, E), n_iter=5).collect()}
+    nodes = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in E:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(5):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    for v in nodes:
+        assert abs(out[v][0] - h[idx[v]]) < 1e-9
+        assert abs(out[v][1] - a[idx[v]]) < 1e-9
+
+
+def _peel(adj, k):
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            return alive
+        alive -= drop
+
+
+def _undirected_adj(E):
+    adj = {}
+    for s, d in E:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    return adj
+
+
+def test_k_core_vs_peeling(spark):
+    from combblas_spark.algorithms.kcore import k_core
+
+    for seed in (3, 11):
+        E = _rand_directed_edges(seed)
+        adj = _undirected_adj(E)
+        e = df_edges(spark, E)
+        for k in (2, 3, 4, 5, 6):
+            got = {r["id"] for r in k_core(e, k).collect()}
+            assert got == _peel(adj, k), (seed, k)
+
+
+def test_core_numbers_vs_exact(spark):
+    """h-index iteration converges to the exact coreness (isolated
+    vertices are absent = core 0)."""
+    from combblas_spark.algorithms.kcore import core_numbers
+
+    E = _rand_directed_edges(19, n=16, m=50)
+    adj = _undirected_adj(E)
+    alive, core, k = set(adj), {}, 0
+    while alive:
+        while True:
+            drop = {v for v in alive if len(adj[v] & alive) < k + 1}
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k
+            alive -= drop
+        k += 1
+    got = {r["id"]: r["core"] for r in core_numbers(df_edges(spark, E)).collect()}
+    assert {v: got.get(v, 0) for v in adj} == core
+
+
+def test_anf_matches_exact_neighborhood_function(spark):
+    """With k=64 sketches the FM estimate tracks the exact N(h) within
+    35% on an RMAT graph, and sum_lzb is monotone non-decreasing."""
+    from combblas_spark.algorithms.anf import neighborhood_function
+
+    g = build_graph(rmat_edges(spark, 7, 8)).persist()
+    rows = neighborhood_function(g, hops=3, k=64).orderBy("h").collect()
+    # exact N(h) via BFS from every vertex (undirected)
+    E = [(r["src"], r["dst"]) for r in g.select("src", "dst").collect()]
+    adj = _undirected_adj(E)
+    exact = []
+    total = 0
+    from collections import deque
+    for h in range(4):
+        cnt = 0
+        for s in adj:
+            seen = {s}
+            dq = deque([(s, 0)])
+            while dq:
+                u, d = dq.popleft()
+                if d == h:
+                    continue
+                for w in adj[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        dq.append((w, d + 1))
+            cnt += len(seen)
+        exact.append(cnt)
+    for r, ex in zip(rows, exact):
+        if r["h"] == 0:
+            # FM is biased at cardinality ~1 (E[est] ~ 2^0.5/phi per
+            # vertex): only sanity-check the seed row's magnitude
+            assert ex / 2 < r["est"] < ex * 2
+        else:
+            assert abs(r["est"] - ex) / ex < 0.35, (r["h"], r["est"], ex)
+    lzbs = [r["sum_lzb"] for r in rows]
+    assert lzbs == sorted(lzbs)
+    g.unpersist()
+
+
+def test_anf_partition_invariant(spark):
+    """bit_or merges are order/partitioning-invariant: identical
+    sum_lzb under different input partitioning."""
+    from combblas_spark.algorithms.anf import neighborhood_function
+
+    e = df_edges(spark, _rand_directed_edges(5))
+    a = neighborhood_function(e.repartition(1), hops=2).orderBy("h").collect()
+    b = neighborhood_function(e.repartition(7, "dst"), hops=2).orderBy("h").collect()
+    assert [(r["h"], r["sum_lzb"], r["est"]) for r in a] == \
+           [(r["h"], r["sum_lzb"], r["est"]) for r in b]
+
+
+def test_effective_diameter_path_graph(spark):
+    """On a path P_n the 90% effective diameter sits well below the
+    true diameter and hops_run stops at sketch saturation."""
+    from combblas_spark.algorithms.anf import effective_diameter
+
+    e = df_edges(spark, [(i, i + 1) for i in range(9)])  # P10, diameter 9
+    res = effective_diameter(e, q=0.9, k=32)
+    assert 3.0 <= res["effective_diameter"] <= 9.0
+    assert res["hops_run"] <= 11
+    ests = [s["est"] for s in res["nf"]]
+    assert all(b >= a * 0.999 for a, b in zip(ests, ests[1:]))
+
+
+def test_host_link_graph_vs_reference(spark):
+    """Host contraction equals the pure-Python reference extractor +
+    host parse + Counter."""
+    from collections import Counter
+    from urllib.parse import urlparse
+
+    from combblas_spark.sources.pages import (
+        generate_pages, host_link_graph, reference_extract_links,
+    )
+
+    pages = generate_pages(spark, n_pages=120).persist()
+    got = {(r["src_host"], r["dst_host"]): r["weight"]
+           for r in host_link_graph(pages).collect()}
+    exp = Counter()
+    for row in pages.select("url", "html").collect():
+        hs = urlparse(row["url"]).netloc
+        for dst in reference_extract_links(bytes(row["html"])):
+            hd = urlparse(dst).netloc
+            if hs != hd:
+                exp[(hs, hd)] += 1
+    assert got == dict(exp)
+    pages.unpersist()
