@@ -60,6 +60,44 @@ def main() -> None:
     assert all(m not in plan for m in
                ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))
     print("dictionary plan + lineage: PYTHON-FREE (asserted)")
+
+    print("=== 5. ANF hop / HITS half-step / k-core round: "
+          "zero exchange above the cache, Python-free ===")
+    from combblas_spark.algorithms.anf import _init_mask
+    from combblas_spark.graph import symmetrize_partitioned
+
+    sym = symmetrize_partitioned(g, "dst", 16).select("src", "dst").persist()
+    sym.count()
+    state = (
+        vertices(g).select("id", *[_init_mask(j, 42, 24) for j in range(4)])
+        .coalesce(1).localCheckpoint()
+    )
+    mv = F.broadcast(state.select(F.col("id").alias("src"), "m0", "m1", "m2", "m3"))
+    anf_hop = (
+        sym.join(mv, "src").groupBy(F.col("dst").alias("id"))
+        .agg(*[F.bit_or(f"m{j}").alias(f"_n{j}") for j in range(4)])
+    )
+    e_dst = g.select("src", "dst").repartition(16, "dst").persist()
+    e_dst.count()
+    vec = F.broadcast(vertices(g).select("id", F.lit(1.0).alias("v")))
+    hits_half = (
+        e_dst.join(vec, e_dst["src"] == vec["id"])
+        .groupBy(e_dst["dst"].alias("id")).agg(F.sum("v").alias("v"))
+    )
+    alive = F.broadcast(vertices(g).select("id").coalesce(1).localCheckpoint())
+    kcore_round = (
+        sym.join(alive.withColumnRenamed("id", "src"), "src", "left_semi")
+        .groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("_d"))
+        .join(alive, "id", "left_semi")
+    )
+    for name, df in (("anf_hop", anf_hop), ("hits_half_step", hits_half),
+                     ("kcore_round", kcore_round)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        above = plan.split("InMemoryRelation", 1)[0]
+        assert "Exchange" not in above, f"{name}: exchange above the cache"
+        assert all(m not in plan for m in
+                   ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")), name
+        print(f"{name}: zero-exchange above cache, PYTHON-FREE (asserted)")
     spark.stop()
 
 
