@@ -44,6 +44,7 @@ def hits(
     n_iter: int = 5,
     broadcast_max_vertices: int = 8_000_000,
     small_vector_threshold: int = 100_000,
+    dual_layout: bool = True,
 ) -> DataFrame:
     """Returns (id, hub, auth) over the vertex set src UNION dst after
     ``n_iter`` synchronous iterations, each L2-normalized (vertices with
@@ -53,11 +54,17 @@ def hits(
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     e = edges.select("src", "dst")
-    # dual layout: one copy per aggregation dimension (see module doc)
+    # dual layout: one copy per aggregation dimension (see module doc).
+    # dual_layout=False is the A/B baseline: a single dst-partitioned
+    # copy, so the hub half-step's src aggregation pays an edge-sized
+    # exchange every iteration (measured in BENCH.md §9).
     e_dst = e.repartition(shuffle_n, "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    e_src = e.repartition(shuffle_n, "src").persist(StorageLevel.MEMORY_AND_DISK)
     e_dst.count()
-    e_src.count()
+    if dual_layout:
+        e_src = e.repartition(shuffle_n, "src").persist(StorageLevel.MEMORY_AND_DISK)
+        e_src.count()
+    else:
+        e_src = e_dst
 
     verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
@@ -108,5 +115,6 @@ def hits(
     out = out.localCheckpoint(eager=True)
     verts.unpersist()
     e_dst.unpersist()
-    e_src.unpersist()
+    if dual_layout:
+        e_src.unpersist()
     return out
