@@ -250,6 +250,26 @@ def q_pagerank(spark, sf):
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_personalized(spark, sf):
+    """Personalized PageRank (teleport restart vector): the topic-
+    sensitive ranking a webgraph user runs after plain PageRank.
+    Deterministic teleport set: vertices with id % 7 == 0, weight
+    1 + id % 3 (normalized inside pagerank()); dangling mass also
+    redistributes by the teleport distribution."""
+    g = events_graph(spark, sf)
+    verts = (
+        g.select(F.col("src").alias("id"))
+        .unionByName(g.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    tele = verts.select(
+        "id",
+        (F.lit(1.0) + (F.col("id") % 3).cast("double")).alias("t"),
+    ).filter(F.col("id") % 7 == 0)
+    r = pagerank(g, alpha=ALPHA, n_iter=PR_ITERS, teleport=tele)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_pagerank_bucketed(spark, sf):
     """PageRank over a write_bucketed_edges store with the edge_layout
     contract (sources/io.py; BENCH.md cold-start measurement), forced
@@ -1036,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- 1. never driver-verified before round 3 -------------------
+        "pagerank_personalized": q_pagerank_personalized,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1171,6 +1192,46 @@ def _pagerank_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
     FROM edges e JOIN {p} r ON e.src = r.id JOIN outdeg o ON o.id = e.src
     GROUP BY e.dst
   ) inf ON inf.id = v.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(pr, 6) AS \"rank\" FROM r{iters}"
+    )
+
+
+def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
+    """Unrolled personalized-PageRank twin of q_pagerank_personalized:
+    teleport weight 1 + id%3 on vertices with id%7==0, normalized; both
+    the restart term and the dangling mass scale by t(v). Expression
+    order mirrors the Spark Columns exactly (memory: bit-stability)."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)",
+        "srcs AS MATERIALIZED (SELECT DISTINCT src FROM edges)",
+        "tw AS (SELECT v.id, CASE WHEN v.id % 7 = 0 "
+        "THEN 1.0 + CAST(v.id % 3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS w FROM verts v)",
+        "tt AS (SELECT sum(w) AS s FROM tw)",
+        "tpv AS MATERIALIZED (SELECT tw.id, tw.w / tt.s AS tp FROM tw CROSS JOIN tt)",
+        "r0 AS (SELECT id, tp AS pr FROM tpv)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k-1}"
+        ctes.append(
+            f"d{k} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM {p} "
+            f"WHERE id NOT IN (SELECT src FROM srcs))"
+        )
+        ctes.append(
+            f"""r{k} AS (
+  SELECT t.id,
+         (1.0 - {alpha}) * t.tp + {alpha} * (coalesce(inf.s, 0.0) + d{k}.dm * t.tp) AS pr
+  FROM tpv t CROSS JOIN d{k}
+  LEFT JOIN (
+    SELECT e.dst AS id, sum((1.0 / o.deg) * r.pr) AS s
+    FROM edges e JOIN {p} r ON e.src = r.id JOIN outdeg o ON o.id = e.src
+    GROUP BY e.dst
+  ) inf ON inf.id = t.id
 )"""
         )
     return (
@@ -1315,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
                               WHERE s.dst = v.id AND p.lvl = v.lvl - 1) END AS parent
             FROM lv v""",
         "pagerank": _pagerank_sql(),
+        "pagerank_personalized": _pagerank_personalized_sql(),
         # same recurrence: bucketing affects placement, never values
         "pagerank_bucketed": _pagerank_sql(),
         "labelprop": _labelprop_sql(),

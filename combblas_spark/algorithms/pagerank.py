@@ -61,12 +61,27 @@ def pagerank(
     runner=None,
     initial_ranks: DataFrame | None = None,
     edge_layout: str | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id, rank) over the vertex set src UNION dst.
 
     n_iter set -> EXACTLY that many synchronous iterations (used by the
     DuckDB oracle, which unrolls the same recurrence); tol set -> run to
     L1 convergence (used by correctness-vs-numpy tests and bench).
+
+    ``teleport`` switches to PERSONALIZED PageRank: a (id, weight)
+    DataFrame of non-negative restart weights (any second column name;
+    vertices absent from it get weight 0). Weights are normalized to
+    sum 1 internally; the recurrence becomes
+
+        r' = (1-a) * t(v) + a * ( A_norm^T r + dangling_mass * t(v) )
+
+    i.e. both the restart term AND the dangling mass redistribute by
+    the teleport distribution (the standard random-surfer-with-
+    bookmarks model). The teleport vector is folded into the state as
+    one extra column, so the per-superstep plan shape — and the zero-
+    exchange property of both regimes — is unchanged. Initial ranks
+    default to t(v) itself (the personalized stationary start).
 
     ``edge_layout`` declares that ``edges`` is ALREADY hash-partitioned
     by that column ("src"/"dst") — e.g. a ``write_bucketed_edges`` table
@@ -97,7 +112,25 @@ def pagerank(
         .select("id", (F.col("_s") == 0).alias("dg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = base.count()
+    personalized = teleport is not None
+    if personalized:
+        # fold the normalized restart distribution into the cached base
+        # (id, dg, tp) — ONE extra setup join, zero extra loop work.
+        tcol = [c for c in teleport.columns if c != "id"][0]
+        tdf = teleport.select("id", F.col(tcol).cast("double").alias("_tw"))
+        seeded = base.join(tdf, "id", "left").select(
+            "id", "dg", F.coalesce(F.col("_tw"), F.lit(0.0)).alias("_tw"))
+        ttot = seeded.agg(F.sum("_tw").alias("_tt"))
+        base0 = base
+        base = (
+            seeded.crossJoin(F.broadcast(ttot))
+            .select("id", "dg", (F.col("_tw") / F.col("_tt")).alias("tp"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n = base.count()
+        base0.unpersist()
+    else:
+        n = base.count()
     can_broadcast = n <= broadcast_max_vertices
     # Small vectors collapse to one partition (tiny-stage overhead
     # dominates otherwise); bigger vectors stay hash-partitioned by id at
@@ -141,6 +174,9 @@ def pagerank(
         resumed = runner.resume()
         if resumed is not None:
             start_it, state = resumed
+    # personalized runs carry the normalized teleport weight as one more
+    # state column — same plan shape, one wider row.
+    extra = ["tp"] if personalized else []
     if state is None:
         if initial_ranks is not None:
             # warm start (incremental maintenance after edge deltas): seed
@@ -149,12 +185,15 @@ def pagerank(
             # a few supersteps instead of from scratch.
             seeded = base.join(
                 initial_ranks.select("id", F.col("rank").alias("_r0")), "id", "left"
-            ).select("id", "dg", F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("_r0"))
+            ).select("id", "dg", *extra,
+                     F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("_r0"))
             total = seeded.agg(F.sum("_r0").alias("_t"))
             state = (
                 seeded.crossJoin(F.broadcast(total))
-                .select("id", (F.col("_r0") / F.col("_t")).alias("rank"), "dg")
+                .select("id", (F.col("_r0") / F.col("_t")).alias("rank"), "dg", *extra)
             )
+        elif personalized:
+            state = base.select("id", F.col("tp").alias("rank"), "dg", "tp")
         else:
             state = base.select("id", F.lit(1.0 / n).alias("rank"), "dg")
         state = state.coalesce(1) if small_vector else state.repartition(shuffle_n, "id")
@@ -168,11 +207,19 @@ def pagerank(
             F.coalesce(F.sum(F.when(F.col("dg"), F.col("rank"))), F.lit(0.0)).alias("_dm")
         )
         rv = state.select(F.col("id").alias("_rid"), F.col("rank").alias("_r"))
-        new_rank = (
-            F.lit((1.0 - alpha) / n)
-            + F.lit(alpha)
-            * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
-        ).alias("rank")
+        if personalized:
+            # restart AND dangling mass redistribute by t(v), not 1/n
+            new_rank = (
+                F.lit(1.0 - alpha) * F.col("tp")
+                + F.lit(alpha)
+                * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") * F.col("tp"))
+            ).alias("rank")
+        else:
+            new_rank = (
+                F.lit((1.0 - alpha) / n)
+                + F.lit(alpha)
+                * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
+            ).alias("rank")
 
         if can_broadcast:
             # zero-exchange SpMV: broadcast join + partitioning-satisfied
@@ -191,7 +238,7 @@ def pagerank(
             new_state = (
                 state.join(stitched, "id", "left")
                 .crossJoin(F.broadcast(dmass))
-                .select("id", F.col("rank").alias("_prev"), new_rank, "dg")
+                .select("id", F.col("rank").alias("_prev"), new_rank, "dg", *extra)
             )
         else:
             # shuffle regime: the SpMV contributions aggregate by dst into
@@ -208,7 +255,7 @@ def pagerank(
             new_state = (
                 state.join(inflow, "id", "left")
                 .crossJoin(F.broadcast(dmass))
-                .select("id", F.col("rank").alias("_prev"), new_rank, "dg")
+                .select("id", F.col("rank").alias("_prev"), new_rank, "dg", *extra)
             )
 
         # tol mode: the L1 delta rides the superstep job itself as an
@@ -221,7 +268,7 @@ def pagerank(
             obs = Observation()
             new_state = new_state.observe(
                 obs, F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
-        new_state = new_state.select("id", "rank", "dg")
+        new_state = new_state.select("id", "rank", "dg", *extra)
 
         # materialize: THE one job per superstep (truncates lineage);
         # the runner additionally writes durable Parquet on its cadence

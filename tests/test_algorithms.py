@@ -90,6 +90,51 @@ def test_pagerank_fixed_iters_matches_unrolled(spark):
     np.testing.assert_allclose(got, r, atol=1e-12)
 
 
+def test_pagerank_personalized_vs_numpy(spark):
+    """Personalized PageRank: restart AND dangling mass redistribute by
+    the (normalized) teleport vector; vertices outside the teleport set
+    get rank only through in-links. Includes a dangling vertex (3)."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (1, 3)]
+    e = df_edges(spark, edges)
+    tele = spark.createDataFrame([(0, 3.0), (2, 1.0)], ["id", "t"])
+    got = ranks_of(pagerank(e, n_iter=8, teleport=tele), 4)
+
+    n, alpha = 4, 0.85
+    t = np.array([3.0, 0.0, 1.0, 0.0]); t /= t.sum()
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    out = A.sum(axis=1)
+    r = t.copy()
+    for _ in range(8):
+        dang = r[out == 0].sum()
+        nz = out > 0
+        contrib = (A[nz] / out[nz, None] * r[nz, None]).sum(axis=0)
+        r = (1 - alpha) * t + alpha * (contrib + dang * t)
+    np.testing.assert_allclose(got, r, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_personalized_tol_mode(spark):
+    """tol-mode convergence works with the tp state column threaded
+    through the Observation/checkpoint path; single-source restart."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]
+    e = df_edges(spark, edges)
+    tele = spark.createDataFrame([(0, 1.0)], ["id", "t"])
+    got = ranks_of(pagerank(e, tol=1e-12, teleport=tele), 4)
+    n, alpha = 4, 0.85
+    t = np.array([1.0, 0.0, 0.0, 0.0])
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    out = A.sum(axis=1)
+    r = t.copy()
+    for _ in range(300):
+        contrib = (A / out[:, None] * r[:, None]).sum(axis=0)
+        r = (1 - alpha) * t + alpha * contrib
+    np.testing.assert_allclose(got, r, atol=1e-8)
+
+
 # ------------------------------------------------------------------------ CC
 
 def cc_oracle(edges, n):
