@@ -735,6 +735,72 @@ def _host_graph_sql(n_pages: int = PAGES_N, n_sites: int = 10,
     )
 
 
+TRUST_SEEDS = ["site0.example", "site3.example", "site6.example", "site9.example"]
+
+
+def q_trustrank(spark, sf):
+    """TrustRank (Gyongyi et al. 2004): weighted personalized PageRank
+    over the host graph, restarting at a trusted-seed host set — the
+    standard webspam-demotion ranking, composed end-to-end from the
+    engine's own pieces: synthetic Common-Crawl pages -> JVM host parse
+    + contraction (host_link_graph) -> pagerank(weighted, teleport)."""
+    from combblas_spark.sources.pages import generate_pages, host_link_graph
+
+    pages = generate_pages(spark, n_pages=PAGES_N)
+    hg = host_link_graph(pages).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("weight").cast("double").alias("val"),
+    )
+    tele = spark.createDataFrame([(h, 1.0) for h in TRUST_SEEDS], ["id", "t"])
+    r = pagerank(hg, alpha=ALPHA, n_iter=PR_ITERS, weighted=True, teleport=tele)
+    return r.select(F.col("id").alias("host"), F.round("rank", 6).alias("trust"))
+
+
+def _trustrank_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
+    """Unrolled weighted personalized PageRank over the rule-derived
+    host-graph VALUES multiset (_host_graph_sql), seeds TRUST_SEEDS.
+    Expression order mirrors pagerank()'s Columns: per-edge transition
+    weight is (val / out_weight), restart and dangling mass scale by
+    the normalized seed indicator."""
+    seeds = ", ".join(f"'{h}'" for h in TRUST_SEEDS)
+    ctes = [
+        f"hedges AS MATERIALIZED (SELECT src_host AS src, dst_host AS dst, "
+        f"CAST(weight AS DOUBLE) AS val FROM ({_host_graph_sql()}))",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM hedges UNION ALL SELECT dst FROM hedges))",
+        "outw AS MATERIALIZED (SELECT src AS id, sum(val) AS ow FROM hedges GROUP BY src)",
+        "srcs AS MATERIALIZED (SELECT DISTINCT src FROM hedges)",
+        f"tw AS (SELECT v.id, CASE WHEN v.id IN ({seeds}) "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS w FROM verts v)",
+        "tt AS (SELECT sum(w) AS s FROM tw)",
+        "tpv AS MATERIALIZED (SELECT tw.id, tw.w / tt.s AS tp FROM tw CROSS JOIN tt)",
+        "r0 AS (SELECT id, tp AS pr FROM tpv)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k-1}"
+        ctes.append(
+            f"d{k} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM {p} "
+            f"WHERE id NOT IN (SELECT src FROM srcs))"
+        )
+        ctes.append(
+            f"""r{k} AS (
+  SELECT t.id,
+         (1.0 - {alpha}) * t.tp + {alpha} * (coalesce(inf.s, 0.0) + d{k}.dm * t.tp) AS pr
+  FROM tpv t CROSS JOIN d{k}
+  LEFT JOIN (
+    SELECT e.dst AS id, sum((e.val / o.ow) * r.pr) AS s
+    FROM hedges e JOIN {p} r ON e.src = r.id JOIN outw o ON o.id = e.src
+    GROUP BY e.dst
+  ) inf ON inf.id = t.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS host, ROUND(pr, 6) AS trust FROM r{iters}"
+    )
+
+
 def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
              seed: int = ANF_SEED) -> str:
     """DuckDB twin of algorithms.anf.neighborhood_function: identical
@@ -1057,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- 1. never driver-verified before round 3 -------------------
         "pagerank_personalized": q_pagerank_personalized,
+        "trustrank": q_trustrank,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1571,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()
+    sqls["trustrank"] = _trustrank_sql()
     return sqls
 
 

@@ -230,3 +230,28 @@ def test_cc_assume_symmetric_layout_over_bucketed_table(spark, tmp_path):
             assert got == ref
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_cc")
+
+
+def test_trustrank_host_ranking(spark):
+    """End-to-end webspam-demotion pipeline: synthetic pages -> host
+    contraction -> weighted personalized PageRank on trusted seeds.
+    Values are oracle-checked by the driver gate; here: probability
+    mass conserved, all hosts ranked, seeds carry the restart floor."""
+    from pyspark.sql import functions as F
+
+    from combblas_spark.algorithms.pagerank import pagerank
+    from combblas_spark.sources.pages import generate_pages, host_link_graph
+
+    pages = generate_pages(spark, n_pages=120)
+    hg = host_link_graph(pages).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst"),
+        F.col("weight").cast("double").alias("val"))
+    seeds = ["site0.example", "site5.example"]
+    tele = spark.createDataFrame([(h, 1.0) for h in seeds], ["id", "t"])
+    r = pagerank(hg, n_iter=8, weighted=True, teleport=tele).collect()
+    trust = {row["id"]: row["rank"] for row in r}
+    assert len(trust) == 10
+    assert abs(sum(trust.values()) - 1.0) < 1e-9
+    # seeds keep at least the (1-alpha)*t restart floor
+    for h in seeds:
+        assert trust[h] >= (1 - 0.85) * 0.5 - 1e-12
