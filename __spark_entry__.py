@@ -671,6 +671,19 @@ def q_hits(spark, sf):
     )
 
 
+def q_salsa(spark, sf):
+    """SALSA hubs/authorities: degree-normalized (stochastic) HITS
+    variant, 5 un-normalized power iterations over the dual-layout
+    cache with the 1/deg weights baked into the cached copies."""
+    from combblas_spark.algorithms.hits import salsa
+
+    g = events_graph(spark, sf)
+    out = salsa(g, n_iter=HITS_ITERS)
+    return out.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
 def q_k_core(spark, sf):
     """k-core peel (k=15) on the thinned events graph — iterated
     Reduce(Row)+PruneRowsCols until fixed point."""
@@ -871,6 +884,40 @@ def _hits_sql(iters: int = HITS_ITERS) -> str:
         ctes.append(f"hn{t} AS (SELECT sqrt(sum(v * v)) AS nrm FROM hr{t})")
         ctes.append(
             f"h{t} AS MATERIALIZED (SELECT id, v / nrm AS v FROM hr{t} CROSS JOIN hn{t})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT v.id, ROUND(coalesce(h.v, 0.0), 6) AS hub,
+               ROUND(coalesce(a.v, 0.0), 6) AS auth
+        FROM verts v LEFT JOIN h{iters} h ON h.id = v.id
+        LEFT JOIN a{iters} a ON a.id = v.id"""
+    )
+
+
+def _salsa_sql(iters: int = HITS_ITERS) -> str:
+    """DuckDB twin of algorithms.hits.salsa: unrolled stochastic power
+    iterations (hub init 1.0, no per-step normalization); per-edge
+    weights 1/indeg(dst) and 1/outdeg(src) joined exactly like the
+    engine bakes them into its cached copies."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "ind AS MATERIALIZED (SELECT dst AS id, 1.0 / count(*) AS wc FROM edges GROUP BY dst)",
+        "outd AS MATERIALIZED (SELECT src AS id, 1.0 / count(*) AS wr FROM edges GROUP BY src)",
+        "h0 AS (SELECT id, 1.0 AS v FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT e.dst AS id, sum(i.wc * h.v) AS v "
+            f"FROM edges e JOIN h{t-1} h ON h.id = e.src "
+            f"JOIN ind i ON i.id = e.dst GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT e.src AS id, sum(o.wr * a.v) AS v "
+            f"FROM edges e JOIN a{t} a ON a.id = e.dst "
+            f"JOIN outd o ON o.id = e.src GROUP BY e.src)"
         )
     return (
         "WITH " + ",\n".join(ctes)
@@ -1124,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 1. never driver-verified before round 3 -------------------
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
+        "salsa": q_salsa,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1635,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["media_features"] = _media_features_sql()
     sqls["anf"] = _anf_sql()
     sqls["hits"] = _hits_sql()
+    sqls["salsa"] = _salsa_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -118,3 +118,85 @@ def hits(
     if dual_layout:
         e_src.unpersist()
     return out
+
+
+def salsa(
+    edges: DataFrame,
+    n_iter: int = 5,
+    broadcast_max_vertices: int = 8_000_000,
+    small_vector_threshold: int = 100_000,
+    dual_layout: bool = True,
+) -> DataFrame:
+    """SALSA (Lempel & Moran 2000) — the stochastic sibling of HITS:
+
+        a(i) = (1/indeg(i))  * sum_{j->i} h(j)     # column-stochastic
+        h(j) = (1/outdeg(j)) * sum_{j->i} a(i)     # row-stochastic
+
+    Returns (id, hub, auth) after ``n_iter`` synchronous iterations from
+    h0 = 1 (no per-step normalization: both operators are stochastic, so
+    magnitudes stay bounded; fixed iterations keep the DuckDB oracle an
+    exact unroll). Degree normalization makes SALSA robust to the
+    tightly-knit-community effect that skews HITS — the variant webgraph
+    ranking pipelines usually deploy.
+
+    Scale design: identical dual-layout trade to hits() (one cached copy
+    per aggregation dimension, BENCH.md §9) — the 1/deg weights are
+    JOINED ONCE in setup and baked into the cached copies, so the loop
+    is exactly the HITS plan with a per-edge constant weight.
+    """
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select("src", "dst")
+    ind = e.groupBy("dst").agg((F.lit(1.0) / F.count(F.lit(1))).alias("wc"))
+    outd = e.groupBy("src").agg((F.lit(1.0) / F.count(F.lit(1))).alias("wr"))
+    ew = e.join(ind, "dst").join(outd, "src").select("src", "dst", "wc", "wr")
+    e_dst = ew.repartition(shuffle_n, "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    e_dst.count()
+    if dual_layout:
+        e_src = ew.repartition(shuffle_n, "src").persist(StorageLevel.MEMORY_AND_DISK)
+        e_src.count()
+    else:
+        e_src = e_dst
+
+    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    can_broadcast = n <= broadcast_max_vertices
+
+    def _vec(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if can_broadcast else df
+
+    def _half_step(edge_copy: DataFrame, vec: DataFrame, join_key: str,
+                   agg_key: str, wcol: str, step_id: int) -> DataFrame:
+        raw = (
+            edge_copy.join(_vec(vec), edge_copy[join_key] == vec["id"])
+            .groupBy(edge_copy[agg_key].alias("id"))
+            .agg(F.sum(F.col(wcol) * F.col("v")).alias("v"))
+        )
+        return superstep_checkpoint(raw, step_id)
+
+    h = verts.select("id", F.lit(1.0).alias("v"))
+    h = h.coalesce(1) if n <= small_vector_threshold else h.repartition(shuffle_n, "id")
+    h = h.localCheckpoint(eager=True)
+    a = None
+    for it in range(n_iter):
+        # authority: join hubs on src, column-stochastic agg by dst
+        a = _half_step(e_dst, h, "src", "dst", "wc", 2 * it)
+        # hub: join authorities on dst, row-stochastic agg by src
+        h = _half_step(e_src, a, "dst", "src", "wr", 2 * it + 1)
+
+    out = (
+        verts.join(h.select("id", F.col("v").alias("_h")), "id", "left")
+        .join(a.select("id", F.col("v").alias("_a")), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("_h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("_a"), F.lit(0.0)).alias("auth"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    verts.unpersist()
+    e_dst.unpersist()
+    if dual_layout:
+        e_src.unpersist()
+    return out

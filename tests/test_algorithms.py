@@ -948,6 +948,36 @@ def test_hits_vs_numpy(spark):
         assert abs(out[v][1] - a[idx[v]]) < 1e-9
 
 
+def test_salsa_vs_numpy(spark):
+    """SALSA: stochastic (degree-normalized) HITS — 5 un-normalized
+    iterations from h0=1 match the dense numpy recurrence; vertices
+    with no in-edges have auth 0, no out-edges hub 0. Both layouts."""
+    from combblas_spark.algorithms.hits import salsa
+
+    E = _rand_directed_edges(11, n=12, m=40)
+    nodes = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in E:
+        A[idx[s], idx[d]] = 1.0
+    ind, outd = A.sum(axis=0), A.sum(axis=1)
+    Wc = np.divide(A, ind, out=np.zeros_like(A), where=ind > 0)   # col-stochastic
+    Wr = np.divide(A, outd[:, None], out=np.zeros_like(A), where=outd[:, None] > 0)
+    h = np.ones(len(nodes))
+    for _ in range(5):
+        a = Wc.T @ h
+        h = Wr @ a
+    h = np.where(outd > 0, h, 0.0)
+    a = np.where(ind > 0, a, 0.0)
+    for dual in (True, False):
+        out = {r["id"]: (r["hub"], r["auth"])
+               for r in salsa(df_edges(spark, E), n_iter=5,
+                              dual_layout=dual).collect()}
+        for v in nodes:
+            assert abs(out[v][0] - h[idx[v]]) < 1e-9
+            assert abs(out[v][1] - a[idx[v]]) < 1e-9
+
+
 def _peel(adj, k):
     alive = set(adj)
     while True:
