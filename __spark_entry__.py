@@ -646,6 +646,82 @@ _THIN_PRED = (
 )
 
 
+def q_scc(spark, sf):
+    """Strongly connected components (trim + forward max-coloring +
+    constrained backward reach) on the thinned events graph — the
+    directed counterpart of connected_components; labels = min member
+    id, same convention."""
+    from combblas_spark.algorithms.scc import strongly_connected_components
+
+    g = _thin_edges(events_graph(spark, sf))
+    return strongly_connected_components(g)
+
+
+def q_bowtie(spark, sf):
+    """Broder bow-tie decomposition of the thinned events graph
+    relative to its largest SCC: CORE / IN / OUT / TENDRIL (incl.
+    tubes) / DISCONNECTED — the canonical crawl-structure analysis."""
+    from combblas_spark.algorithms.scc import bow_tie
+
+    g = _thin_edges(events_graph(spark, sf))
+    return bow_tie(g)
+
+
+def _scc_sql() -> str:
+    """Exact SCC twin via DuckDB recursive-CTE transitive closure
+    (feasible at gate scale): scc(v) = min over mutually-reachable set."""
+    return f"""WITH RECURSIVE edges AS (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED}),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM de
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN de e ON e.src = r.b
+),
+mutual AS (SELECT r1.a AS id, r1.b AS other FROM reach r1
+           JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+lab AS (SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc
+        FROM verts v LEFT JOIN mutual m ON m.id = v.id GROUP BY v.id)
+SELECT id, scc FROM lab"""
+
+
+def _bowtie_sql() -> str:
+    """Bow-tie twin: largest SCC (min-label tiebreak) from the same
+    closure, forward/backward reach sets, weak connectivity via a
+    second recursive CTE over the symmetrized edges."""
+    return f"""WITH RECURSIVE edges AS (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED}),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM de
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN de e ON e.src = r.b
+),
+mutual AS (SELECT r1.a AS id, r1.b AS other FROM reach r1
+           JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+lab AS (SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc
+        FROM verts v LEFT JOIN mutual m ON m.id = v.id GROUP BY v.id),
+top AS (SELECT scc FROM (SELECT scc, count(*) AS c FROM lab GROUP BY scc)
+        ORDER BY c DESC, scc ASC LIMIT 1),
+core AS (SELECT id FROM lab WHERE scc = (SELECT scc FROM top)),
+fwd AS (SELECT id FROM core UNION SELECT r.b AS id FROM reach r JOIN core c ON c.id = r.a),
+bwd AS (SELECT id FROM core UNION SELECT r.a AS id FROM reach r JOIN core c ON c.id = r.b),
+sym AS (SELECT src, dst FROM de UNION SELECT dst AS src, src AS dst FROM de),
+seed AS (SELECT id FROM fwd UNION SELECT id FROM bwd),
+wk(id) AS (
+  SELECT id FROM seed
+  UNION
+  SELECT s.dst AS id FROM wk w JOIN sym s ON s.src = w.id
+)
+SELECT v.id,
+  CASE WHEN v.id IN (SELECT id FROM core) THEN 'CORE'
+       WHEN v.id IN (SELECT id FROM bwd) THEN 'IN'
+       WHEN v.id IN (SELECT id FROM fwd) THEN 'OUT'
+       WHEN v.id IN (SELECT id FROM wk) THEN 'TENDRIL'
+       ELSE 'DISCONNECTED' END AS region
+FROM verts v"""
+
+
 def q_anf(spark, sf):
     """Approximate neighborhood function (ANF, KDD'02): N(h) estimates
     for h=0..3 from md5-seeded Flajolet-Martin sketches merged by
@@ -1172,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "salsa": q_salsa,
+        "scc": q_scc,
+        "bowtie": q_bowtie,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1684,6 +1762,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["anf"] = _anf_sql()
     sqls["hits"] = _hits_sql()
     sqls["salsa"] = _salsa_sql()
+    sqls["scc"] = _scc_sql()
+    sqls["bowtie"] = _bowtie_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

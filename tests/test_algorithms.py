@@ -978,6 +978,77 @@ def test_salsa_vs_numpy(spark):
             assert abs(out[v][1] - a[idx[v]]) < 1e-9
 
 
+def _tarjan_scc(nodes, E):
+    """Iterative Tarjan; returns {id: min id of its SCC}."""
+    adj = {v: [] for v in nodes}
+    for s, d in E:
+        if s != d:
+            adj[s].append(d)
+    index, low, onstk, stk, out = {}, {}, set(), [], {}
+    counter = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]; counter[0] += 1
+                stk.append(v); onstk.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1)); work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstk:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop(); onstk.discard(w); comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return out
+
+
+def test_scc_vs_tarjan(spark):
+    """Trim+coloring+backward-reach SCC matches Tarjan labels (min
+    member id) on random directed graphs across densities."""
+    from combblas_spark.algorithms.scc import strongly_connected_components
+
+    for seed, m in [(3, 25), (4, 60), (5, 110)]:
+        E = _rand_directed_edges(seed, n=18, m=m)
+        nodes = sorted({x for e in E for x in e})
+        expect = _tarjan_scc(nodes, E)
+        got = {r["id"]: r["scc"]
+               for r in strongly_connected_components(
+                   df_edges(spark, E)).collect()}
+        assert got == expect, (seed, got, expect)
+
+
+def test_bowtie_regions(spark):
+    """Hand graph: 3-cycle core, OUT 2-cycle, a tendril hanging off
+    OUT, and disconnected pieces (incl. a self-loop singleton)."""
+    from combblas_spark.algorithms.scc import bow_tie
+
+    E = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (5, 3),
+         (6, 6), (7, 8), (9, 0)]
+    bt = {r["id"]: r["region"] for r in bow_tie(df_edges(spark, E)).collect()}
+    assert bt == {0: "CORE", 1: "CORE", 2: "CORE", 3: "OUT", 4: "OUT",
+                  5: "TENDRIL", 6: "DISCONNECTED", 7: "DISCONNECTED",
+                  8: "DISCONNECTED", 9: "IN"}, bt
+
+
 def _peel(adj, k):
     alive = set(adj)
     while True:
