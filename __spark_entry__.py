@@ -722,6 +722,56 @@ SELECT v.id,
 FROM verts v"""
 
 
+WALK_LEN = 6
+WALKS_PER_V = 2
+WALK_SEED = 42
+
+
+def q_random_walks(spark, sf):
+    """Deterministic DeepWalk corpus: 2 counter-hash random walks of
+    length 6 per vertex on the thinned events graph (sinks terminate
+    walks early) — the skip-gram training-data generator for graph
+    embeddings."""
+    from combblas_spark.algorithms.walks import random_walks
+
+    g = _thin_edges(events_graph(spark, sf))
+    return random_walks(g, walk_length=WALK_LEN,
+                        walks_per_vertex=WALKS_PER_V, seed=WALK_SEED)
+
+
+def _walks_sql(length: int = WALK_LEN, k: int = WALKS_PER_V,
+               seed: int = WALK_SEED) -> str:
+    """Unrolled twin of random_walks: identical per-src neighbor
+    ranking (row_number by dst) and identical md5 counter-hash pick."""
+    walks_vals = ", ".join(f"({i})" for i in range(k))
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "de AS (SELECT DISTINCT src, dst FROM edges)",
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM de)",
+        f"s0 AS (SELECT v.id AS start, CAST(kk.walk AS BIGINT) AS walk, "
+        f"v.id AS vertex FROM verts v CROSS JOIN (VALUES {walks_vals}) AS kk(walk))",
+    ]
+    for t in range(1, length + 1):
+        pick = (
+            f"('0x' || substr(md5(CAST(s.start AS VARCHAR) || ':' || "
+            f"CAST(s.walk AS VARCHAR) || ':{t}:{seed}'), 1, 8))::BIGINT"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT s.start, s.walk, a.dst AS vertex "
+            f"FROM s{t-1} s JOIN adj a ON a.src = s.vertex "
+            f"AND a.idx = {pick} % a.deg)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk, {t} AS step, vertex FROM s{t}"
+        for t in range(0, length + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
 def q_anf(spark, sf):
     """Approximate neighborhood function (ANF, KDD'02): N(h) estimates
     for h=0..3 from md5-seeded Flajolet-Martin sketches merged by
@@ -1250,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": q_salsa,
         "scc": q_scc,
         "bowtie": q_bowtie,
+        "random_walks": q_random_walks,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1764,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["salsa"] = _salsa_sql()
     sqls["scc"] = _scc_sql()
     sqls["bowtie"] = _bowtie_sql()
+    sqls["random_walks"] = _walks_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -1,0 +1,93 @@
+"""Deterministic random walks — the DeepWalk/node2vec corpus generator.
+
+Not in the reference (CombBLAS has no sampling kernels); this is the
+graph-side training-data op a webgraph user runs next: emit K walks of
+length L per vertex as (start, walk, step, vertex) rows, the input
+corpus for skip-gram graph embeddings (Perozzi et al. 2014).
+
+Determinism: step t of walk (v, k) moves to the neighbor whose dense
+per-source index equals  md5("v:k:t:seed") % outdeg(cur)  — a counter-
+hash choice, the same seeded-PRNG-free trick as the RMAT generator
+(sources/rmat.py), so any partitioning/retry produces the identical
+corpus AND a DuckDB twin can unroll the exact recurrence.
+
+Scale design: the adjacency is ranked ONCE (row_number per src over a
+single shuffle), cached partitioned by src; each step is one join of
+the walk-state vector against it on (cur == src AND idx == pick) — the
+SpMSpV shape, state-sized traffic only. Walks that reach a sink vertex
+terminate (inner join), exactly like the reference corpus generators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from combblas_spark.graph import vertices
+from combblas_spark.runtime.plans import superstep_checkpoint
+
+
+def _pick(start, k, t: int, seed: int):
+    """Counter-hash neighbor pick: first 8 md5 hex chars as a long
+    (same Column idiom as the thin-sample predicate / ANF masks, and
+    bit-identical to the DuckDB twin's ('0x'||substr(md5(..)))::BIGINT)."""
+    key = F.concat_ws(
+        ":", start.cast("string"), k.cast("string"),
+        F.lit(str(t)), F.lit(str(seed)),
+    )
+    return F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 10,
+    walks_per_vertex: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Returns (start, walk, step, vertex): walk ``walk`` from vertex
+    ``start`` visited ``vertex`` at ``step`` (0 = the start itself,
+    up to ``walk_length``; shorter if a sink is reached)."""
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # rank each source's neighbors once: idx in [0, outdeg) ordered by
+    # dst (deterministic), outdeg alongside — one window over one shuffle
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        edges.select("src", "dst").dropDuplicates(["src", "dst"])
+        .repartition(shuffle_n, "src")
+        .select(
+            "src", "dst",
+            (F.row_number().over(w) - 1).alias("idx"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj.count()
+
+    ks = spark.range(walks_per_vertex).select(F.col("id").cast("long").alias("walk"))
+    state = (
+        vertices(edges).crossJoin(F.broadcast(ks))
+        .select(F.col("id").alias("start"), "walk", F.col("id").alias("vertex"))
+        .repartition(shuffle_n, "start", "walk")
+        .localCheckpoint(eager=True)
+    )
+    out = state.select("start", "walk", F.lit(0).alias("step"), "vertex")
+
+    for t in range(1, walk_length + 1):
+        pick = _pick(F.col("start"), F.col("walk"), t, seed)
+        state = (
+            state.join(adj, [state["vertex"] == adj["src"]])
+            .where(F.col("idx") == pick % F.col("deg"))
+            .select("start", "walk", F.col("dst").alias("vertex"))
+        )
+        state = superstep_checkpoint(state, t)
+        if state.isEmpty():
+            break
+        out = out.unionByName(
+            state.select("start", "walk", F.lit(t).alias("step"), "vertex"))
+
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    return out

@@ -1049,6 +1049,44 @@ def test_bowtie_regions(spark):
                   8: "DISCONNECTED", 9: "IN"}, bt
 
 
+def test_random_walks_deterministic(spark):
+    """Counter-hash walks match a pure-Python md5 twin step by step;
+    sink vertices terminate their walks early."""
+    import hashlib
+
+    from combblas_spark.algorithms.walks import random_walks
+
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 4), (1, 0)]  # 4 is a sink
+    L, K, SEED = 5, 2, 7
+    adj = {}
+    for s, d in E:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+
+    expect = set()
+    for start in range(5):
+        for k in range(K):
+            cur = start
+            expect.add((start, k, 0, cur))
+            for t in range(1, L + 1):
+                if cur not in adj:
+                    break
+                h = int(hashlib.md5(
+                    f"{start}:{k}:{t}:{SEED}".encode()).hexdigest()[:8], 16)
+                cur = adj[cur][h % len(adj[cur])]
+                expect.add((start, k, t, cur))
+
+    got = {(r["start"], r["walk"], r["step"], r["vertex"])
+           for r in random_walks(df_edges(spark, E), walk_length=L,
+                                 walks_per_vertex=K, seed=SEED).collect()}
+    assert got == expect
+    # start=3 deterministically hits the sink (adj[3] = [4]) at step 1
+    # and must emit nothing after it
+    assert (3, 0, 1, 4) in got
+    assert not any(s == 3 and t > 1 for (s, k, t, v) in got)
+
+
 def _peel(adj, k):
     alive = set(adj)
     while True:
