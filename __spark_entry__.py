@@ -739,6 +739,30 @@ def q_random_walks(spark, sf):
                         walks_per_vertex=WALKS_PER_V, seed=WALK_SEED)
 
 
+def q_skipgram_pairs(spark, sf):
+    """Skip-gram (center, context, cnt) co-occurrence pairs within a
+    2-step window over the deterministic walk corpus — the word2vec-
+    style training input derived from the link graph."""
+    from combblas_spark.algorithms.walks import random_walks, skipgram_pairs
+
+    g = _thin_edges(events_graph(spark, sf))
+    w = random_walks(g, walk_length=WALK_LEN,
+                     walks_per_vertex=WALKS_PER_V, seed=WALK_SEED)
+    return skipgram_pairs(w, window=2)
+
+
+def _skipgram_sql(window: int = 2) -> str:
+    """Twin of q_skipgram_pairs: the walks unroll (_walks_sql) wrapped
+    in the same banded self-join + count."""
+    return f"""WITH corpus AS MATERIALIZED ({_walks_sql()})
+SELECT a.vertex AS center, b.vertex AS context, count(*) AS cnt
+FROM corpus a JOIN corpus b
+  ON a.start = b.start AND a.walk = b.walk
+WHERE abs(a.step - b.step) <= {window}
+  AND a.step <> b.step AND a.vertex <> b.vertex
+GROUP BY a.vertex, b.vertex"""
+
+
 def _walks_sql(length: int = WALK_LEN, k: int = WALKS_PER_V,
                seed: int = WALK_SEED) -> str:
     """Unrolled twin of random_walks: identical per-src neighbor
@@ -1301,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "bowtie": q_bowtie,
         "random_walks": q_random_walks,
+        "skipgram_pairs": q_skipgram_pairs,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1816,6 +1841,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["scc"] = _scc_sql()
     sqls["bowtie"] = _bowtie_sql()
     sqls["random_walks"] = _walks_sql()
+    sqls["skipgram_pairs"] = _skipgram_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -91,3 +91,33 @@ def random_walks(
     out = out.localCheckpoint(eager=True)
     adj.unpersist()
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+) -> DataFrame:
+    """(center, context, cnt) skip-gram co-occurrence pairs from a
+    random_walks() corpus: vertices within ``window`` steps of each
+    other on the same walk (both directions, center != context),
+    aggregated to counts — the exact input of a word2vec-style
+    embedding trainer.
+
+    One self-equi-join on the walk key with a bounded step-band
+    predicate (never a cross join: the planner turns the equi-key into
+    the shuffle key and the band into a post-join filter), then one
+    count agg — both map-side combinable. Walk rows are (n_vertices x
+    walks x length), so at 10^12-vertex scale this stays
+    corpus-sized, never all-pairs."""
+    a = walks.select(F.col("start"), F.col("walk"),
+                     F.col("step").alias("_s1"), F.col("vertex").alias("center"))
+    b = walks.select(F.col("start"), F.col("walk"),
+                     F.col("step").alias("_s2"), F.col("vertex").alias("context"))
+    return (
+        a.join(b, ["start", "walk"])
+        .where((F.abs(F.col("_s1") - F.col("_s2")) <= window)
+               & (F.col("_s1") != F.col("_s2"))
+               & (F.col("center") != F.col("context")))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1087,6 +1087,29 @@ def test_random_walks_deterministic(spark):
     assert not any(s == 3 and t > 1 for (s, k, t, v) in got)
 
 
+def test_skipgram_pairs(spark):
+    """Window-2 co-occurrence counts from a hand corpus; the self-join
+    must plan as an equi-join on the walk key, never cartesian."""
+    from combblas_spark.algorithms.walks import skipgram_pairs
+
+    corpus = spark.createDataFrame(
+        [(0, 0, 0, 10), (0, 0, 1, 11), (0, 0, 2, 12), (0, 0, 3, 10),
+         (5, 1, 0, 20), (5, 1, 1, 21)],
+        "start long, walk long, step int, vertex long")
+    got = {(r["center"], r["context"]): r["cnt"]
+           for r in skipgram_pairs(corpus, window=2).collect()}
+    # walk A visits 10,11,12,10; walk B visits 20,21
+    expect = {
+        (10, 11): 2, (11, 10): 2,          # steps (0,1) and (3,1)... (1,3) too
+        (10, 12): 2, (12, 10): 2,          # (0,2) and (3,2)
+        (11, 12): 1, (12, 11): 1,
+        (20, 21): 1, (21, 20): 1,
+    }
+    assert got == expect, got
+    plan = skipgram_pairs(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def _peel(adj, k):
     alive = set(adj)
     while True:
