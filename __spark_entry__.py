@@ -796,6 +796,46 @@ def _walks_sql(length: int = WALK_LEN, k: int = WALKS_PER_V,
     return "WITH " + ",\n".join(ctes) + "\n" + selects
 
 
+TRUSS_K = 4
+TRUSS_ROUNDS = 20
+
+
+def q_k_truss(spark, sf):
+    """k-truss (k=4) of the thinned events graph: triangle-support
+    edge peeling to fixpoint — the edge-level sibling of k_core."""
+    from combblas_spark.algorithms.truss import k_truss
+
+    g = _thin_edges(events_graph(spark, sf))
+    return k_truss(g, TRUSS_K)
+
+
+def _truss_sql(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
+    """Unrolled twin of k_truss: identical wedge-join support counts
+    and peel rule per round (extra rounds past fixpoint are no-ops)."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "t0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM edges WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"t{r-1}"
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT a, b FROM "
+            f"(SELECT u AS a, v AS b FROM {p} UNION ALL SELECT v AS a, u AS b FROM {p}))"
+        )
+        ctes.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT e.u, e.v, count(*) AS c
+    FROM {p} e
+    JOIN s{r} n1 ON n1.a = e.u
+    JOIN s{r} n2 ON n2.a = e.v AND n2.b = n1.b
+    GROUP BY e.u, e.v
+  ) WHERE c >= {k - 2})"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT u, v FROM t{rounds}"
+
+
 def q_anf(spark, sf):
     """Approximate neighborhood function (ANF, KDD'02): N(h) estimates
     for h=0..3 from md5-seeded Flajolet-Martin sketches merged by
@@ -1326,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
+        "k_truss": q_k_truss,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1842,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["bowtie"] = _bowtie_sql()
     sqls["random_walks"] = _walks_sql()
     sqls["skipgram_pairs"] = _skipgram_sql()
+    sqls["k_truss"] = _truss_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -1110,6 +1110,32 @@ def test_skipgram_pairs(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def _py_ktruss(E, k):
+    """Reference peel: canonical undirected edges, drop support < k-2."""
+    es = {(min(a, b), max(a, b)) for a, b in E if a != b}
+    while True:
+        nbrs = {}
+        for u, v in es:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        keep = {(u, v) for u, v in es
+                if len(nbrs[u] & nbrs[v]) >= k - 2}
+        if keep == es:
+            return es
+        es = keep
+
+
+def test_k_truss_vs_python(spark):
+    from combblas_spark.algorithms.truss import k_truss
+
+    for seed, m, k in [(2, 40, 3), (6, 70, 4), (9, 100, 5)]:
+        E = _rand_directed_edges(seed, n=14, m=m)
+        expect = _py_ktruss(E, k)
+        got = {(r["u"], r["v"])
+               for r in k_truss(df_edges(spark, E), k).collect()}
+        assert got == expect, (seed, k, got ^ expect)
+
+
 def _peel(adj, k):
     alive = set(adj)
     while True:
