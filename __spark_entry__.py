@@ -836,6 +836,60 @@ def _truss_sql(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT u, v FROM t{rounds}"
 
 
+CLOSE_ROUNDS = 12
+
+
+def q_closeness(spark, sf):
+    """Exact harmonic + closeness centrality (all roots, directed) on
+    the thinned events graph via batched multi-root BFS."""
+    from combblas_spark.algorithms.closeness import closeness_centrality
+
+    g = _thin_edges(events_graph(spark, sf))
+    out = closeness_centrality(g)
+    return out.select("id", F.round("harmonic", 6).alias("harmonic"),
+                      F.round("closeness", 6).alias("closeness"))
+
+
+def _closeness_sql(rounds: int = CLOSE_ROUNDS) -> str:
+    """Unrolled batched-BFS twin of q_closeness (rounds past the
+    diameter are no-ops)."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "l0 AS (SELECT id AS root, id, 0 AS level FROM verts)",
+    ]
+    for t in range(1, rounds + 1):
+        p = f"l{t-1}"
+        ctes.append(
+            f"""l{t} AS MATERIALIZED (
+  SELECT * FROM {p}
+  UNION ALL
+  SELECT root, id, {t} AS level FROM (
+    SELECT DISTINCT f.root, e.dst AS id
+    FROM {p} f JOIN de e ON e.src = f.id WHERE f.level = {t - 1}
+  ) n WHERE NOT EXISTS (
+    SELECT 1 FROM {p} x WHERE x.root = n.root AND x.id = n.id))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+sc AS (
+  SELECT root,
+         coalesce(sum(CASE WHEN level > 0 THEN 1.0 / level END), 0.0) AS harmonic,
+         sum(level) AS sumd,
+         count(CASE WHEN level > 0 THEN 1 END) AS reached
+  FROM l{rounds} GROUP BY root)
+SELECT v.id,
+       ROUND(coalesce(sc.harmonic, 0.0), 6) AS harmonic,
+       ROUND(coalesce(CASE WHEN sc.sumd > 0
+                           THEN CAST(sc.reached AS DOUBLE) / sc.sumd
+                           ELSE 0.0 END, 0.0), 6) AS closeness
+FROM verts v LEFT JOIN sc ON sc.root = v.id"""
+    )
+
+
 def q_anf(spark, sf):
     """Approximate neighborhood function (ANF, KDD'02): N(h) estimates
     for h=0..3 from md5-seeded Flajolet-Martin sketches merged by
@@ -1367,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "k_truss": q_k_truss,
+        "closeness": q_closeness,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1884,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["random_walks"] = _walks_sql()
     sqls["skipgram_pairs"] = _skipgram_sql()
     sqls["k_truss"] = _truss_sql()
+    sqls["closeness"] = _closeness_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -1,0 +1,96 @@
+"""Closeness / harmonic centrality — batched multi-root BFS.
+
+The distance-based centrality pair next to betweenness (same batched
+level-synchronous forward pass as betweenness.py, minus path counts):
+for each root r over directed distances d(r, v),
+
+    harmonic(r)  = sum_{v reachable, v != r} 1 / d(r, v)
+    closeness(r) = reached(r) / sum d(r, v)     (0 when nothing reached)
+
+Harmonic is the variant that stays well-defined on disconnected
+webgraphs (Boldi & Vigna 2014 recommend it for exactly that reason);
+the closeness column uses the reached-count numerator so partial
+reachability does not inflate scores.
+
+Scale: the batch dimension is a key column — one join advances all
+roots' waves (identical shape to betweenness's forward pass); the
+final score is one groupBy(root) over the accumulated level table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from combblas_spark.graph import vertices
+from combblas_spark.runtime.plans import superstep_checkpoint
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    roots: list[int] | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Returns (id, harmonic, closeness) for every root (roots=None ->
+    every vertex; exact centrality)."""
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates(["src", "dst"])
+    e = e.repartition(shuffle_n, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+
+    verts = vertices(edges).localCheckpoint(eager=True)
+    if roots is None:
+        fr0 = verts.select(F.col("id").alias("root"), F.col("id"))
+    else:
+        fr0 = spark.createDataFrame(
+            [(int(r), int(r)) for r in roots], "root long, id long")
+
+    levels = fr0.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
+    frontier = levels
+    depth = 0
+    while True:
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select("root", F.col("dst").alias("id"))
+            .dropDuplicates(["root", "id"])
+            .join(levels.select("root", "id"), ["root", "id"], "left_anti")
+            .withColumn("level", F.lit(depth + 1))
+        )
+        nxt = superstep_checkpoint(nxt, depth)
+        if nxt.isEmpty():
+            break
+        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        depth += 1
+
+    scores = (
+        levels.groupBy("root")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("level") > 0, F.lit(1.0) / F.col("level"))),
+                F.lit(0.0)).alias("harmonic"),
+            F.sum("level").alias("_sumd"),
+            F.count(F.when(F.col("level") > 0, F.lit(1))).alias("_reached"),
+        )
+        .select(
+            F.col("root").alias("id"),
+            "harmonic",
+            F.when(F.col("_sumd") > 0,
+                   F.col("_reached").cast("double") / F.col("_sumd"))
+            .otherwise(F.lit(0.0)).alias("closeness"),
+        )
+    )
+    out = verts.join(scores, "id", "left").select(
+        "id",
+        F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+        F.coalesce("closeness", F.lit(0.0)).alias("closeness"),
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -1110,6 +1110,36 @@ def test_skipgram_pairs(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_closeness_vs_python(spark):
+    """Harmonic + closeness match a python BFS per root, incl. a sink
+    (harmonic 0) and partially-reachable roots."""
+    from collections import deque
+
+    from combblas_spark.algorithms.closeness import closeness_centrality
+
+    E = _rand_directed_edges(8, n=12, m=24) + [(50, 0)]  # 50: source-only
+    nodes = sorted({x for e in E for x in e})
+    adj = {}
+    for s, d in E:
+        adj.setdefault(s, set()).add(d)
+    got = {r["id"]: (r["harmonic"], r["closeness"])
+           for r in closeness_centrality(df_edges(spark, E)).collect()}
+    for r in nodes:
+        dist = {r: 0}
+        q = deque([r])
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, ()):  # noqa: B905
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        hs = sum(1.0 / d for v, d in dist.items() if d > 0)
+        sumd = sum(dist.values())
+        reached = sum(1 for d in dist.values() if d > 0)
+        cl = reached / sumd if sumd > 0 else 0.0
+        assert abs(got[r][0] - hs) < 1e-9 and abs(got[r][1] - cl) < 1e-9, r
+
+
 def _py_ktruss(E, k):
     """Reference peel: canonical undirected edges, drop support < k-2."""
     es = {(min(a, b), max(a, b)) for a, b in E if a != b}
