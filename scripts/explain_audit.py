@@ -98,6 +98,49 @@ def main() -> None:
         assert all(m not in plan for m in
                    ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")), name
         print(f"{name}: zero-exchange above cache, PYTHON-FREE (asserted)")
+
+    print("=== 6. SCC color superstep / walks step / skipgram band join: "
+          "Python-free, no cartesian ===")
+    from pyspark.sql import Window
+
+    c = vertices(g).select("id", F.col("id").alias("color")) \
+        .repartition(16, "id").localCheckpoint()
+    e_src = g.select("src", "dst").repartition(16, "src").persist()
+    e_src.count()
+    inc = (
+        e_src.join(c.select(F.col("id").alias("src"),
+                            F.col("color").alias("_cu")), "src")
+        .groupBy(F.col("dst").alias("id")).agg(F.max("_cu").alias("_cin"))
+    )
+    scc_color = (
+        c.join(inc, "id", "left")
+        .select("id", F.greatest(F.col("color"),
+                                 F.coalesce(F.col("_cin"), F.lit(-1))).alias("color"))
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = e_src.select(
+        "src", "dst", (F.row_number().over(w) - 1).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg")).persist()
+    adj.count()
+    st = vertices(g).select(F.col("id").alias("start"), F.lit(0).alias("walk"),
+                            F.col("id").alias("vertex")).localCheckpoint()
+    pick = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("start").cast("string"), F.col("walk").cast("string"),
+        F.lit("1"), F.lit("42")).cast("binary")), 1, 8), 16, 10).cast("long")
+    walk_step = (st.join(adj, [st["vertex"] == adj["src"]])
+                 .where(F.col("idx") == pick % F.col("deg"))
+                 .select("start", "walk", F.col("dst").alias("vertex")))
+    corpus = st.select("start", "walk", F.lit(0).alias("step"), "vertex")
+    band = (corpus.alias("a").join(corpus.alias("b"), ["start", "walk"])
+            .where(F.abs(F.col("a.step") - F.col("b.step")) <= 2))
+    for name, df in (("scc_color_superstep", scc_color),
+                     ("walk_step_join", walk_step),
+                     ("skipgram_band_join", band)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, name
+        assert all(m not in plan for m in
+                   ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")), name
+        print(f"{name}: equi-join planned, PYTHON-FREE (asserted)")
     spark.stop()
 
 
