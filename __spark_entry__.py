@@ -1422,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "k_truss": q_k_truss,
         "closeness": q_closeness,
+        "labelprop_seeded": q_labelprop_seeded,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1563,6 +1564,51 @@ def _pagerank_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(pr, 6) AS \"rank\" FROM r{iters}"
     )
+
+
+def q_labelprop_seeded(spark, sf):
+    """Semi-supervised label propagation (webspam/topic classification
+    pattern): seeds = vertices with id%11==0 labeled id%3, clamped;
+    everyone else starts unlabeled and adopts the majority labeled
+    neighbor label."""
+    from combblas_spark.algorithms.labelprop import label_propagation
+
+    g = events_graph(spark, sf)
+    verts = (
+        g.select(F.col("src").alias("id"))
+        .unionByName(g.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("id") % 11 == 0).select(
+        "id", (F.col("id") % 3).alias("label"))
+    return label_propagation(g, n_rounds=LP_ROUNDS, seeds=seeds)
+
+
+def _labelprop_seeded_sql(rounds: int = LP_ROUNDS) -> str:
+    """Unrolled twin of q_labelprop_seeded: null-labeled vertices don't
+    vote, seeds clamp every round."""
+    seed = "CASE WHEN v.id % 11 = 0 THEN v.id % 3 END"
+    ctes = [
+        f"edges AS ({EDGES})",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        _SYM,
+        f"l0 AS (SELECT v.id, {seed} AS label FROM verts v)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"l{r-1}"
+        ctes.append(
+            f"""b{r} AS (
+  SELECT s.dst AS id, l.label
+  FROM sym s JOIN {p} l ON l.id = s.src AND l.label IS NOT NULL
+  GROUP BY s.dst, l.label
+  QUALIFY row_number() OVER (PARTITION BY s.dst ORDER BY count(*) DESC, l.label ASC) = 1
+)"""
+        )
+        ctes.append(
+            f"l{r} AS (SELECT v.id, coalesce({seed}, b.label, p.label) AS label "
+            f"FROM verts v JOIN {p} p ON p.id = v.id LEFT JOIN b{r} b ON b.id = v.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
 
 
 def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
@@ -1940,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["skipgram_pairs"] = _skipgram_sql()
     sqls["k_truss"] = _truss_sql()
     sqls["closeness"] = _closeness_sql()
+    sqls["labelprop_seeded"] = _labelprop_seeded_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

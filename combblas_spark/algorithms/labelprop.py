@@ -39,11 +39,21 @@ def label_propagation(
     broadcast_max_vertices: int = 8_000_000,
     small_vector_threshold: int = 100_000,
     runner=None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (id, label). Initial label = vertex id; each round every
     vertex adopts the most frequent label among its (undirected)
     neighbors, ties broken by smallest label; vertices with no
-    neighbors keep their label (none here: vertex set = src+dst)."""
+    neighbors keep their label (none here: vertex set = src+dst).
+
+    ``seeds`` switches to SEMI-SUPERVISED propagation (the
+    webspam/topic-classification pattern, complementing trustrank): a
+    (id, label) DataFrame of known labels. Seeds stay CLAMPED to their
+    label every round; all other vertices start UNLABELED (null) and
+    adopt the most frequent labeled neighbor label (min tie-break);
+    vertices never reached by any label stay null. Same plan shape —
+    the clamp rides the state as one extra column, and unlabeled
+    neighbors are filtered from the vote before the join."""
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # one fused exchange: the (src,dst) dedup rides the dst partitioning
@@ -65,14 +75,24 @@ def label_propagation(
         resumed = runner.resume()
         if resumed is not None:
             start_r, labels = resumed
+    seeded = seeds is not None
     if labels is None:
-        labels = verts.select("id", F.col("id").alias("label"))
+        if seeded:
+            sl = seeds.select("id", F.col(
+                [c for c in seeds.columns if c != "id"][0]).alias("_sl"))
+            labels = verts.join(sl, "id", "left").select(
+                "id", F.col("_sl").alias("label"), "_sl")
+        else:
+            labels = verts.select("id", F.col("id").alias("label"))
         labels = labels.coalesce(1) if small_vector else labels.repartition(shuffle_n, "id")
     labels = labels.localCheckpoint(eager=True)
     verts.unpersist()
 
     for r in range(start_r, n_rounds):
         lv = labels.select(F.col("id").alias("src"), "label")
+        if seeded:
+            # unlabeled vertices don't vote
+            lv = lv.where(F.col("label").isNotNull())
         if can_broadcast:
             lv = F.broadcast(lv)
         # count-per-(vertex,label): HashPartitioning(dst) satisfies the
@@ -90,10 +110,20 @@ def label_propagation(
             .select("id", F.col("label").alias("_new"))
         )
         stitched = F.broadcast(best) if small_vector else best
-        new_labels = (
-            labels.join(stitched, "id", "left")
-            .select("id", F.coalesce(F.col("_new"), F.col("label")).alias("label"))
-        )
+        if seeded:
+            # clamp seeds; unlabeled vertices adopt the vote if any
+            new_labels = (
+                labels.join(stitched, "id", "left")
+                .select("id",
+                        F.coalesce(F.col("_sl"), F.col("_new"),
+                                   F.col("label")).alias("label"),
+                        "_sl")
+            )
+        else:
+            new_labels = (
+                labels.join(stitched, "id", "left")
+                .select("id", F.coalesce(F.col("_new"), F.col("label")).alias("label"))
+            )
         if runner is not None:
             new_labels = runner.step(r, new_labels)
         else:
@@ -105,4 +135,4 @@ def label_propagation(
     if runner is not None:
         runner.finish(labels)
     sym.unpersist()
-    return labels
+    return labels.select("id", "label")

@@ -978,6 +978,29 @@ def test_salsa_vs_numpy(spark):
             assert abs(out[v][1] - a[idx[v]]) < 1e-9
 
 
+def test_labelprop_seeded(spark):
+    """Two clamped seed classes on a path; middle adopts the majority
+    labeled neighbor (min tie-break); isolated pair stays null."""
+    from combblas_spark.algorithms.labelprop import label_propagation
+
+    # path 0-1-2-3-4 plus leaf 5 off 4 (undirected via symmetrize),
+    # seeds: 0->10, 4->20; isolated component 8-9 never sees a label.
+    # Converged state (traced by hand, sync rounds): 1 and 2 settle on
+    # 10; 3's neighborhood {2:10, 4:20} is a permanent tie, so the min
+    # tie-break makes label 10 creep to 3 as well; leaf 5 sees only the
+    # clamped 20.
+    E = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+    seeds = spark.createDataFrame([(0, 10), (4, 20)], "id long, label long")
+    out = {r["id"]: r["label"]
+           for r in label_propagation(df_edges(spark, E), n_rounds=5,
+                                      seeds=seeds).collect()}
+    assert out[0] == 10 and out[4] == 20          # clamped
+    assert out[1] == 10 and out[2] == 10          # adopt nearest seed
+    assert out[3] == 10                           # tie 10 vs 20 -> min
+    assert out[5] == 20                           # leaf off the 20-seed
+    assert out[8] is None and out[9] is None      # unreached stay null
+
+
 def _tarjan_scc(nodes, E):
     """Iterative Tarjan; returns {id: min id of its SCC}."""
     adj = {v: [] for v in nodes}
