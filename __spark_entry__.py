@@ -44,7 +44,8 @@ from combblas_spark.algorithms.sssp import sssp
 from combblas_spark.algorithms.triangles import lower_triangle, triangles_per_vertex
 from combblas_spark.functions.text import analyze_documents
 from combblas_spark.functions.dedup import (
-    exact_duplicates, minhash_signatures, ngram_jaccard, simhash_near_dups,
+    exact_duplicates, minhash_signatures, near_dup_clusters, ngram_jaccard,
+    prefix_filter_pairs, simhash_near_dups,
 )
 from combblas_spark.functions.similarity import brute_force_topk, lsh_topk
 from combblas_spark.functions.multimodal import synthetic_media, extract_media_features
@@ -481,6 +482,24 @@ def q_doc_quality(spark, sf):
 
 def q_dedup_exact(spark, sf):
     return exact_duplicates(_docs(spark, sf)).select("fp", "n_dups", "keep_id")
+
+
+def q_prefix_jaccard(spark, sf):
+    """EXACT Jaccard>=0.8 similarity self-join via prefix filtering
+    (AllPairs/PPJoin candidate condition): rarest-prefix equi-join +
+    symmetric size filter, then exact verify — the zero-recall-loss
+    scale path complementing LSH."""
+    return prefix_filter_pairs(_docs(spark, sf), threshold=0.8).select(
+        "id_a", "id_b", "jaccard")
+
+
+def q_neardup_clusters(spark, sf):
+    """Near-dup clustering: connected components over the verified
+    prefix-filter pair graph; canonical doc = min id per cluster —
+    the graph engine closing the dedup pipeline transitively."""
+    d = _docs(spark, sf)
+    pairs = prefix_filter_pairs(d, threshold=0.8)
+    return near_dup_clusters(d, pairs).select("id", "cluster", "is_canonical")
 
 
 def q_minhash(spark, sf):
@@ -1423,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "closeness": q_closeness,
         "labelprop_seeded": q_labelprop_seeded,
+        "prefix_jaccard": q_prefix_jaccard,
+        "neardup_clusters": q_neardup_clusters,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1609,6 +1630,67 @@ def _labelprop_seeded_sql(rounds: int = LP_ROUNDS) -> str:
             f"FROM verts v JOIN {p} p ON p.id = v.id LEFT JOIN b{r} b ON b.id = v.id)"
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
+
+
+_PREFIX_JACCARD = """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shd AS (
+  SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+  WHERE len(w) >= 3
+),
+sz AS (SELECT id, count(*) AS sz FROM shd GROUP BY id),
+freq AS (SELECT sh, count(*) AS df FROM shd GROUP BY sh),
+ranked AS (
+  SELECT s.id, s.sh, z.sz,
+         row_number() OVER (PARTITION BY s.id ORDER BY f.df, s.sh) AS pos
+  FROM shd s JOIN freq f USING (sh) JOIN sz z USING (id)
+),
+pre AS (SELECT id, sh, sz FROM ranked WHERE pos <= sz - floor(0.8 * sz) + 1),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pre a JOIN pre b ON a.sh = b.sh AND a.id < b.id
+  WHERE b.sz >= 0.8 * a.sz AND a.sz >= 0.8 * b.sz
+),
+ov AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c JOIN shd x ON x.id = c.id_a
+              JOIN shd y ON y.id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b,
+         round(n_inter * 1.0 / (x.sz + y.sz - n_inter), 6) AS jaccard
+  FROM ov JOIN sz x ON x.id = ov.id_a JOIN sz y ON y.id = ov.id_b
+  WHERE n_inter * 1.0 / (x.sz + y.sz - n_inter) >= 0.8
+)"""
+
+
+def _prefix_jaccard_sql() -> str:
+    """Twin of q_prefix_jaccard: identical prefix-filter construction
+    (df-asc/sh-asc rarity order, floor-based prefix length, symmetric
+    size filter) so candidate sets — not just survivors — coincide."""
+    return f"WITH {_PREFIX_JACCARD}\nSELECT id_a, id_b, jaccard FROM pairs"
+
+
+def _neardup_clusters_sql() -> str:
+    """Twin of q_neardup_clusters: recursive-CTE transitive closure over
+    the verified pair graph (exact at gate scale), cluster = min
+    reachable id, singletons = own id."""
+    return f"""WITH RECURSIVE {_PREFIX_JACCARD},
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
+),
+lab AS (
+  SELECT d.doc_id AS id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT id, cluster, id = cluster AS is_canonical FROM lab"""
 
 
 def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
@@ -1987,6 +2069,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["k_truss"] = _truss_sql()
     sqls["closeness"] = _closeness_sql()
     sqls["labelprop_seeded"] = _labelprop_seeded_sql()
+    sqls["prefix_jaccard"] = _prefix_jaccard_sql()
+    sqls["neardup_clusters"] = _neardup_clusters_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

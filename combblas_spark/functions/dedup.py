@@ -174,6 +174,94 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     return cand.filter(ham <= max_hamming).select("id_a", "id_b", ham.alias("hamming"))
 
 
+# -------------------------------------- exact similarity join (prefix filter)
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT word-k-gram Jaccard similarity self-join via prefix
+    filtering (the AllPairs/PPJoin candidate condition): returns EVERY
+    pair (id_a < id_b, jaccard) with jaccard >= threshold — zero recall
+    loss, unlike the MinHash-LSH path (lsh_candidate_pairs).
+
+    Scale design: the candidate join touches only each document's
+    PREFIX — its p = |S| - floor(t*|S|) + 1 globally-RAREST shingles
+    (order = corpus document-frequency asc, shingle asc). The prefix-
+    filter lemma guarantees any pair with Jaccard >= t shares a prefix
+    shingle (if all shared shingles sat in the suffix, overlap would be
+    <= |S| - p = floor(t*|S|) - 1 < ceil(t*|S|), the minimum overlap
+    Jaccard >= t requires — using floor for p makes the prefix one
+    longer than strictly needed, robust to IEEE rounding of t*|S|).
+    Rare-first ordering bounds the equi-join fan-out: a shingle shared
+    by millions of pages is df-ranked last and falls out of every
+    prefix. A symmetric size filter (t*|a| <= |b| <= |a|/t) prunes
+    candidates before the verify stage, which rescans only candidate
+    pairs' shingle sets — never all-pairs.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
+    ).localCheckpoint(eager=True)  # feeds freq, ranking, and the verify rescans
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    pre = (
+        sh.join(freq, "sh")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "id")
+        .where(F.col("pos") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "sh", "sz")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+               & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+               & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), "sh")
+    sb = sh.select(F.col("id").alias("id_b"), "sh")
+    # candidates share >=1 prefix shingle, so the intersection count is
+    # never null — inner joins throughout
+    inter = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("n_a"))
+    zb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(za, "id_a").join(zb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def near_dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Cluster near-duplicate documents: connected components over the
+    verified near-dup pair graph — the step after prefix_filter_pairs /
+    LSH-verify in a web-corpus dedup pipeline (transitive closure
+    matters: A~B and B~C must dedup to ONE cluster even when A~C is
+    below threshold). Canonical document = min doc id per cluster;
+    documents in no pair are their own singleton cluster. Returns
+    (id, cluster, is_canonical)."""
+    from combblas_spark.algorithms.components import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("cluster"))
+        .withColumn("is_canonical", F.col("id") == F.col("cluster"))
+    )
+
+
 # ------------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard(

@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 from combblas_spark.functions.text import analyze_documents
 from combblas_spark.functions.dedup import (
     exact_duplicates, dedup_exact, minhash_signatures, lsh_candidate_pairs,
-    simhash, simhash_near_dups, ngram_jaccard,
+    near_dup_clusters, ngram_jaccard, prefix_filter_pairs, simhash,
+    simhash_near_dups,
 )
 from combblas_spark.functions.similarity import brute_force_topk, lsh_topk, hyperplane_lsh_buckets
 from combblas_spark.functions.multimodal import synthetic_media, extract_media_features
@@ -78,6 +79,64 @@ def test_ngram_jaccard(docs, spark):
     assert j[(0, 1)] == 1.0
     assert 0.5 < j[(0, 2)] < 1.0
     assert j[(0, 4)] == 0.0
+
+
+def _brute_jaccard_pairs(rows, threshold, k=3):
+    """All (a<b, jaccard>=t) pairs over word-k-gram shingle sets, in
+    plain Python — the completeness reference for the prefix filter."""
+    sets = {}
+    for i, text in rows:
+        toks = text.split(" ")
+        sets[i] = {" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)} \
+            if len(toks) >= k else set()
+    ids = sorted(sets)
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not sets[a] or not sets[b]:
+                continue
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_prefix_filter_pairs_complete(spark):
+    """The prefix filter is EXACT: engine pairs == brute-force all-pairs
+    Jaccard on a random small-vocab corpus (which maximizes shingle
+    collisions, the hard case for candidate pruning)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["web", "page", "link", "graph", "spark", "data", "crawl", "rank"]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 18)))))
+    # planted near-dups: copy with a 1-word edit, and an exact dup
+    base = rows[3][1].split(" ")
+    base[2] = "edited"
+    rows.append((30, " ".join(base)))
+    rows.append((31, rows[5][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        want = _brute_jaccard_pairs(rows, t)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in prefix_filter_pairs(docs, threshold=t).collect()}
+        assert got == want, f"threshold {t}: {got.keys() ^ want.keys()}"
+    assert (5, 31) in _brute_jaccard_pairs(rows, 0.8)  # the plants fired
+
+
+def test_neardup_clusters(spark):
+    """Transitive closure over the pair graph: A~B and B~C land in ONE
+    cluster with canonical = min id; unpaired docs are singletons."""
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(5)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    out = {r["id"]: (r["cluster"], r["is_canonical"])
+           for r in near_dup_clusters(docs, pairs).collect()}
+    assert out == {0: (0, True), 1: (0, False), 2: (0, False),
+                   3: (3, True), 4: (4, True)}
 
 
 @pytest.fixture(scope="module")
