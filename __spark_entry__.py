@@ -484,6 +484,19 @@ def q_dedup_exact(spark, sf):
     return exact_duplicates(_docs(spark, sf)).select("fp", "n_dups", "keep_id")
 
 
+def q_gopher_filter(spark, sf):
+    """Gopher-rule quality filter with per-rule audit flags; bounds
+    chosen so the synthetic corpus exercises both outcomes of the
+    word-count and mean-word-length rules."""
+    from combblas_spark.functions.text import gopher_quality_flags
+
+    return gopher_quality_flags(
+        _docs(spark, sf), min_words=25, max_words=90,
+        min_mean_word_len=3.0, max_mean_word_len=5.0,
+    ).select("doc_id", "n_words", "ok_word_count", "ok_mean_word_len",
+             "ok_symbol_ratio", "ok_stopwords", "ok_alpha_words", "keep")
+
+
 def q_prefix_jaccard(spark, sf):
     """EXACT Jaccard>=0.8 similarity self-join via prefix filtering
     (AllPairs/PPJoin candidate condition): rarest-prefix equi-join +
@@ -1444,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop_seeded": q_labelprop_seeded,
         "prefix_jaccard": q_prefix_jaccard,
         "neardup_clusters": q_neardup_clusters,
+        "gopher_filter": q_gopher_filter,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1663,6 +1677,35 @@ pairs AS (
   FROM ov JOIN sz x ON x.id = ov.id_a JOIN sz y ON y.id = ov.id_b
   WHERE n_inter * 1.0 / (x.sz + y.sz - n_inter) >= 0.8
 )"""
+
+
+def _gopher_filter_sql() -> str:
+    """Twin of q_gopher_filter: same rule expressions over the same
+    single-space tokenization (string_split keeps empties, matching
+    F.split)."""
+    sw = "['the','a','of','and','to','in','is','on','for','with']"
+    return f"""WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+           / len(string_split(text, ' ')) AS mean_len,
+         (length(regexp_replace(text, '[^#]', '', 'g'))
+           + (length(text) - length(replace(text, '...', ''))) / 3) * 1.0
+           / len(string_split(text, ' ')) AS sym_ratio,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')), {sw})) AS n_stop,
+         len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+           / len(string_split(text, ' ')) AS alpha_frac
+  FROM documents)
+SELECT doc_id, n_words,
+       n_words >= 25 AND n_words <= 90 AS ok_word_count,
+       mean_len >= 3.0 AND mean_len <= 5.0 AS ok_mean_word_len,
+       sym_ratio <= 0.1 AS ok_symbol_ratio,
+       n_stop >= 2 AS ok_stopwords,
+       alpha_frac >= 0.8 AS ok_alpha_words,
+       (n_words >= 25 AND n_words <= 90) AND (mean_len >= 3.0 AND mean_len <= 5.0)
+         AND sym_ratio <= 0.1 AND n_stop >= 2 AND alpha_frac >= 0.8 AS keep
+FROM f"""
 
 
 def _prefix_jaccard_sql() -> str:
@@ -2071,6 +2114,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["labelprop_seeded"] = _labelprop_seeded_sql()
     sqls["prefix_jaccard"] = _prefix_jaccard_sql()
     sqls["neardup_clusters"] = _neardup_clusters_sql()
+    sqls["gopher_filter"] = _gopher_filter_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

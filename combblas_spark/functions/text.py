@@ -83,6 +83,52 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, grams).otherwise(F.array())
 
 
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_distinct_stopwords: int = 2,
+    min_alpha_word_frac: float = 0.8,
+) -> DataFrame:
+    """Gopher-style document quality filter rules (the published
+    Rae et al. 2021 / RefinedWeb heuristics), one boolean Column per
+    rule plus the conjunction ``keep`` — so a pipeline can audit WHICH
+    rule rejected each page, not just that one did. Appended columns:
+    n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+    ok_stopwords, ok_alpha_words, keep. Pure JVM Column expressions
+    (whole-stage codegen; exact DuckDB twin in the oracle)."""
+    t = F.col(text_col)
+    words = tokens(t)
+    n = F.size(words)
+    mean_len = F.when(n > 0, (F.length(t) - (n - 1)).cast("double") / n).otherwise(F.lit(0.0))
+    # '#' occurrences + '…'-style ellipsis runs ('...'), per word
+    n_hash = F.length(F.regexp_replace(t, "[^#]", ""))
+    n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3
+    sym_ratio = F.when(n > 0, (n_hash + n_ellipsis).cast("double") / n).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(tokens(F.lower(t))), sw))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n > 0, n_alpha.cast("double") / n).otherwise(F.lit(0.0))
+    out = (
+        docs.withColumn("n_words", n)
+        .withColumn("ok_word_count", (n >= min_words) & (n <= max_words))
+        .withColumn("ok_mean_word_len",
+                    (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len))
+        .withColumn("ok_symbol_ratio", sym_ratio <= max_symbol_word_ratio)
+        .withColumn("ok_stopwords", n_stop >= min_distinct_stopwords)
+        .withColumn("ok_alpha_words", alpha_frac >= min_alpha_word_frac)
+    )
+    return out.withColumn(
+        "keep",
+        F.col("ok_word_count") & F.col("ok_mean_word_len") & F.col("ok_symbol_ratio")
+        & F.col("ok_stopwords") & F.col("ok_alpha_words"),
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append token_count / quality / lang_guess /
     fingerprint columns to a documents table."""

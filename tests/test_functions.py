@@ -81,6 +81,32 @@ def test_ngram_jaccard(docs, spark):
     assert j[(0, 4)] == 0.0
 
 
+def test_gopher_quality_flags(spark):
+    """Each rule rejects its own handcrafted violator and passes the
+    clean doc; keep = conjunction."""
+    from combblas_spark.functions.text import gopher_quality_flags
+
+    clean = "the cat sat on a mat and the dog ran to the red barn door now"
+    rows = [
+        (0, clean),                                       # passes all
+        (1, "too short"),                                 # word count low
+        (2, "supercalifragilistic " * 16),                # mean word len high
+        (3, clean.replace("cat", "###### #### #####")),   # symbol ratio
+        (4, "cat sat mat dog ran red barn door now tick tock five more pad"),  # no stopwords
+        (5, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"),    # non-alpha words
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_flags(
+        docs, min_words=10, max_words=100, min_mean_word_len=2.0,
+        max_mean_word_len=6.0).collect()}
+    assert out[0]["keep"]
+    assert not out[1]["ok_word_count"] and not out[1]["keep"]
+    assert not out[2]["ok_mean_word_len"] and not out[2]["keep"]
+    assert not out[3]["ok_symbol_ratio"] and not out[3]["keep"]
+    assert not out[4]["ok_stopwords"] and not out[4]["keep"]
+    assert not out[5]["ok_alpha_words"] and not out[5]["keep"]
+
+
 def _brute_jaccard_pairs(rows, threshold, k=3):
     """All (a<b, jaccard>=t) pairs over word-k-gram shingle sets, in
     plain Python — the completeness reference for the prefix filter."""
