@@ -497,6 +497,16 @@ def q_gopher_filter(spark, sf):
              "ok_symbol_ratio", "ok_stopwords", "ok_alpha_words", "keep")
 
 
+def q_repetition_filter(spark, sf):
+    """Gopher repetition rules (top-2-gram / duplicate-3-gram
+    occurrence fractions); fractions emitted so the oracle hash checks
+    values, not just flags."""
+    from combblas_spark.functions.text import repetition_flags
+
+    return repetition_flags(_docs(spark, sf), max_top_2gram_frac=0.04).select(
+        "id", "top_2gram_frac", "dup_3gram_frac", "keep")
+
+
 def q_prefix_jaccard(spark, sf):
     """EXACT Jaccard>=0.8 similarity self-join via prefix filtering
     (AllPairs/PPJoin candidate condition): rarest-prefix equi-join +
@@ -1458,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": q_prefix_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "gopher_filter": q_gopher_filter,
+        "repetition_filter": q_repetition_filter,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1705,6 +1716,37 @@ SELECT doc_id, n_words,
        alpha_frac >= 0.8 AS ok_alpha_words,
        (n_words >= 25 AND n_words <= 90) AND (mean_len >= 3.0 AND mean_len <= 5.0)
          AND sym_ratio <= 0.1 AND n_stop >= 2 AND alpha_frac >= 0.8 AS keep
+FROM f"""
+
+
+def _repetition_filter_sql() -> str:
+    """Twin of q_repetition_filter: same gram construction as
+    _SHINGLES/_PREFIX_JACCARD, keep compares the ROUNDED fractions
+    (matching the Spark column order of operations)."""
+    return """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g2 AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM words, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+s2 AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS f2 FROM c2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+  WHERE len(w) >= 3
+),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+s3 AS (SELECT doc_id, round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS f3
+       FROM c3 GROUP BY doc_id),
+f AS (
+  SELECT d.doc_id AS id, coalesce(f2, 0.0) AS top_2gram_frac,
+         coalesce(f3, 0.0) AS dup_3gram_frac
+  FROM documents d LEFT JOIN s2 ON s2.doc_id = d.doc_id
+                   LEFT JOIN s3 ON s3.doc_id = d.doc_id
+)
+SELECT id, top_2gram_frac, dup_3gram_frac,
+       top_2gram_frac <= 0.04 AND dup_3gram_frac <= 0.2 AS keep
 FROM f"""
 
 
@@ -2115,6 +2157,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["prefix_jaccard"] = _prefix_jaccard_sql()
     sqls["neardup_clusters"] = _neardup_clusters_sql()
     sqls["gopher_filter"] = _gopher_filter_sql()
+    sqls["repetition_filter"] = _repetition_filter_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -129,6 +129,49 @@ def gopher_quality_flags(
     )
 
 
+def repetition_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_top_2gram_frac: float = 0.2,
+    max_dup_3gram_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style intra-document repetition rules: fraction of word
+    2-gram occurrences taken by the single most frequent 2-gram, and
+    fraction of word 3-gram occurrences whose gram appears more than
+    once — the boilerplate/keyword-stuffing detectors that complement
+    the static quality rules (gopher_quality_flags). Returns
+    (id, top_2gram_frac, dup_3gram_frac, keep); docs too short for a
+    gram get fraction 0.0 (never rejected for being short here — that
+    is the word-count rule's job). Explode + two-level count-agg per
+    gram size; both aggregations shuffle on (id, gram) then id — no
+    all-pairs, no Python."""
+    t = F.col(text_col)
+
+    def frac(k: int, top: bool) -> DataFrame:
+        g = docs.select(F.col(id_col).alias("id"), F.explode(shingles(t, k)).alias("g"))
+        c = g.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+        num = F.max("c") if top else F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        return c.groupBy("id").agg(
+            F.round(num.cast("double") / F.sum("c"), 6).alias(f"f{k}"))
+
+    out = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(frac(2, top=True), "id", "left")
+        .join(frac(3, top=False), "id", "left")
+        .select(
+            "id",
+            F.coalesce("f2", F.lit(0.0)).alias("top_2gram_frac"),
+            F.coalesce("f3", F.lit(0.0)).alias("dup_3gram_frac"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_2gram_frac") <= max_top_2gram_frac)
+        & (F.col("dup_3gram_frac") <= max_dup_3gram_frac),
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append token_count / quality / lang_guess /
     fingerprint columns to a documents table."""

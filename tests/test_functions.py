@@ -107,6 +107,27 @@ def test_gopher_quality_flags(spark):
     assert not out[5]["ok_alpha_words"] and not out[5]["keep"]
 
 
+def test_repetition_flags(spark):
+    """Keyword-stuffed doc rejected on both gram rules; varied doc kept;
+    one-word doc gets 0.0 fractions (short docs are the word-count
+    rule's business, not repetition's)."""
+    from combblas_spark.functions.text import repetition_flags
+
+    rows = [
+        (0, "buy cheap pills " * 8),             # 'buy cheap' dominates
+        (1, "the quick brown fox jumps over a lazy dog near the old red barn"),
+        (2, "single"),
+    ]
+    docs = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                                 "doc_id long, text string")
+    out = {r["id"]: r for r in repetition_flags(docs).collect()}
+    assert out[0]["top_2gram_frac"] > 0.3 and out[0]["dup_3gram_frac"] > 0.9
+    assert not out[0]["keep"]
+    assert out[1]["dup_3gram_frac"] == 0.0 and out[1]["keep"]
+    assert out[2]["top_2gram_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
+    assert out[2]["keep"]
+
+
 def _brute_jaccard_pairs(rows, threshold, k=3):
     """All (a<b, jaccard>=t) pairs over word-k-gram shingle sets, in
     plain Python — the completeness reference for the prefix filter."""
