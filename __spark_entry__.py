@@ -507,6 +507,30 @@ def q_repetition_filter(spark, sf):
         "id", "top_2gram_frac", "dup_3gram_frac", "keep")
 
 
+def q_doc_word_tokens(spark, sf):
+    """BPE-ish regex token counting (lowercase alphanumeric runs) —
+    the second tokenizer the training-data block specifies beyond
+    whitespace splitting (doc_tokens)."""
+    from combblas_spark.functions.text import word_tokens
+
+    d = _docs(spark, sf)
+    return d.select("doc_id", F.size(word_tokens(F.col("text"))).alias("n_word_tokens"))
+
+
+def q_doc_sample(spark, sf):
+    """Deterministic stratified sampling: per-language keep rates via a
+    counter hash of doc_id — reproducible across runs/engines and
+    stable under corpus growth (a doc's decision never changes when
+    other docs are added)."""
+    from combblas_spark.functions.sampling import stratified_sample
+
+    d = _docs(spark, sf)
+    return stratified_sample(
+        d, {"en": 0.25, "de": 0.75, "fr": 0.75}, stratum_col="lang",
+        key_col="doc_id", default_rate=0.5,
+    ).select("doc_id", "lang")
+
+
 def q_prefix_jaccard(spark, sf):
     """EXACT Jaccard>=0.8 similarity self-join via prefix filtering
     (AllPairs/PPJoin candidate condition): rarest-prefix equi-join +
@@ -1469,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "gopher_filter": q_gopher_filter,
         "repetition_filter": q_repetition_filter,
+        "doc_word_tokens": q_doc_word_tokens,
+        "doc_sample": q_doc_sample,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -2158,6 +2184,14 @@ def oracle_sql() -> dict[str, str]:
     sqls["neardup_clusters"] = _neardup_clusters_sql()
     sqls["gopher_filter"] = _gopher_filter_sql()
     sqls["repetition_filter"] = _repetition_filter_sql()
+    sqls["doc_word_tokens"] = (
+        "SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+'), t -> t <> '')) AS n_word_tokens FROM documents"
+    )
+    sqls["doc_sample"] = """SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+  CASE lang WHEN 'de' THEN 3221225472 WHEN 'en' THEN 1073741824
+            WHEN 'fr' THEN 3221225472 ELSE 2147483648 END"""
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -1,0 +1,64 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Hash-based Bernoulli sampling: a row is kept iff a 32-bit counter hash
+of its key falls under rate * 2^32. Unlike DataFrame.sample this is
+(a) reproducible across runs, Spark versions, partitionings and
+engines (the DuckDB oracle shares the md5 formula bit-for-bit), and
+(b) STABLE under corpus growth — a document's keep/drop decision never
+changes when other documents are added, which is what makes sampled
+eval sets and ablation subsets comparable across crawl snapshots.
+Stratified variant applies a per-stratum rate so small languages /
+sources are not washed out by uniform sampling.
+
+Pure Column expressions — the sample is a filter pushed onto the scan,
+no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32
+
+
+def sample_hash(key: Column, salt: str = "sample") -> Column:
+    """32-bit deterministic hash in [0, 2^32): first 8 md5 hex digits
+    of 'salt:key' — the same counter-hash idiom as walks._pick (DuckDB
+    twin: ('0x' || substr(md5(...), 1, 8))::BIGINT)."""
+    s = F.concat(F.lit(f"{salt}:"), key.cast("string"))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row with probability ``rate``, decided by the hash of
+    its key alone (exact same subset on every run and every engine)."""
+    return df.where(sample_hash(F.col(key_col), salt) < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. upweight low-resource
+    languages): ``rates`` maps stratum value -> keep rate; strata not
+    listed get ``default_rate``. The rate lookup folds into ONE chained
+    CASE expression — still a scan-level filter, no join needed for a
+    small stratum domain."""
+    cutoff = F.lit(int(default_rate * _BUCKETS))
+    expr = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(stratum_col) == value
+        lit = F.lit(int(rate * _BUCKETS))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    cutoff = cutoff if expr is None else expr.otherwise(cutoff)
+    return df.where(sample_hash(F.col(key_col), salt) < cutoff)

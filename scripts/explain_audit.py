@@ -141,6 +141,20 @@ def main() -> None:
         assert all(m not in plan for m in
                    ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")), name
         print(f"{name}: equi-join planned, PYTHON-FREE (asserted)")
+
+    print("=== 7. prefix-filter similarity join: equi-join on prefix "
+          "shingle, Python-free, no cartesian ===")
+    from combblas_spark.functions.dedup import prefix_filter_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{i % 3} w{i % 7} common tail words here") for i in range(64)],
+        "doc_id long, text string")
+    pp = prefix_filter_pairs(docs, threshold=0.8)
+    plan = pp._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert all(m not in plan for m in
+               ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonRDD")), plan
+    print("prefix_filter_pairs: equi-join planned, PYTHON-FREE (asserted)")
     spark.stop()
 
 

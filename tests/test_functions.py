@@ -128,6 +128,28 @@ def test_repetition_flags(spark):
     assert out[2]["keep"]
 
 
+def test_deterministic_sample(spark):
+    """Rate lands near nominal; decisions are stable under corpus
+    growth (hash of own key only); stratified rates differ per
+    stratum."""
+    from combblas_spark.functions.sampling import deterministic_sample, stratified_sample
+
+    small = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    kept_small = {r["doc_id"] for r in deterministic_sample(small, 0.3, "doc_id").collect()}
+    kept_big = {r["doc_id"] for r in deterministic_sample(big, 0.3, "doc_id").collect()}
+    assert kept_small == {i for i in kept_big if i < 400}   # growth-stable
+    assert 0.2 < len(kept_big) / 2000 < 0.4                 # near nominal
+    # different salt -> different (independent-ish) subset
+    other = {r["doc_id"] for r in deterministic_sample(big, 0.3, "doc_id", salt="v2").collect()}
+    assert other != kept_big
+    strat = big.withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de"))
+    out = stratified_sample(strat, {"en": 0.1, "de": 0.9}, "lang", "doc_id")
+    frac = {r["lang"]: r["c"] / 1000 for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert frac["de"] > 0.8 and frac["en"] < 0.2
+
+
 def _brute_jaccard_pairs(rows, threshold, k=3):
     """All (a<b, jaccard>=t) pairs over word-k-gram shingle sets, in
     plain Python — the completeness reference for the prefix filter."""
