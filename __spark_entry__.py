@@ -531,6 +531,43 @@ def q_doc_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_corpus_clean(spark, sf):
+    """Capstone training-data pipeline: every document gets a status —
+    the FIRST stage that rejects it (quality rules -> repetition rules
+    -> exact dedup -> near-dup canonicalization) or 'kept'. The reject
+    reason is what a pipeline operator audits; the near-dup stage runs
+    the graph engine (connected components over the prefix-filter pair
+    graph)."""
+    from combblas_spark.functions.text import (
+        fingerprint, gopher_quality_flags, repetition_flags)
+    from combblas_spark.functions.dedup import near_dup_clusters, prefix_filter_pairs
+
+    d = _docs(spark, sf)
+    g = gopher_quality_flags(
+        d, min_words=25, max_words=90, min_mean_word_len=3.0,
+        max_mean_word_len=5.0).select("doc_id", F.col("keep").alias("g_ok"))
+    r = repetition_flags(d, max_top_2gram_frac=0.04).select(
+        F.col("id").alias("doc_id"), F.col("keep").alias("r_ok"))
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    keep_id = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    e_ok = fp.join(keep_id, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("keep_id")).alias("e_ok"))
+    nd = near_dup_clusters(d, prefix_filter_pairs(d, threshold=0.8)).select(
+        F.col("id").alias("doc_id"), F.col("is_canonical").alias("n_ok"))
+    status = (
+        F.when(~F.col("g_ok"), F.lit("quality"))
+        .when(~F.col("r_ok"), F.lit("repetition"))
+        .when(~F.col("e_ok"), F.lit("exact_dup"))
+        .when(~F.col("n_ok"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        d.select("doc_id").join(g, "doc_id").join(r, "doc_id")
+        .join(e_ok, "doc_id").join(nd, "doc_id")
+        .select("doc_id", status.alias("status"))
+    )
+
+
 def q_prefix_jaccard(spark, sf):
     """EXACT Jaccard>=0.8 similarity self-join via prefix filtering
     (AllPairs/PPJoin candidate condition): rarest-prefix equi-join +
@@ -1495,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "doc_word_tokens": q_doc_word_tokens,
         "doc_sample": q_doc_sample,
+        "corpus_clean": q_corpus_clean,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1774,6 +1812,39 @@ f AS (
 SELECT id, top_2gram_frac, dup_3gram_frac,
        top_2gram_frac <= 0.04 AND dup_3gram_frac <= 0.2 AS keep
 FROM f"""
+
+
+def _corpus_clean_sql() -> str:
+    """Twin of q_corpus_clean: stage fragments nested as CTE subqueries
+    (DuckDB scopes nested WITHs), near-dup closure shared with
+    _neardup_clusters_sql."""
+    return f"""WITH RECURSIVE
+g AS ({_gopher_filter_sql()}),
+rp AS ({_repetition_filter_sql()}),
+fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       FROM documents),
+ke AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+{_PREFIX_JACCARD},
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r2.a, e.dst AS b FROM reach r2 JOIN e ON e.src = r2.b
+),
+cl AS (SELECT d.doc_id AS id, least(d.doc_id, coalesce(min(rc.b), d.doc_id)) AS cluster
+       FROM documents d LEFT JOIN reach rc ON rc.a = d.doc_id GROUP BY d.doc_id)
+SELECT d.doc_id,
+       CASE WHEN NOT g.keep THEN 'quality'
+            WHEN NOT rp.keep THEN 'repetition'
+            WHEN d.doc_id <> ke.keep_id THEN 'exact_dup'
+            WHEN d.doc_id <> cl.cluster THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM documents d
+JOIN g ON g.doc_id = d.doc_id
+JOIN rp ON rp.id = d.doc_id
+JOIN fp ON fp.doc_id = d.doc_id JOIN ke ON ke.f = fp.f
+JOIN cl ON cl.id = d.doc_id"""
 
 
 def _prefix_jaccard_sql() -> str:
@@ -2192,6 +2263,7 @@ def oracle_sql() -> dict[str, str]:
 WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
   CASE lang WHEN 'de' THEN 3221225472 WHEN 'en' THEN 1073741824
             WHEN 'fr' THEN 3221225472 ELSE 2147483648 END"""
+    sqls["corpus_clean"] = _corpus_clean_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()
