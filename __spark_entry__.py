@@ -531,6 +531,18 @@ def q_doc_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_incremental_neardups(spark, sf):
+    """Incremental dedup shape: odd doc_ids play the incoming crawl
+    batch, even ids the standing corpus — prefix-filter pairs are
+    batch-vs-corpus ONLY (never corpus x corpus), the O(batch) per-
+    ingest pattern."""
+    d = _docs(spark, sf)
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 1)
+    return prefix_filter_pairs(batch, threshold=0.8, other=corpus).select(
+        "id_a", "id_b", "jaccard")
+
+
 def q_corpus_clean(spark, sf):
     """Capstone training-data pipeline: every document gets a status —
     the FIRST stage that rejects it (quality rules -> repetition rules
@@ -1533,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_word_tokens": q_doc_word_tokens,
         "doc_sample": q_doc_sample,
         "corpus_clean": q_corpus_clean,
+        "incremental_neardups": q_incremental_neardups,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1721,7 +1734,7 @@ def _labelprop_seeded_sql(rounds: int = LP_ROUNDS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
 
 
-_PREFIX_JACCARD = """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+_PREFIX_BASE = """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 shd AS (
   SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
   FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
@@ -1734,13 +1747,9 @@ ranked AS (
          row_number() OVER (PARTITION BY s.id ORDER BY f.df, s.sh) AS pos
   FROM shd s JOIN freq f USING (sh) JOIN sz z USING (id)
 ),
-pre AS (SELECT id, sh, sz FROM ranked WHERE pos <= sz - floor(0.8 * sz) + 1),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM pre a JOIN pre b ON a.sh = b.sh AND a.id < b.id
-  WHERE b.sz >= 0.8 * a.sz AND a.sz >= 0.8 * b.sz
-),
-ov AS (
+pre AS (SELECT id, sh, sz FROM ranked WHERE pos <= sz - floor(0.8 * sz) + 1)"""
+
+_PREFIX_VERIFY = """ov AS (
   SELECT c.id_a, c.id_b, count(*) AS n_inter
   FROM cand c JOIN shd x ON x.id = c.id_a
               JOIN shd y ON y.id = c.id_b AND y.sh = x.sh
@@ -1752,6 +1761,14 @@ pairs AS (
   FROM ov JOIN sz x ON x.id = ov.id_a JOIN sz y ON y.id = ov.id_b
   WHERE n_inter * 1.0 / (x.sz + y.sz - n_inter) >= 0.8
 )"""
+
+_PREFIX_JACCARD = f"""{_PREFIX_BASE},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pre a JOIN pre b ON a.sh = b.sh AND a.id < b.id
+  WHERE b.sz >= 0.8 * a.sz AND a.sz >= 0.8 * b.sz
+),
+{_PREFIX_VERIFY}"""
 
 
 def _gopher_filter_sql() -> str:
@@ -1812,6 +1829,20 @@ f AS (
 SELECT id, top_2gram_frac, dup_3gram_frac,
        top_2gram_frac <= 0.04 AND dup_3gram_frac <= 0.2 AS keep
 FROM f"""
+
+
+def _incremental_neardups_sql() -> str:
+    """Twin of q_incremental_neardups: same base CTEs (df over the full
+    table = both sides' union), candidate join constrained to
+    batch(odd) x corpus(even)."""
+    return f"""WITH {_PREFIX_BASE},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pre a JOIN pre b ON a.sh = b.sh AND a.id % 2 = 1 AND b.id % 2 = 0
+  WHERE b.sz >= 0.8 * a.sz AND a.sz >= 0.8 * b.sz
+),
+{_PREFIX_VERIFY}
+SELECT id_a, id_b, jaccard FROM pairs"""
 
 
 def _corpus_clean_sql() -> str:
@@ -2264,6 +2295,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
   CASE lang WHEN 'de' THEN 3221225472 WHEN 'en' THEN 1073741824
             WHEN 'fr' THEN 3221225472 ELSE 2147483648 END"""
     sqls["corpus_clean"] = _corpus_clean_sql()
+    sqls["incremental_neardups"] = _incremental_neardups_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -182,6 +182,7 @@ def prefix_filter_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT word-k-gram Jaccard similarity self-join via prefix
     filtering (the AllPairs/PPJoin candidate condition): returns EVERY
@@ -201,39 +202,58 @@ def prefix_filter_pairs(
     prefix. A symmetric size filter (t*|a| <= |b| <= |a|/t) prunes
     candidates before the verify stage, which rescans only candidate
     pairs' shingle sets — never all-pairs.
+
+    ``other`` switches to the INCREMENTAL (batch-vs-corpus) shape: pairs
+    are (id_a from ``docs``, id_b from ``other``) only — the corpus side
+    is never self-joined, which is what makes per-crawl-batch dedup
+    O(batch x selectivity) instead of O(corpus^2). Shingle document
+    frequencies are computed over BOTH sides so the rarity order (and
+    hence the prefix-filter guarantee) is consistent; the two id spaces
+    must be disjoint or the caller filters self-pairs.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
-    ).localCheckpoint(eager=True)  # feeds freq, ranking, and the verify rescans
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy("df", "sh")
-    pre = (
-        sh.join(freq, "sh")
-        .withColumn("pos", F.row_number().over(w))
-        .join(sizes, "id")
-        .where(F.col("pos") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "sh", "sz")
-    )
-    a, b = pre.alias("a"), pre.alias("b")
+    def explode_sh(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
+        )
+
+    # checkpoint: feeds freq, ranking, and the verify rescans
+    sh_a = explode_sh(docs).localCheckpoint(eager=True)
+    sh_b = explode_sh(other).localCheckpoint(eager=True) if other is not None else sh_a
+    sh_all = sh_a if other is None else sh_a.unionByName(sh_b)
+    freq = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+
+    def prefix_of(sh: DataFrame) -> DataFrame:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        w = Window.partitionBy("id").orderBy("df", "sh")
+        return (
+            sh.join(freq, "sh")
+            .withColumn("pos", F.row_number().over(w))
+            .join(sizes, "id")
+            .where(F.col("pos") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
+            .select("id", "sh", "sz")
+        )
+
+    a = prefix_of(sh_a).alias("a")
+    b = (a if other is None else prefix_of(sh_b)).alias("b")
+    pair_pred = (F.col("a.id") < F.col("b.id")) if other is None else F.lit(True)
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & pair_pred
                & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
                & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = sh.select(F.col("id").alias("id_a"), "sh")
-    sb = sh.select(F.col("id").alias("id_b"), "sh")
+    sa = sh_a.select(F.col("id").alias("id_a"), "sh")
+    sb = sh_b.select(F.col("id").alias("id_b"), "sh")
     # candidates share >=1 prefix shingle, so the intersection count is
     # never null — inner joins throughout
     inter = (
         cand.join(sa, "id_a").join(sb, ["id_b", "sh"])
         .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    za = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("n_a"))
-    zb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("n_b"))
+    za = sh_a.groupBy("id").agg(F.count(F.lit(1)).alias("n_a")).withColumnRenamed("id", "id_a")
+    zb = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("n_b")).withColumnRenamed("id", "id_b")
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
         inter.join(za, "id_a").join(zb, "id_b")

@@ -196,6 +196,31 @@ def test_prefix_filter_pairs_complete(spark):
     assert (5, 31) in _brute_jaccard_pairs(rows, 0.8)  # the plants fired
 
 
+def test_prefix_filter_incremental(spark):
+    """Batch-vs-corpus mode returns exactly the CROSS pairs of the
+    brute-force result — no corpus x corpus, no batch x batch."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["crawl", "batch", "index", "web", "page", "dedup"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 14))))
+            for i in range(24)]
+    rows.append((24, rows[2][1]))            # batch dup of corpus doc 2
+    rows.append((25, rows[3][1] + " tail"))  # batch near-dup of corpus doc 3
+    corpus_rows = [r for r in rows if r[0] < 20]
+    batch_rows = [r for r in rows if r[0] >= 20]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    t = 0.5
+    allp = _brute_jaccard_pairs(rows, t)
+    want = {(b, a): j for (a, b), j in allp.items() if a < 20 <= b} | \
+           {(a, b): j for (a, b), j in allp.items() if b < 20 <= a}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           prefix_filter_pairs(batch, threshold=t, other=corpus).collect()}
+    assert got == want and (24, 2) in got
+    assert got[(24, 2)] == 1.0
+
+
 def test_neardup_clusters(spark):
     """Transitive closure over the pair graph: A~B and B~C land in ONE
     cluster with canonical = min id; unpaired docs are singletons."""
