@@ -260,3 +260,44 @@ def test_stateful_vertex_stats_across_restarts(spark, tmp_path):
     carried = [s for s in latest
                if b1_counts.get(s, 0) > 0 and latest[s][0] > b1_counts[s]]
     assert carried, "no key accumulated across the restart"
+
+
+# ------------------------------------------------- streaming corpus ingestion
+
+def test_corpus_ingest_stream(spark, tmp_path):
+    """Two arriving files -> two micro-batches: batch 0 drops its
+    within-batch exact dup and low-quality doc; batch 1's near-dup of a
+    batch-0 survivor is dropped by the INCREMENTAL prefix-filter check
+    (batch x corpus only); replaying a batch by hand is idempotent."""
+    from combblas_spark.streaming.corpus import (
+        ingest_batch, read_corpus, run_corpus_ingest)
+
+    base = "the quick brown fox jumps over a lazy dog near the old red barn"
+    q = dict(min_words=3, max_words=100, min_mean_word_len=2.0,
+             max_mean_word_len=8.0)
+    b0 = [(0, base),
+          (1, base),                                   # exact dup of 0
+          (2, "too short"),                            # quality reject
+          (3, "a completely different first document about the web crawling world")]
+    b1 = [(10, base + " extra"),                       # near-dup of corpus 0
+          (11, "an entirely fresh second batch document on the data engines")]
+    inp, corp, ckpt = (str(tmp_path / d) for d in ("in", "corpus", "ck"))
+    spark.createDataFrame(b0, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(inp)
+    run_corpus_ingest(spark, inp, corp, ckpt, threshold=0.5,
+                      quality_kwargs=q, max_files_per_trigger=1) \
+        .awaitTermination(120)
+    got0 = {r["doc_id"] for r in read_corpus(spark, corp).collect()}
+    assert got0 == {0, 3}
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(inp)
+    run_corpus_ingest(spark, inp, corp, ckpt, threshold=0.5,
+                      quality_kwargs=q, max_files_per_trigger=1) \
+        .awaitTermination(120)
+    got = {r["doc_id"] for r in read_corpus(spark, corp).collect()}
+    assert got == {0, 3, 11}                           # 10 dropped vs corpus
+    # at-least-once replay: re-run batch 1 by hand with the same id
+    ingest_batch(spark, spark.createDataFrame(b1, "doc_id long, text string"),
+                 1, corp, threshold=0.5, quality_kwargs=q)
+    got2 = {r["doc_id"] for r in read_corpus(spark, corp).collect()}
+    assert got2 == got
