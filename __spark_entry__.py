@@ -1578,9 +1578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups": q_embedding_neardups,
         "embedding_centroids": q_embedding_centroids,
         "doc_quality": q_doc_quality,
-        "doc_tokens": q_doc_tokens,
         # --- 3. heavy / central rotation -------------------------------
-        "graph_edges": q_graph_edges,
+        # (doc_tokens/graph_edges were r02-green; rotated to the tail so
+        # the flagship pagerank keeps a driver row in the 50-query window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "connected_components_as": q_connected_components_as,
@@ -1630,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_vectors": q_concat_vectors,
         "setminus_vec": q_setminus_vec,
         "uniq_vec": q_uniq_vec,
+        "doc_tokens": q_doc_tokens,
+        "graph_edges": q_graph_edges,
     }
 
 
