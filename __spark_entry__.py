@@ -543,6 +543,24 @@ def q_incremental_neardups(spark, sf):
         "id_a", "id_b", "jaccard")
 
 
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary head: token counts + rarity rank assigned by
+    the distributed JVM zip_with_index (no single-partition window)."""
+    from combblas_spark.functions.text import token_vocabulary
+
+    return token_vocabulary(_docs(spark, sf)).where(F.col("rank") <= 10).select(
+        "token", "c", "rank")
+
+
+def q_doc_rarity(spark, sf):
+    """Rank-based rarity scoring (deterministic LM-perplexity proxy):
+    mean token frequency rank + OOV ratio vs the top-20 vocabulary."""
+    from combblas_spark.functions.text import doc_rarity
+
+    return doc_rarity(_docs(spark, sf), vocab_size=20).select(
+        "id", "mean_rank", "oov_ratio")
+
+
 def q_corpus_clean(spark, sf):
     """Capstone training-data pipeline: every document gets a status —
     the FIRST stage that rejects it (quality rules -> repetition rules
@@ -1546,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": q_doc_sample,
         "corpus_clean": q_corpus_clean,
         "incremental_neardups": q_incremental_neardups,
+        "vocab_topk": q_vocab_topk,
+        "doc_rarity": q_doc_rarity,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1831,6 +1851,31 @@ f AS (
 SELECT id, top_2gram_frac, dup_3gram_frac,
        top_2gram_frac <= 0.04 AND dup_3gram_frac <= 0.2 AS keep
 FROM f"""
+
+
+_VOCAB = """toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    t -> t <> '')) AS token
+  FROM documents
+),
+v AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+r AS (SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rank FROM v)"""
+
+
+def _vocab_topk_sql() -> str:
+    return f"WITH {_VOCAB}\nSELECT token, c, rank FROM r WHERE rank <= 10"
+
+
+def _doc_rarity_sql() -> str:
+    return f"""WITH {_VOCAB},
+s AS (
+  SELECT t.doc_id AS id, round(avg(rank), 6) AS mean_rank,
+         round(avg(CASE WHEN rank > 20 THEN 1.0 ELSE 0.0 END), 6) AS oov_ratio
+  FROM toks t JOIN r USING (token) GROUP BY t.doc_id
+)
+SELECT d.doc_id AS id, coalesce(mean_rank, 0.0) AS mean_rank,
+       coalesce(oov_ratio, 0.0) AS oov_ratio
+FROM documents d LEFT JOIN s ON s.id = d.doc_id"""
 
 
 def _incremental_neardups_sql() -> str:
@@ -2298,6 +2343,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
             WHEN 'fr' THEN 3221225472 ELSE 2147483648 END"""
     sqls["corpus_clean"] = _corpus_clean_sql()
     sqls["incremental_neardups"] = _incremental_neardups_sql()
+    sqls["vocab_topk"] = _vocab_topk_sql()
+    sqls["doc_rarity"] = _doc_rarity_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

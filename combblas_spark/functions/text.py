@@ -172,6 +172,54 @@ def repetition_flags(
     )
 
 
+def token_vocabulary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary with frequency ranks — the tokenizer-training
+    precursor. Returns (token, c, rank) where rank is 1-based over the
+    total order (count desc, token asc). The rank is assigned with the
+    JVM-only distributed zip_with_index (operators/indexing.py), not a
+    single-partition window — at web scale the vocabulary is 10^8 types
+    and must rank distributed."""
+    from combblas_spark.operators.indexing import zip_with_index
+
+    vocab = (
+        docs.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = zip_with_index(
+        vocab, order_cols=[F.col("c").desc(), F.col("token")],
+        keep_cols=["token", "c"], pos_col="rank0")
+    return ranked.select("token", "c", (F.col("rank0") + 1).alias("rank"))
+
+
+def doc_rarity(docs: DataFrame, vocab_size: int = 1000,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rank-based rarity scoring — a deterministic proxy for LM-
+    perplexity quality filtering (CCNet-style): mean corpus-frequency
+    rank of a document's token occurrences, plus the fraction of
+    occurrences outside the top-``vocab_size`` vocabulary (OOV ratio).
+    Deliberately rank-based rather than log-probability: ranks are
+    integers and the mean is one IEEE-exact division, so the DuckDB
+    twin matches to the bit — ln() is not bit-portable across engines.
+    Docs with no tokens score (0.0, 0.0). Returns
+    (id, mean_rank, oov_ratio)."""
+    vocab = token_vocabulary(docs, text_col)
+    occ = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_tokens(F.col(text_col))).alias("token"))
+    scored = (
+        occ.join(vocab, "token")
+        .groupBy("id")
+        .agg(
+            F.round(F.avg("rank"), 6).alias("mean_rank"),
+            F.round(F.avg((F.col("rank") > vocab_size).cast("double")), 6).alias("oov_ratio"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id")).join(scored, "id", "left")
+        .select("id", F.coalesce("mean_rank", F.lit(0.0)).alias("mean_rank"),
+                F.coalesce("oov_ratio", F.lit(0.0)).alias("oov_ratio"))
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append token_count / quality / lang_guess /
     fingerprint columns to a documents table."""

@@ -128,6 +128,23 @@ def test_repetition_flags(spark):
     assert out[2]["keep"]
 
 
+def test_vocab_and_rarity(spark):
+    """Rank order = (count desc, token asc); mean rank and OOV ratio
+    are hand-checkable on a three-doc corpus."""
+    from combblas_spark.functions.text import doc_rarity, token_vocabulary
+
+    docs = spark.createDataFrame(
+        [(0, "cat cat cat dog"), (1, "cat dog bird"), (2, "")],
+        "doc_id long, text string")
+    v = {r["token"]: (r["c"], r["rank"]) for r in token_vocabulary(docs).collect()}
+    assert v == {"cat": (4, 1), "dog": (2, 2), "bird": (1, 3)}
+    out = {r["id"]: (r["mean_rank"], r["oov_ratio"])
+           for r in doc_rarity(docs, vocab_size=2).collect()}
+    assert out[0] == ((1 + 1 + 1 + 2) / 4, 0.0)       # three cats, one dog
+    assert out[1] == ((1 + 2 + 3) / 3, round(1 / 3, 6))  # bird is OOV
+    assert out[2] == (0.0, 0.0)                       # empty doc
+
+
 def test_deterministic_sample(spark):
     """Rate lands near nominal; decisions are stable under corpus
     growth (hash of own key only); stratified rates differ per
