@@ -1585,7 +1585,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "embedding_neardups_exact": q_embedding_neardups_exact,
         "media_features": q_media_features,
-        "pages_pipeline": q_pages_pipeline,
         "bin_roundtrip": q_bin_roundtrip,
         "min_degree": q_min_degree,
         "auction": q_auction,
@@ -1599,8 +1598,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "doc_quality": q_doc_quality,
         # --- 3. heavy / central rotation -------------------------------
-        # (doc_tokens/graph_edges were r02-green; rotated to the tail so
-        # the flagship pagerank keeps a driver row in the 50-query window)
+        # The 50-query window above is exactly {never-driver-verified} ∪
+        # {green-r01-but-starved-r02}; pages_pipeline (driver-run both
+        # rounds, oracle locally green) leads the tail, then the twice-
+        # green basics. doc_tokens/graph_edges rotated to the end.
+        "pages_pipeline": q_pages_pipeline,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "connected_components_as": q_connected_components_as,
