@@ -224,12 +224,15 @@ def prefix_filter_pairs(
     freq = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
 
     def prefix_of(sh: DataFrame) -> DataFrame:
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        # set size rides the SAME window partitioning as the rarity rank
+        # (unbounded count over the id partition) — one exchange fewer
+        # than a separate groupBy+join; measured parity on one box, a
+        # full shingle-table network shuffle saved on a cluster
         w = Window.partitionBy("id").orderBy("df", "sh")
         return (
             sh.join(freq, "sh")
             .withColumn("pos", F.row_number().over(w))
-            .join(sizes, "id")
+            .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
             .where(F.col("pos") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
             .select("id", "sh", "sz")
         )
