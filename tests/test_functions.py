@@ -213,6 +213,25 @@ def test_prefix_filter_pairs_complete(spark):
     assert (5, 31) in _brute_jaccard_pairs(rows, 0.8)  # the plants fired
 
 
+def test_prefix_filter_partition_invariance(spark):
+    """Identical pair set whatever the input partitioning — the rank
+    order (df, shingle) is total, so prefixes are deterministic."""
+    import random
+
+    rng = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 12))))
+            for i in range(40)]
+    rows.append((40, rows[7][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for parts in (1, 13):
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               prefix_filter_pairs(docs.repartition(parts), threshold=0.5).collect()}
+        outs.append(got)
+    assert outs[0] == outs[1] and (7, 40) in outs[0]
+
+
 def test_prefix_filter_incremental(spark):
     """Batch-vs-corpus mode returns exactly the CROSS pairs of the
     brute-force result — no corpus x corpus, no batch x batch."""
