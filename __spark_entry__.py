@@ -1023,6 +1023,18 @@ FROM verts v LEFT JOIN sc ON sc.root = v.id"""
     )
 
 
+def q_eff_diameter(spark, sf):
+    """WebGraph-convention effective diameter: smallest h (interpolated)
+    with N(h) >= 0.9 * N(inf), from FM sketches run to stability."""
+    from combblas_spark.algorithms.anf import effective_diameter
+
+    d = effective_diameter(events_graph(spark, sf), q=0.9, max_hops=8,
+                           k=ANF_K, r_bits=ANF_RBITS, seed=ANF_SEED)
+    return spark.createDataFrame(
+        [(d["effective_diameter"], d["hops_run"])],
+        "eff_diameter double, hops_run int")
+
+
 def q_anf(spark, sf):
     """Approximate neighborhood function (ANF, KDD'02): N(h) estimates
     for h=0..3 from md5-seeded Flajolet-Martin sketches merged by
@@ -1191,10 +1203,9 @@ def _trustrank_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
     )
 
 
-def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
-             seed: int = ANF_SEED) -> str:
-    """DuckDB twin of algorithms.anf.neighborhood_function: identical
-    md5-seeded FM masks, bit_or hop merges, lowest-zero-bit estimate."""
+def _anf_ctes(hops: int, k: int, r_bits: int, seed: int) -> tuple[list, str]:
+    """Shared CTE builder for the ANF twins: returns (ctes producing
+    s0..s{hops} sketch states, the per-row lzb-sum expression)."""
     cap = 1 << (r_bits - 1)
     ms = list(range(k))
     u_exprs = ", ".join(
@@ -1227,6 +1238,14 @@ def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
     lzb = " + ".join(
         f"CAST(log2((~m{j}) & (m{j} + 1)) AS INT)" for j in ms
     )
+    return ctes, lzb
+
+
+def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
+             seed: int = ANF_SEED) -> str:
+    """DuckDB twin of algorithms.anf.neighborhood_function: identical
+    md5-seeded FM masks, bit_or hop merges, lowest-zero-bit estimate."""
+    ctes, lzb = _anf_ctes(hops, k, r_bits, seed)
     summaries = " UNION ALL ".join(
         f"SELECT CAST({h} AS INT) AS h, CAST(sum(tot) AS BIGINT) AS sum_lzb, "
         f"ROUND(sum(pow(2.0, tot / {float(k)})) / 0.77351, 6) AS est "
@@ -1234,6 +1253,43 @@ def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
         for h in range(0, hops + 1)
     )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT h, sum_lzb, est FROM ({summaries})"
+
+
+def _eff_diameter_sql(max_hops: int = 8, q: float = 0.9, k: int = ANF_K,
+                      r_bits: int = ANF_RBITS, seed: int = ANF_SEED) -> str:
+    """Twin of algorithms.anf.effective_diameter: unroll the sketches to
+    max_hops with RAW estimates, find the first hop whose sum_lzb
+    repeats (the engine's break condition), take N(inf) there, and
+    interpolate the smallest h with N(h) >= q*N(inf) exactly as the
+    engine does (frac = 0 when the step is flat)."""
+    ctes, lzb = _anf_ctes(max_hops, k, r_bits, seed)
+    summaries = " UNION ALL ".join(
+        f"SELECT CAST({h} AS INT) AS h, CAST(sum(tot) AS BIGINT) AS sum_lzb, "
+        f"sum(pow(2.0, tot / {float(k)})) / 0.77351 AS est "
+        f"FROM (SELECT ({lzb}) AS tot FROM s{h})"
+        for h in range(0, max_hops + 1)
+    )
+    ctes.append(f"summ AS MATERIALIZED ({summaries})")
+    ctes.append(
+        "stop AS (SELECT coalesce(min(a.h), %d) AS hs FROM summ a "
+        "JOIN summ b ON b.h = a.h - 1 AND b.sum_lzb = a.sum_lzb)" % max_hops)
+    ctes.append("ninf AS (SELECT est AS n_inf FROM summ, stop WHERE h = hs)")
+    ctes.append(
+        f"hit AS (SELECT min(h) AS hi FROM summ, ninf, stop "
+        f"WHERE est >= {q} * n_inf AND h <= hs)")
+    ctes.append(
+        f"""eff AS (
+  SELECT CASE WHEN hit.hi = 0 THEN 0.0
+              WHEN cur.est > prev.est
+                THEN (hit.hi - 1) + ({q} * ninf.n_inf - prev.est) / (cur.est - prev.est)
+              ELSE CAST(hit.hi - 1 AS DOUBLE) END AS e
+  FROM hit, ninf
+  LEFT JOIN summ cur ON cur.h = (SELECT hi FROM hit)
+  LEFT JOIN summ prev ON prev.h = (SELECT hi FROM hit) - 1
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT ROUND((SELECT e FROM eff), 3) AS eff_diameter, "
+              "(SELECT hs FROM stop) AS hops_run")
 
 
 def _hits_sql(iters: int = HITS_ITERS) -> str:
@@ -1566,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardups": q_incremental_neardups,
         "vocab_topk": q_vocab_topk,
         "doc_rarity": q_doc_rarity,
+        "eff_diameter": q_eff_diameter,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -2347,6 +2404,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["incremental_neardups"] = _incremental_neardups_sql()
     sqls["vocab_topk"] = _vocab_topk_sql()
     sqls["doc_rarity"] = _doc_rarity_sql()
+    sqls["eff_diameter"] = _eff_diameter_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()
