@@ -1622,7 +1622,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardups": q_incremental_neardups,
         "vocab_topk": q_vocab_topk,
         "doc_rarity": q_doc_rarity,
-        "eff_diameter": q_eff_diameter,
         "anf": q_anf,
         "hits": q_hits,
         "k_core": q_k_core,
@@ -1659,6 +1658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # {green-r01-but-starved-r02}; pages_pipeline (driver-run both
         # rounds, oracle locally green) leads the tail, then the twice-
         # green basics. doc_tokens/graph_edges rotated to the end.
+        # eff_diameter is new this session (oracle green both scales
+        # locally) and earns its driver row next round.
+        "eff_diameter": q_eff_diameter,
         "pages_pipeline": q_pages_pipeline,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
