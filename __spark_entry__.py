@@ -360,6 +360,16 @@ def q_kth_value(spark, sf):
     return kth_value(g, 2, dim="col").select("id", "val")
 
 
+def q_assortativity(spark, sf):
+    """Newman degree assortativity of the undirected events graph —
+    moment sums are exact integers, the combination uses only
+    correctly-rounded IEEE ops (no corr(), no ln/pow), so the twin
+    matches to the bit."""
+    from combblas_spark.operators.reduce import degree_assortativity
+
+    return degree_assortativity(events_graph(spark, sf))
+
+
 def q_graph_stats(spark, sf):
     g = events_graph(spark, sf)
     return g.agg(
@@ -1255,6 +1265,31 @@ def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
     return "WITH " + ",\n".join(ctes) + f"\nSELECT h, sum_lzb, est FROM ({summaries})"
 
 
+def _assortativity_sql() -> str:
+    """Twin of q_assortativity: same double-cast moment combination
+    (integer sums -> double *,-,/,sqrt — all correctly rounded)."""
+    return f"""WITH edges AS ({EDGES}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+dirs AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT src, count(*) AS deg FROM dirs GROUP BY src),
+p AS (SELECT d1.deg AS x, d2.deg AS y
+      FROM dirs JOIN deg d1 ON d1.src = dirs.src
+                JOIN deg d2 ON d2.src = dirs.dst),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_raw,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sx2,
+             CAST(sum(y * y) AS DOUBLE) AS sy2
+      FROM p)
+SELECT CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+            THEN ROUND((n * sxy - sx * sy)
+                       / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+       END AS r,
+       CAST(n_raw / 2 AS BIGINT) AS n_edges
+FROM m"""
+
+
 def _eff_diameter_sql(max_hops: int = 8, q: float = 0.9, k: int = ANF_K,
                       r_bits: int = ANF_RBITS, seed: int = ANF_SEED) -> str:
     """Twin of algorithms.anf.effective_diameter: unroll the sketches to
@@ -1661,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eff_diameter is new this session (oracle green both scales
         # locally) and earns its driver row next round.
         "eff_diameter": q_eff_diameter,
+        "assortativity": q_assortativity,
         "pages_pipeline": q_pages_pipeline,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -2407,6 +2443,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["vocab_topk"] = _vocab_topk_sql()
     sqls["doc_rarity"] = _doc_rarity_sql()
     sqls["eff_diameter"] = _eff_diameter_sql()
+    sqls["assortativity"] = _assortativity_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

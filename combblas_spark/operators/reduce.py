@@ -166,3 +166,50 @@ def load_imbalance(df: DataFrame) -> float:
 def bandwidth(edges: DataFrame) -> int:
     """Matrix bandwidth max|i-j| (SpParMat::Bandwidth, SpParMat.h:139-140)."""
     return edges.agg(F.max(F.abs(F.col("src") - F.col("dst"))).alias("b")).collect()[0]["b"]
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    simple graph: Pearson correlation of the endpoint degrees over the
+    symmetrized edge list (each undirected edge contributes both
+    orientations, the standard convention). Returns one row
+    (r, n_edges); r is NULL when a degree variance is zero (regular
+    graph — the coefficient is undefined).
+
+    Cross-engine-exact by construction: the six moment sums are
+    integer aggregates (bit-exact under any partitioning/order), and
+    the final combination uses only double *, -, /, sqrt — all IEEE
+    correctly-rounded — so the DuckDB twin matches to the bit before
+    the 6dp rounding. (Spark's corr() aggregates doubles incrementally
+    and is order-dependent; deliberately not used.)
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b")).distinct()
+    )
+    dirs = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        dirs.join(deg, "src")
+        .join(deg.select(F.col("src").alias("dst"), F.col("deg").alias("degd")), "dst")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("deg").alias("sx"), F.sum("degd").alias("sy"),
+        F.sum(F.col("deg") * F.col("degd")).alias("sxy"),
+        F.sum(F.col("deg") * F.col("deg")).alias("sx2"),
+        F.sum(F.col("degd") * F.col("degd")).alias("sy2"),
+    )
+    # combine in DOUBLE: the integer sums are exact, and doing the
+    # products in double avoids the long-overflow cliff at web scale
+    # while staying bit-identical to the SQL twin (same IEEE ops)
+    n_d, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy, sx2, sy2 = (F.col(c).cast("double") for c in ("sxy", "sx2", "sy2"))
+    vx = n_d * sx2 - sx * sx
+    vy = n_d * sy2 - sy * sy
+    r = (n_d * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    return m.select(
+        F.round(F.when((vx > 0) & (vy > 0), r), 6).alias("r"),
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+    )

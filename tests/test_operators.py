@@ -464,3 +464,35 @@ def test_symmetrize_partitioned_single_exchange(spark):
     got = sorted(map(tuple, fused.select("src", "dst").collect()))
     ref = sorted(map(tuple, symmetrize(e).select("src", "dst").collect()))
     assert got == ref
+
+
+def test_degree_assortativity(spark):
+    """Star graph is perfectly disassortative (-1); regular graphs are
+    undefined (NULL); a random graph matches numpy's Pearson over the
+    symmetrized endpoint-degree pairs."""
+    from combblas_spark.operators.reduce import degree_assortativity
+
+    def df_e(pairs):
+        return spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs], "src long, dst long, val double")
+
+    star = degree_assortativity(df_e([(0, 1), (0, 2), (0, 3)])).collect()[0]
+    assert star["r"] == -1.0 and star["n_edges"] == 3
+    tri = degree_assortativity(df_e([(0, 1), (1, 2), (2, 0)])).collect()[0]
+    assert tri["r"] is None and tri["n_edges"] == 3
+    # random simple graph vs numpy (duplicate + reverse edges collapse)
+    rng = np.random.default_rng(5)
+    pairs = {tuple(sorted((int(a), int(b))))
+             for a, b in rng.integers(0, 12, (40, 2)) if a != b}
+    got = degree_assortativity(df_e(sorted(pairs))).collect()[0]
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in pairs:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert got["n_edges"] == len(pairs)
+    assert abs(got["r"] - want) < 1e-6
