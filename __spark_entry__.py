@@ -360,6 +360,36 @@ def q_kth_value(spark, sf):
     return kth_value(g, 2, dim="col").select("id", "val")
 
 
+def q_transitivity(spark, sf):
+    """Global clustering coefficient (transitivity): 3*triangles /
+    wedges over the undirected simple graph — exact integer counts,
+    one double division, NULL when the graph has no wedge."""
+    g = events_graph(spark, sf)
+    L = lower_triangle(g)
+    ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closed = (
+        ab.join(bc, "b").select("a", "c")
+        .join(L.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+              ["a", "c"], "left_semi")
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("triangles"))
+    dirs = L.unionByName(
+        L.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # sum d*(d-1) = 2*wedges, so transitivity = 6*T / sum(d*(d-1))
+    w2 = (
+        dirs.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1)).alias("w2"))
+    )
+    return tri.crossJoin(w2).select(
+        F.round(F.when(F.col("w2") > 0,
+                       (F.col("triangles") * 6).cast("double") / F.col("w2")), 6
+                ).alias("transitivity"),
+        "triangles",
+        (F.col("w2") / 2).cast("long").alias("wedges"),
+    )
+
+
 def q_assortativity(spark, sf):
     """Newman degree assortativity of the undirected events graph —
     moment sums are exact integers, the combination uses only
@@ -1265,6 +1295,28 @@ def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
     return "WITH " + ",\n".join(ctes) + f"\nSELECT h, sum_lzb, est FROM ({summaries})"
 
 
+def _transitivity_sql() -> str:
+    """Twin of q_transitivity: identical triangle join (a<b<c canonical
+    orientation) and wedge sum."""
+    return f"""WITH edges AS ({EDGES}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+L AS (SELECT DISTINCT src, dst FROM sym WHERE src < dst),
+tri AS (
+  SELECT count(*) AS triangles
+  FROM (SELECT ab.src AS a, bc.dst AS c
+        FROM L ab JOIN L bc ON bc.src = ab.dst) w
+  WHERE EXISTS (SELECT 1 FROM L WHERE L.src = w.a AND L.dst = w.c)
+),
+dirs AS (SELECT src, dst FROM L UNION ALL SELECT dst, src FROM L),
+w2 AS (SELECT sum(d * (d - 1)) AS w2 FROM
+       (SELECT count(*) AS d FROM dirs GROUP BY src))
+SELECT CASE WHEN w2.w2 > 0
+            THEN ROUND(CAST(tri.triangles * 6 AS DOUBLE) / w2.w2, 6) END AS transitivity,
+       tri.triangles AS triangles,
+       CAST(w2.w2 / 2 AS BIGINT) AS wedges
+FROM tri, w2"""
+
+
 def _assortativity_sql() -> str:
     """Twin of q_assortativity: same double-cast moment combination
     (integer sums -> double *,-,/,sqrt — all correctly rounded)."""
@@ -1697,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally) and earns its driver row next round.
         "eff_diameter": q_eff_diameter,
         "assortativity": q_assortativity,
+        "transitivity": q_transitivity,
         "pages_pipeline": q_pages_pipeline,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -2444,6 +2497,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["doc_rarity"] = _doc_rarity_sql()
     sqls["eff_diameter"] = _eff_diameter_sql()
     sqls["assortativity"] = _assortativity_sql()
+    sqls["transitivity"] = _transitivity_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -496,3 +496,31 @@ def test_degree_assortativity(spark):
     want = np.corrcoef(xs, ys)[0, 1]
     assert got["n_edges"] == len(pairs)
     assert abs(got["r"] - want) < 1e-6
+
+
+def test_transitivity_query(spark):
+    """Hand-checkable transitivity: K4 -> 1.0; star -> 0.0; triangle
+    with a tail -> 3*1/5."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    def run(pairs):
+        df = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs], "src long, dst long, val double")
+        import combblas_spark.graph as G
+        orig = m.events_graph
+        try:
+            m.events_graph = lambda s, sf: df
+            return m.q_transitivity(spark, "").collect()[0]
+        finally:
+            m.events_graph = orig
+
+    k4 = run([(a, b) for a in range(4) for b in range(a + 1, 4)])
+    assert k4["transitivity"] == 1.0 and k4["triangles"] == 4 and k4["wedges"] == 12
+    star = run([(0, 1), (0, 2), (0, 3)])
+    assert star["transitivity"] == 0.0 and star["triangles"] == 0 and star["wedges"] == 3
+    tail = run([(0, 1), (1, 2), (2, 0), (2, 3)])
+    assert tail["transitivity"] == 0.6 and tail["triangles"] == 1 and tail["wedges"] == 5
