@@ -745,6 +745,44 @@ def q_pages_pipeline(spark, sf):
     return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("multiplicity"))
 
 
+def q_anchor_terms(spark, sf):
+    """Per-target anchor-term index over the synthetic pages table —
+    the search-ranking signal (what linking pages say a page is
+    about). Arrow-batched anchor extraction + explode + groupBy."""
+    from combblas_spark.sources.pages import anchor_term_index, generate_pages
+
+    return anchor_term_index(generate_pages(spark, n_pages=PAGES_N))
+
+
+def _anchor_terms_sql(n_pages: int = PAGES_N, n_sites: int = 10,
+                      out_links: int = 4, seed: int = 42) -> str:
+    """Rule-derived VALUES twin of q_anchor_terms (same pattern as
+    _pages_pipeline_sql): the anchor multiset is computable from the
+    RMAT rule + _anchor_term alone, independent of the HTML/UDF path
+    under test."""
+    from collections import Counter
+
+    import numpy as np
+
+    from combblas_spark.sources.pages import _anchor_term, _url
+    from combblas_spark.sources.rmat import rmat_pandas
+
+    scale = max(1, (n_pages - 1).bit_length())
+    eids = np.arange(n_pages * out_links, dtype=np.int64)
+    _, dsts = rmat_pandas(eids, scale, seed)
+    dsts = (dsts % n_pages).reshape(n_pages, out_links)
+    mult = Counter(
+        (_url(int(j), n_sites), _anchor_term(i, int(j)))
+        for i in range(n_pages) for j in dsts[i] if int(j) != i
+    )
+    rows = ", ".join(
+        f"('{u}','{t}',{c})" for (u, t), c in sorted(mult.items()))
+    return (
+        "SELECT url, term, CAST(n AS BIGINT) AS n "
+        f"FROM (VALUES {rows}) AS t(url, term, n)"
+    )
+
+
 def _pages_pipeline_sql(n_pages: int = PAGES_N, n_sites: int = 10,
                         out_links: int = 4, seed: int = 42) -> str:
     """Expected pages_pipeline output as a VALUES literal: the link
@@ -1750,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eff_diameter": q_eff_diameter,
         "assortativity": q_assortativity,
         "transitivity": q_transitivity,
+        "anchor_terms": q_anchor_terms,
         "pages_pipeline": q_pages_pipeline,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -2498,6 +2537,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["eff_diameter"] = _eff_diameter_sql()
     sqls["assortativity"] = _assortativity_sql()
     sqls["transitivity"] = _transitivity_sql()
+    sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -31,6 +31,15 @@ from combblas_spark.sources.rmat import rmat_pandas
 _TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
 _PARA_RE = re.compile(r"<p>(.*?)</p>", re.S)
 _HREF_RE = re.compile(r'<a href="([^"]*)"')
+_ANCHOR_RE = re.compile(r'<a href="([^"]*)">([^<]*)</a>')
+
+
+def _anchor_term(i: int, j: int) -> str:
+    """Deterministic anchor text for the link page i -> page j: a
+    target-topic term most of the time, an alternate vocabulary from
+    every third source — so a target's anchor profile is a non-trivial
+    multiset (the aggregation under test is not constant-per-target)."""
+    return f"t{j % 23}" if i % 3 else f"x{j % 7}"
 
 
 # ----------------------------------------------------------- reference oracle
@@ -56,6 +65,11 @@ def reference_extract_links(html: bytes) -> list[str]:
     return _HREF_RE.findall(html.decode("utf-8"))
 
 
+def reference_extract_anchors(html: bytes) -> list[tuple]:
+    """Pure-Python reference anchor extractor: ordered (href, term)."""
+    return _ANCHOR_RE.findall(html.decode("utf-8"))
+
+
 # ------------------------------------------------------- vectorized twin UDFs
 
 @F.pandas_udf(T.StringType())
@@ -76,6 +90,28 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 def extract_links_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched twin of reference_extract_links."""
     return html.apply(lambda b: b.decode("utf-8")).str.findall(_HREF_RE.pattern)
+
+
+@F.pandas_udf(T.ArrayType(T.StructType([
+    T.StructField("href", T.StringType()),
+    T.StructField("term", T.StringType()),
+])))
+def extract_anchors_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched twin of reference_extract_anchors."""
+    found = html.apply(lambda b: b.decode("utf-8")).str.findall(_ANCHOR_RE.pattern)
+    return found.apply(lambda lst: [{"href": h, "term": t} for h, t in lst])
+
+
+def anchor_term_index(pages: DataFrame) -> DataFrame:
+    """Per-target anchor-term index — the classic search-ranking signal
+    (what the web says a page is about): explode every (href, term)
+    anchor and count term occurrences per target url. One explode + one
+    groupBy; the decode stays Arrow-batched."""
+    a = pages.select(F.explode(extract_anchors_udf(F.col("html"))).alias("a"))
+    return (
+        a.select(F.col("a.href").alias("url"), F.col("a.term").alias("term"))
+        .groupBy("url", "term").agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 # ----------------------------------------------------------------- generator
@@ -117,11 +153,13 @@ def generate_pages(
             for k, i in enumerate(ids):
                 i = int(i)
                 text_i = f"page {i} body word{i % 7} word{i % 13} tail{i % 3}"
-                links = [_url(int(j), n_sites) for j in dsts[k] if int(j) != i]
+                links = [int(j) for j in dsts[k] if int(j) != i]
                 html = (
                     f"<html><head><title>Page {i}</title></head>"
                     f"<body><p>{text_i}</p>"
-                    + "".join(f'<a href="{u}">l</a>' for u in links)
+                    + "".join(
+                        f'<a href="{_url(j, n_sites)}">{_anchor_term(i, j)}</a>'
+                        for j in links)
                     + "</body></html>"
                 ).encode("utf-8")
                 rows.append(

@@ -35,6 +35,26 @@ def test_link_extractor_identity(spark):
         assert list(r["links"]) == reference_extract_links(bytes(r["html"]))
 
 
+def test_anchor_extractor_identity(spark):
+    """Anchor (href, term) pairs: Arrow UDF == pure-Python reference;
+    the per-target index matches a Counter over the reference."""
+    from collections import Counter
+
+    from combblas_spark.sources.pages import (
+        anchor_term_index, extract_anchors_udf, reference_extract_anchors)
+
+    pages = generate_pages(spark, n_pages=60, n_sites=5).persist()
+    got = pages.select(
+        "url", "html", extract_anchors_udf(F.col("html")).alias("an")).collect()
+    want = Counter()
+    for r in got:
+        ref = reference_extract_anchors(bytes(r["html"]))
+        assert [(a["href"], a["term"]) for a in r["an"]] == ref
+        want.update(ref)
+    idx = {(r["url"], r["term"]): r["n"] for r in anchor_term_index(pages).collect()}
+    assert idx == dict(want) and len({t for _, t in idx}) > 1
+
+
 def test_pages_to_edges_roundtrip(spark):
     pages = generate_pages(spark, n_pages=64, n_sites=4).persist()
     edges, url_dict = pages_to_edges(pages)
