@@ -360,6 +360,24 @@ def q_kth_value(spark, sf):
     return kth_value(g, 2, dim="col").select("id", "val")
 
 
+def q_reciprocity(spark, sf):
+    """Directed-graph reciprocity: fraction of directed simple edges
+    whose reverse also exists (mutual-link rate — on a web graph the
+    navigational/spam-ring signal). Exact integer counts, one double
+    division."""
+    g = events_graph(spark, sf)
+    de = g.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    rev = de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = de.join(rev, ["src", "dst"], "left_semi")
+    n = de.agg(F.count(F.lit(1)).alias("n_edges"))
+    m = mutual.agg(F.count(F.lit(1)).alias("n_mutual"))
+    return n.crossJoin(m).select(
+        F.round(F.when(F.col("n_edges") > 0,
+                       F.col("n_mutual").cast("double") / F.col("n_edges")), 6
+                ).alias("reciprocity"),
+        "n_edges", "n_mutual")
+
+
 def q_transitivity(spark, sf):
     """Global clustering coefficient (transitivity): 3*triangles /
     wedges over the undirected simple graph — exact integer counts,
@@ -1333,6 +1351,19 @@ def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
     return "WITH " + ",\n".join(ctes) + f"\nSELECT h, sum_lzb, est FROM ({summaries})"
 
 
+def _reciprocity_sql() -> str:
+    """Twin of q_reciprocity."""
+    return f"""WITH edges AS ({EDGES}),
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+n AS (SELECT count(*) AS n_edges FROM de),
+m AS (SELECT count(*) AS n_mutual FROM de a
+      WHERE EXISTS (SELECT 1 FROM de b WHERE b.src = a.dst AND b.dst = a.src))
+SELECT CASE WHEN n_edges > 0
+            THEN ROUND(CAST(n_mutual AS DOUBLE) / n_edges, 6) END AS reciprocity,
+       n_edges, n_mutual
+FROM n, m"""
+
+
 def _transitivity_sql() -> str:
     """Twin of q_transitivity: identical triangle join (a<b<c canonical
     orientation) and wedge sum."""
@@ -1788,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eff_diameter": q_eff_diameter,
         "assortativity": q_assortativity,
         "transitivity": q_transitivity,
+        "reciprocity": q_reciprocity,
         "anchor_terms": q_anchor_terms,
         "pages_pipeline": q_pages_pipeline,
         "pagerank": q_pagerank,
@@ -2538,6 +2570,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["assortativity"] = _assortativity_sql()
     sqls["transitivity"] = _transitivity_sql()
     sqls["anchor_terms"] = _anchor_terms_sql()
+    sqls["reciprocity"] = _reciprocity_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -524,3 +524,24 @@ def test_transitivity_query(spark):
     assert star["transitivity"] == 0.0 and star["triangles"] == 0 and star["wedges"] == 3
     tail = run([(0, 1), (1, 2), (2, 0), (2, 3)])
     assert tail["transitivity"] == 0.6 and tail["triangles"] == 1 and tail["wedges"] == 5
+
+
+def test_reciprocity_query(spark):
+    """Hand-checkable reciprocity: one mutual pair among three directed
+    edges -> 2/3 (both directions of the pair count as reciprocated)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entrymod2", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 2, 1.0)],
+        "src long, dst long, val double")
+    orig = m.events_graph
+    try:
+        m.events_graph = lambda s, sf: df
+        r = m.q_reciprocity(spark, "").collect()[0]
+    finally:
+        m.events_graph = orig
+    assert r["n_edges"] == 3 and r["n_mutual"] == 2      # self-loop dropped
+    assert abs(r["reciprocity"] - 2 / 3) < 1e-6
