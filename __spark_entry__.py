@@ -1236,6 +1236,53 @@ def _host_graph_sql(n_pages: int = PAGES_N, n_sites: int = 10,
 TRUST_SEEDS = ["site0.example", "site3.example", "site6.example", "site9.example"]
 
 
+def q_spam_mass(spark, sf):
+    """Spam mass (Gyongyi et al. 2005): the fraction of a host's
+    PageRank NOT backed by trust — (pr - trustrank)/pr over the host
+    graph, both ranks run through the same weighted personalized path
+    (the uniform rank passes an explicit all-ones teleport so engine
+    and oracle share one expression shape bit-for-bit)."""
+    from combblas_spark.sources.pages import generate_pages, host_link_graph
+
+    pages = generate_pages(spark, n_pages=PAGES_N)
+    hg = host_link_graph(pages).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("weight").cast("double").alias("val"),
+    )
+    verts = (hg.select(F.col("src").alias("id"))
+             .unionByName(hg.select(F.col("dst").alias("id"))).distinct())
+    tele_seed = spark.createDataFrame([(h, 1.0) for h in TRUST_SEEDS], ["id", "t"])
+    tele_uni = verts.select("id", F.lit(1.0).alias("t"))
+    tr = pagerank(hg, alpha=ALPHA, n_iter=PR_ITERS, weighted=True,
+                  teleport=tele_seed).select("id", F.col("rank").alias("_tr"))
+    pr = pagerank(hg, alpha=ALPHA, n_iter=PR_ITERS, weighted=True,
+                  teleport=tele_uni).select("id", F.col("rank").alias("_pr"))
+    return (
+        pr.join(tr, "id")
+        .select(
+            F.col("id").alias("host"),
+            F.round("_pr", 6).alias("pr"),
+            F.round("_tr", 6).alias("trust"),
+            F.round((F.col("_pr") - F.col("_tr")) / F.col("_pr"), 6).alias("spam_mass"),
+        )
+    )
+
+
+def _spam_mass_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
+    """Twin of q_spam_mass: two namespaced copies of the host-PR chain
+    (seeded and uniform), spam mass from the RAW ranks."""
+    ctes = (_host_pr_ctes(iters, alpha, seeded=True, prefix="t_")
+            + _host_pr_ctes(iters, alpha, seeded=False, prefix="u_"))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT u.id AS host, ROUND(u.pr, 6) AS pr, ROUND(t.pr, 6) AS trust,
+       ROUND((u.pr - t.pr) / u.pr, 6) AS spam_mass
+FROM u_r{iters} u JOIN t_r{iters} t ON t.id = u.id"""
+    )
+
+
 def q_trustrank(spark, sf):
     """TrustRank (Gyongyi et al. 2004): weighted personalized PageRank
     over the host graph, restarting at a trusted-seed host set — the
@@ -1261,42 +1308,56 @@ def _trustrank_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
     Expression order mirrors pagerank()'s Columns: per-edge transition
     weight is (val / out_weight), restart and dangling mass scale by
     the normalized seed indicator."""
-    seeds = ", ".join(f"'{h}'" for h in TRUST_SEEDS)
-    ctes = [
-        f"hedges AS MATERIALIZED (SELECT src_host AS src, dst_host AS dst, "
-        f"CAST(weight AS DOUBLE) AS val FROM ({_host_graph_sql()}))",
-        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
-        "(SELECT src AS id FROM hedges UNION ALL SELECT dst FROM hedges))",
-        "outw AS MATERIALIZED (SELECT src AS id, sum(val) AS ow FROM hedges GROUP BY src)",
-        "srcs AS MATERIALIZED (SELECT DISTINCT src FROM hedges)",
-        f"tw AS (SELECT v.id, CASE WHEN v.id IN ({seeds}) "
-        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS w FROM verts v)",
-        "tt AS (SELECT sum(w) AS s FROM tw)",
-        "tpv AS MATERIALIZED (SELECT tw.id, tw.w / tt.s AS tp FROM tw CROSS JOIN tt)",
-        "r0 AS (SELECT id, tp AS pr FROM tpv)",
-    ]
-    for k in range(1, iters + 1):
-        p = f"r{k-1}"
-        ctes.append(
-            f"d{k} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM {p} "
-            f"WHERE id NOT IN (SELECT src FROM srcs))"
-        )
-        ctes.append(
-            f"""r{k} AS (
-  SELECT t.id,
-         (1.0 - {alpha}) * t.tp + {alpha} * (coalesce(inf.s, 0.0) + d{k}.dm * t.tp) AS pr
-  FROM tpv t CROSS JOIN d{k}
-  LEFT JOIN (
-    SELECT e.dst AS id, sum((e.val / o.ow) * r.pr) AS s
-    FROM hedges e JOIN {p} r ON e.src = r.id JOIN outw o ON o.id = e.src
-    GROUP BY e.dst
-  ) inf ON inf.id = t.id
-)"""
-        )
+    ctes = _host_pr_ctes(iters, alpha, seeded=True, prefix="")
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id AS host, ROUND(pr, 6) AS trust FROM r{iters}"
     )
+
+
+def _host_pr_ctes(iters: int, alpha: float, seeded: bool, prefix: str) -> list:
+    """CTE chain for weighted personalized PageRank over the host
+    graph; seeded=True restarts at TRUST_SEEDS, seeded=False uses the
+    uniform teleport THROUGH THE SAME normalized-weight expressions (so
+    engine runs with an explicit uniform teleport DataFrame match
+    bit-for-bit). ``prefix`` namespaces the CTEs so two chains coexist
+    in one query."""
+    seeds = ", ".join(f"'{h}'" for h in TRUST_SEEDS)
+    w_case = (f"CASE WHEN v.id IN ({seeds}) THEN CAST(1.0 AS DOUBLE) "
+              "ELSE CAST(0.0 AS DOUBLE) END" if seeded else "CAST(1.0 AS DOUBLE)")
+    P = prefix
+    ctes = [
+        f"{P}hedges AS MATERIALIZED (SELECT src_host AS src, dst_host AS dst, "
+        f"CAST(weight AS DOUBLE) AS val FROM ({_host_graph_sql()}))",
+        f"{P}verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        f"(SELECT src AS id FROM {P}hedges UNION ALL SELECT dst FROM {P}hedges))",
+        f"{P}outw AS MATERIALIZED (SELECT src AS id, sum(val) AS ow FROM {P}hedges GROUP BY src)",
+        f"{P}srcs AS MATERIALIZED (SELECT DISTINCT src FROM {P}hedges)",
+        f"{P}tw AS (SELECT v.id, {w_case} AS w FROM {P}verts v)",
+        f"{P}tt AS (SELECT sum(w) AS s FROM {P}tw)",
+        f"{P}tpv AS MATERIALIZED (SELECT {P}tw.id, {P}tw.w / {P}tt.s AS tp "
+        f"FROM {P}tw CROSS JOIN {P}tt)",
+        f"{P}r0 AS (SELECT id, tp AS pr FROM {P}tpv)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"{P}r{k-1}"
+        ctes.append(
+            f"{P}d{k} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM {p} "
+            f"WHERE id NOT IN (SELECT src FROM {P}srcs))"
+        )
+        ctes.append(
+            f"""{P}r{k} AS (
+  SELECT t.id,
+         (1.0 - {alpha}) * t.tp + {alpha} * (coalesce(inf.s, 0.0) + {P}d{k}.dm * t.tp) AS pr
+  FROM {P}tpv t CROSS JOIN {P}d{k}
+  LEFT JOIN (
+    SELECT e.dst AS id, sum((e.val / o.ow) * r.pr) AS s
+    FROM {P}hedges e JOIN {p} r ON e.src = r.id JOIN {P}outw o ON o.id = e.src
+    GROUP BY e.dst
+  ) inf ON inf.id = t.id
+)"""
+        )
+    return ctes
 
 
 def _anf_ctes(hops: int, k: int, r_bits: int, seed: int) -> tuple[list, str]:
@@ -1821,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "reciprocity": q_reciprocity,
         "anchor_terms": q_anchor_terms,
+        "spam_mass": q_spam_mass,
         "pages_pipeline": q_pages_pipeline,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -2571,6 +2633,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["transitivity"] = _transitivity_sql()
     sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["reciprocity"] = _reciprocity_sql()
+    sqls["spam_mass"] = _spam_mass_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()
