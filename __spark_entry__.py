@@ -360,6 +360,27 @@ def q_kth_value(spark, sf):
     return kth_value(g, 2, dim="col").select("id", "val")
 
 
+def q_local_clustering(spark, sf):
+    """Per-vertex local clustering coefficient with EXACT integer
+    numerator/denominator columns (tri, wedges) alongside the rounded
+    ratio — integer columns make the oracle bit-stable and let callers
+    re-aggregate without float error."""
+    g = events_graph(spark, sf)
+    tri = triangles_per_vertex(g).select("id", "tri")
+    L = lower_triangle(g)
+    dirs = L.unionByName(
+        L.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = dirs.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    w = deg.select("id", ((F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("wedges"))
+    return (
+        w.join(tri, "id", "left")
+        .select("id", F.coalesce("tri", F.lit(0)).alias("tri"), "wedges",
+                F.round(F.when(F.col("wedges") > 0,
+                               F.coalesce("tri", F.lit(0)).cast("double")
+                               / F.col("wedges")), 6).alias("coef"))
+    )
+
+
 def q_reciprocity(spark, sf):
     """Directed-graph reciprocity: fraction of directed simple edges
     whose reverse also exists (mutual-link rate — on a web graph the
@@ -1412,6 +1433,30 @@ def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
     return "WITH " + ",\n".join(ctes) + f"\nSELECT h, sum_lzb, est FROM ({summaries})"
 
 
+def _local_clustering_sql() -> str:
+    """Twin of q_local_clustering: per-vertex triangle incidence count
+    (same canonical join as triangles_per_vertex) left-joined onto the
+    d*(d-1)/2 wedge count over all non-isolated vertices."""
+    return f"""WITH edges AS ({EDGES}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+L AS (SELECT DISTINCT src, dst FROM sym WHERE src < dst),
+tri3 AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM L ab JOIN L bc ON ab.dst = bc.src
+  JOIN L ac ON ac.src = ab.src AND ac.dst = bc.dst),
+tv AS (SELECT id, count(*) AS tri FROM (
+         SELECT a AS id FROM tri3
+         UNION ALL SELECT b FROM tri3
+         UNION ALL SELECT c FROM tri3) GROUP BY id),
+dirs AS (SELECT src, dst FROM L UNION ALL SELECT dst, src FROM L),
+w AS (SELECT src AS id, CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS wedges
+      FROM dirs GROUP BY src)
+SELECT w.id, coalesce(tv.tri, 0) AS tri, w.wedges,
+       CASE WHEN w.wedges > 0
+            THEN ROUND(CAST(coalesce(tv.tri, 0) AS DOUBLE) / w.wedges, 6) END AS coef
+FROM w LEFT JOIN tv ON tv.id = w.id"""
+
+
 def _reciprocity_sql() -> str:
     """Twin of q_reciprocity."""
     return f"""WITH edges AS ({EDGES}),
@@ -1883,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "anchor_terms": q_anchor_terms,
         "spam_mass": q_spam_mass,
+        "local_clustering": q_local_clustering,
         "pages_pipeline": q_pages_pipeline,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -2634,6 +2680,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["reciprocity"] = _reciprocity_sql()
     sqls["spam_mass"] = _spam_mass_sql()
+    sqls["local_clustering"] = _local_clustering_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()
