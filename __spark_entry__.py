@@ -360,6 +360,17 @@ def q_kth_value(spark, sf):
     return kth_value(g, 2, dim="col").select("id", "val")
 
 
+def q_degree_hist(spark, sf):
+    """Degree distribution histogram of the undirected simple graph —
+    the power-law diagnostic: (degree, n_vertices), exact counts."""
+    g = events_graph(spark, sf)
+    L = lower_triangle(g)
+    dirs = L.unionByName(
+        L.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
 def q_local_clustering(spark, sf):
     """Per-vertex local clustering coefficient with EXACT integer
     numerator/denominator columns (tri, wedges) alongside the rounded
@@ -1433,6 +1444,16 @@ def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
     return "WITH " + ",\n".join(ctes) + f"\nSELECT h, sum_lzb, est FROM ({summaries})"
 
 
+def _degree_hist_sql() -> str:
+    """Twin of q_degree_hist."""
+    return f"""WITH edges AS ({EDGES}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+L AS (SELECT DISTINCT src, dst FROM sym WHERE src < dst),
+dirs AS (SELECT src, dst FROM L UNION ALL SELECT dst, src FROM L),
+deg AS (SELECT src, count(*) AS degree FROM dirs GROUP BY src)
+SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree"""
+
+
 def _local_clustering_sql() -> str:
     """Twin of q_local_clustering: per-vertex triangle incidence count
     (same canonical join as triangles_per_vertex) left-joined onto the
@@ -1929,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "spam_mass": q_spam_mass,
         "local_clustering": q_local_clustering,
+        "degree_hist": q_degree_hist,
         "pages_pipeline": q_pages_pipeline,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -2681,6 +2703,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["reciprocity"] = _reciprocity_sql()
     sqls["spam_mass"] = _spam_mass_sql()
     sqls["local_clustering"] = _local_clustering_sql()
+    sqls["degree_hist"] = _degree_hist_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()
