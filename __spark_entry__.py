@@ -651,6 +651,34 @@ def q_doc_rarity(spark, sf):
         "id", "mean_rank", "oov_ratio")
 
 
+def q_containment(spark, sf):
+    """Asymmetric containment near-dups (quote/boilerplate inclusion):
+    |S(a) ∩ S(b)| / |S(a)| >= 0.8, id_a the contained doc."""
+    from combblas_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf), threshold=0.8).select(
+        "id_a", "id_b", "containment")
+
+
+def _containment_sql() -> str:
+    """Twin of q_containment: a-prefix x full shingle set candidates
+    over the shared _PREFIX_BASE CTEs."""
+    return f"""WITH {_PREFIX_BASE},
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pre a JOIN shd b ON a.sh = b.sh AND a.id <> b.id
+),
+ov AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c JOIN shd x ON x.id = c.id_a
+              JOIN shd y ON y.id = c.id_b AND y.sh = x.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(n_inter * 1.0 / x.sz, 6) AS containment
+FROM ov JOIN sz x ON x.id = ov.id_a
+WHERE n_inter * 1.0 / x.sz >= 0.8"""
+
+
 def q_corpus_clean(spark, sf):
     """Capstone training-data pipeline: every document gets a status —
     the FIRST stage that rejects it (quality rules -> repetition rules
@@ -1951,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "local_clustering": q_local_clustering,
         "degree_hist": q_degree_hist,
+        "containment": q_containment,
         "pages_pipeline": q_pages_pipeline,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -2704,6 +2733,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["spam_mass"] = _spam_mass_sql()
     sqls["local_clustering"] = _local_clustering_sql()
     sqls["degree_hist"] = _degree_hist_sql()
+    sqls["containment"] = _containment_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -265,6 +265,63 @@ def prefix_filter_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT containment similarity self-join: every ordered pair
+    (id_a != id_b) with |S(a) ∩ S(b)| / |S(a)| >= threshold — i.e. doc
+    a's shingles are mostly inside doc b. ASYMMETRIC by design: a short
+    quoted/boilerplate-included document is contained in its superset
+    even when their Jaccard is far below any near-dup threshold, which
+    is exactly the case the symmetric join (prefix_filter_pairs)
+    cannot catch.
+
+    Candidate rule: containment >= t forces |S(a) ∩ S(b)| >=
+    ceil(t*|S(a)|), so by pigeonhole a's rarity-ordered PREFIX (length
+    |S(a)| - floor(t*|S(a)|) + 1, same floor robustness as the Jaccard
+    filter) must intersect b's FULL shingle set — the join is
+    a-prefix x all-shingles, still bounded by prefix rarity, never
+    all-pairs. Verification rescans candidate pairs only. Returns
+    (id_a, id_b, containment): id_a is the contained document.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
+    ).localCheckpoint(eager=True)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    pre = (
+        sh.join(freq, "sh")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .where(F.col("pos") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "sh", "sz")
+    )
+    a, b = pre.alias("a"), sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), "sh")
+    sb = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_a")).withColumnRenamed("id", "id_a")
+    cont = F.col("n_inter").cast("double") / F.col("n_a")
+    return (
+        inter.join(za, "id_a")
+        .where(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 def near_dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Cluster near-duplicate documents: connected components over the
     verified near-dup pair graph — the step after prefix_filter_pairs /

@@ -257,6 +257,42 @@ def test_prefix_filter_incremental(spark):
     assert got[(24, 2)] == 1.0
 
 
+def test_containment_pairs(spark):
+    """A short doc quoted inside a 2x-longer one: containment(A->B)=1.0
+    while Jaccard ~0.5 — the symmetric filter misses the pair, the
+    containment join reports exactly the (contained, container)
+    direction; full result equals brute force."""
+    from combblas_spark.functions.dedup import containment_pairs
+
+    import random
+    rng = random.Random(9)
+    vocab = ["quote", "news", "wire", "story", "page", "copy", "web"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 16))))
+            for i in range(20)]
+    rows.append((20, rows[4][1] + " " + rows[11][1]))   # contains 4 (and 11)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.8
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_pairs(docs, threshold=t).collect()}
+    # brute force over distinct shingle sets
+    sets = {}
+    for i, text in rows:
+        toks = text.split(" ")
+        sets[i] = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a != b and sets[a]:
+                c = len(sets[a] & sets[b]) / len(sets[a])
+                if c >= t:
+                    want[(a, b)] = round(c, 6)
+    assert got == want
+    assert got[(4, 20)] == 1.0                          # quoted doc found
+    jac = {(r["id_a"], r["id_b"]) for r in
+           prefix_filter_pairs(docs, threshold=t).collect()}
+    assert (4, 20) not in jac                           # Jaccard misses it
+
+
 def test_neardup_clusters(spark):
     """Transitive closure over the pair graph: A~B and B~C land in ONE
     cluster with canonical = min id; unpaired docs are singletons."""
