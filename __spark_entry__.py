@@ -651,6 +651,38 @@ def q_doc_rarity(spark, sf):
         "id", "mean_rank", "oov_ratio")
 
 
+def q_dup_spans(spark, sf):
+    """Exact-substring duplication measurement (Lee et al. 2022 at
+    5-token window granularity): per-doc duplicated-window fraction."""
+    from combblas_spark.functions.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf), k=5).select(
+        "id", "n_windows", "n_dup_windows", "dup_frac")
+
+
+def _dup_spans_sql(k: int = 5) -> str:
+    """Twin of q_dup_spans."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return f"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+win AS (
+  SELECT doc_id AS id, {gram} AS wd
+  FROM words, unnest(generate_series(1, greatest(len(w) - {k - 1}, 0))) AS t(i)
+  WHERE len(w) >= {k}
+),
+cnt AS (SELECT wd, count(*) AS c FROM win GROUP BY wd),
+pd AS (
+  SELECT id, count(*) AS n_windows,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_windows
+  FROM win JOIN cnt USING (wd) GROUP BY id
+)
+SELECT d.doc_id AS id, coalesce(n_windows, 0) AS n_windows,
+       coalesce(n_dup_windows, 0) AS n_dup_windows,
+       round(CASE WHEN coalesce(n_windows, 0) > 0
+                  THEN coalesce(n_dup_windows, 0) * 1.0 / n_windows
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM documents d LEFT JOIN pd ON pd.id = d.doc_id"""
+
+
 def q_containment(spark, sf):
     """Asymmetric containment near-dups (quote/boilerplate inclusion):
     |S(a) ∩ S(b)| / |S(a)| >= 0.8, id_a the contained doc."""
@@ -1980,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": q_local_clustering,
         "degree_hist": q_degree_hist,
         "containment": q_containment,
+        "dup_spans": q_dup_spans,
         "pages_pipeline": q_pages_pipeline,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -2734,6 +2767,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["local_clustering"] = _local_clustering_sql()
     sqls["degree_hist"] = _degree_hist_sql()
     sqls["containment"] = _containment_sql()
+    sqls["dup_spans"] = _dup_spans_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -342,6 +342,55 @@ def near_dup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id")
     )
 
 
+# --------------------------------------------------- exact-substring spans
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication detection (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'),
+    approximated at k-token window granularity: every k-token sliding
+    window whose text occurs more than once in the corpus (another
+    document OR another position of the same document) marks its span
+    as duplicated. Returns per-document
+    (id, n_windows, n_dup_windows, dup_frac) — the span-level removal
+    decision is the caller's (cut vs drop); this is the measurement.
+
+    Scale shape: posexplode windows -> count per window text (map-side
+    combined; the heavy-hitter boilerplate windows are exactly the ones
+    with large counts, absorbed by partial aggregation) -> flag join
+    back -> per-doc counts. No all-pairs anywhere.
+    """
+    t = F.col(text_col)
+    win = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingles(t, k)).alias("pos", "w"),
+    )
+    cnt = win.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    flagged = win.join(cnt, "w").select(
+        "id", (F.col("c") > 1).cast("int").alias("dup"))
+    per_doc = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("dup").alias("n_dup_windows"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.when(F.coalesce("n_windows", F.lit(0)) > 0,
+                       F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                       / F.col("n_windows")).otherwise(F.lit(0.0)), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 # ------------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard(

@@ -447,3 +447,24 @@ def test_ivf_per_list_cap(big_vectors):
     # nprobe*cap candidates -> at most 5 neighbors reported
     per_q = got.groupBy("query_id").count().agg(F.max("count")).collect()[0][0]
     assert per_q <= 5
+
+
+def test_duplicate_spans(spark):
+    """A sentence copied into another doc marks its windows duplicated
+    in BOTH docs; a doc with an internal repeat flags itself; fully
+    unique docs score 0."""
+    from combblas_spark.functions.dedup import duplicate_spans
+
+    common = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, common + " alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "iota kappa lambda mu nu xi omicron pi " + common),
+        (2, "one two three four five one two three four five"),   # self-repeat
+        (3, "solo unique words that appear nowhere else at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in duplicate_spans(docs, k=5).collect()}
+    assert out[0]["n_dup_windows"] == 6 and out[1]["n_dup_windows"] == 6
+    assert out[2]["n_dup_windows"] == 2        # 'one two three four five' x2
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[0]["n_windows"] == len(rows[0][1].split()) - 4
