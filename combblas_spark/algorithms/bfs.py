@@ -23,11 +23,27 @@ from combblas_spark.graph import symmetrize, symmetrize_partitioned
 from combblas_spark.runtime.plans import superstep_checkpoint
 
 
+def _parent_agg(parent_rule: str, seed: str = "bfsrand"):
+    """Aggregation picking the parent among a vertex's discovering
+    frontier neighbors. 'min' is the deterministic min-id pick
+    (Select2nd/min semiring); 'random' mirrors the reference's
+    SelectRandSRing (RandomParentBFS.cpp:100-127: each candidate gets a
+    random priority, min wins) with a SEEDED md5 priority instead of
+    rand() — reproducible across runs/partitionings and expressible in
+    the DuckDB oracle (same md5 idiom as MIS/matching). Both are single
+    map-side-combinable aggregates."""
+    if parent_rule == "random":
+        pri = F.md5(F.concat_ws(":", F.lit(seed), F.col("dst"), F.col("src")))
+        return F.min(F.struct(pri.alias("p"), F.col("src").alias("s")))["s"].alias("parent")
+    return F.min("src").alias("parent")
+
+
 def _bfs(edges: DataFrame, root: int, directed: bool,
          broadcast_threshold: int, max_depth: int, want_parents: bool,
          metrics: list | None = None,
          direction_optimizing: bool = False,
-         bottom_up_fraction: float = 0.05) -> DataFrame:
+         bottom_up_fraction: float = 0.05,
+         parent_rule: str = "min") -> DataFrame:
     from combblas_spark.graph import vertices
 
     # src-partitioned adjacency in the same single exchange the
@@ -78,7 +94,7 @@ def _bfs(edges: DataFrame, root: int, directed: bool,
             nxt = (
                 cand.join(f.withColumnRenamed("id", "src"), "src", "left_semi")
                 .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("src").alias("parent"))
+                .agg(_parent_agg(parent_rule))
                 .withColumn("level", F.lit(level))
                 .select("id", "level", "parent")
             )
@@ -86,7 +102,7 @@ def _bfs(edges: DataFrame, root: int, directed: bool,
             nxt = (
                 adj.join(f.withColumnRenamed("id", "src"), "src")
                 .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("src").alias("parent"))     # deterministic parent: min id
+                .agg(_parent_agg(parent_rule))
                 .join(visited.select("id"), "id", "left_anti")
                 .withColumn("level", F.lit(level))
                 .select("id", "level", "parent")
@@ -126,11 +142,38 @@ def bfs_levels(edges: DataFrame, root: int, directed: bool = False,
 
 
 def bfs_parents(edges: DataFrame, root: int, directed: bool = False,
-                broadcast_threshold: int = 1_000_000, max_depth: int = 1000) -> DataFrame:
-    """(id, parent) — the Graph500 parent tree (parent = min-id
-    predecessor at the discovering level; root's parent is itself,
-    matching parents.Set semantics TopDownBFS.cpp:433)."""
-    return _bfs(edges, root, directed, broadcast_threshold, max_depth, True)
+                broadcast_threshold: int = 1_000_000, max_depth: int = 1000,
+                parent_rule: str = "min") -> DataFrame:
+    """(id, parent) — the Graph500 parent tree (root's parent is itself,
+    matching parents.Set semantics TopDownBFS.cpp:433).
+
+    parent_rule='min': min-id predecessor at the discovering level.
+    parent_rule='random': seeded-random predecessor — the reference's
+    RandomParentBFS.cpp SelectRandSRing semiring (min over per-candidate
+    random priorities), with md5-seeded priorities so the tree is
+    reproducible and oracle-checkable. Either rule yields a valid
+    kernel-2 tree (validate_bfs_tree passes); levels are identical."""
+    return _bfs(edges, root, directed, broadcast_threshold, max_depth, True,
+                parent_rule=parent_rule)
+
+
+def single_child_frontier(tree: DataFrame, root: int,
+                          seed: str = "scbfs") -> DataFrame:
+    """One chosen child per (level, parent) of a BFS tree — the
+    ``fringe.Uniq(RandReduce<int64_t>())`` primitive SingleChildBFS.cpp
+    :282 computes per superstep (one random representative child per
+    parent in the new frontier). Derived from the finished tree: the
+    children a parent discovered at level L are exactly the tree rows
+    (parent=p, level=L), so the per-level Uniq is one groupBy with a
+    seeded-md5 min pick — deterministic, partition-invariant, and an
+    exact DuckDB twin. Returns (level, parent, child)."""
+    c = tree.where(F.col("id") != root)
+    pri = F.md5(F.concat_ws(":", F.lit(seed), F.col("parent"), F.col("id")))
+    return (
+        c.groupBy("level", "parent")
+        .agg(F.min(F.struct(pri.alias("p"), F.col("id").alias("c")))["c"].alias("child"))
+        .select("level", "parent", "child")
+    )
 
 
 def bfs_tree(edges: DataFrame, root: int, directed: bool = False,

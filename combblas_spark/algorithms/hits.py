@@ -129,8 +129,15 @@ def salsa(
 ) -> DataFrame:
     """SALSA (Lempel & Moran 2000) — the stochastic sibling of HITS:
 
-        a(i) = (1/indeg(i))  * sum_{j->i} h(j)     # column-stochastic
-        h(j) = (1/outdeg(j)) * sum_{j->i} a(i)     # row-stochastic
+        a(i) = sum_{j->i} h(j) / outdeg(j)     # a = Wr^T h
+        h(j) = sum_{j->i} a(i) / indeg(i)      # h = Wc  a
+
+    Each contribution is weighted by the CONTRIBUTOR's degree (the random
+    surfer leaves j by a uniformly-chosen out-link, i by a uniform
+    in-link), so the authority chain's stationary distribution is
+    indeg-proportional within a component — the paper's main theorem.
+    (An earlier revision weighted by the receiver's degree — the
+    transpose chain, whose fixed point is all-ones; fixed per ADVICE r3.)
 
     Returns (id, hub, auth) after ``n_iter`` synchronous iterations from
     h0 = 1 (no per-step normalization: both operators are stochastic, so
@@ -180,10 +187,10 @@ def salsa(
     h = h.localCheckpoint(eager=True)
     a = None
     for it in range(n_iter):
-        # authority: join hubs on src, column-stochastic agg by dst
-        a = _half_step(e_dst, h, "src", "dst", "wc", 2 * it)
-        # hub: join authorities on dst, row-stochastic agg by src
-        h = _half_step(e_src, a, "dst", "src", "wr", 2 * it + 1)
+        # authority: join hubs on src, weight by CONTRIBUTOR 1/outdeg(src)
+        a = _half_step(e_dst, h, "src", "dst", "wr", 2 * it)
+        # hub: join authorities on dst, weight by CONTRIBUTOR 1/indeg(dst)
+        h = _half_step(e_src, a, "dst", "src", "wc", 2 * it + 1)
 
     out = (
         verts.join(h.select("id", F.col("v").alias("_h")), "id", "left")

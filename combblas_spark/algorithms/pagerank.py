@@ -121,10 +121,20 @@ def pagerank(
         seeded = base.join(tdf, "id", "left").select(
             "id", "dg", F.coalesce(F.col("_tw"), F.lit(0.0)).alias("_tw"))
         ttot = seeded.agg(F.sum("_tw").alias("_tt"))
+        # guard: an all-zero / empty teleport distribution would make
+        # _tw/_tt NULL for every vertex and every rank silently NULL —
+        # fail fast instead (ADVICE r3). One scalar read of the 1-row agg.
+        _tt_val = ttot.collect()[0]["_tt"]
+        if _tt_val is None or float(_tt_val) <= 0.0:
+            raise ValueError(
+                "pagerank: teleport distribution sums to zero (empty, "
+                "all-zero, or no ids overlap the graph's vertex set)")
         base0 = base
+        # the validated scalar re-enters the plan as a literal (same
+        # float the crossJoin would have divided by, one job cheaper)
         base = (
-            seeded.crossJoin(F.broadcast(ttot))
-            .select("id", "dg", (F.col("_tw") / F.col("_tt")).alias("tp"))
+            seeded
+            .select("id", "dg", (F.col("_tw") / F.lit(float(_tt_val))).alias("tp"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n = base.count()

@@ -49,7 +49,13 @@ def strongly_connected_components(
 ) -> DataFrame:
     """Returns (id, scc) over the vertex set src UNION dst, scc = min
     vertex id of the component (same labeling convention as
-    connected_components, so the two are drop-in comparable)."""
+    connected_components, so the two are drop-in comparable).
+
+    Raises RuntimeError if ``max_inner`` or ``max_rounds`` is exhausted
+    before fixpoint — a capped loop exiting early would silently emit
+    SPLIT components (stale colors become false roots), so non-
+    convergence must be loud, never wrong (ADVICE r3). Empty edge input
+    returns an empty (id, scc) frame."""
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -93,6 +99,11 @@ def strongly_connected_components(
             if trivial.isEmpty():
                 break
             _peel(trivial)
+        else:
+            raise RuntimeError(
+                f"scc: trim did not reach fixpoint in max_inner={max_inner} "
+                f"steps; raise max_inner (results would be wrong, not "
+                f"approximate, if we continued)")
         if act.isEmpty():
             break
 
@@ -123,6 +134,13 @@ def strongly_connected_components(
             c = c_new
             if int(obs.get["n"] or 0) == 0:
                 break
+        else:
+            # stale c(v)=v rows would become FALSE color roots and step
+            # 3 would emit split SCCs — never continue past the cap.
+            raise RuntimeError(
+                f"scc: forward coloring did not converge in "
+                f"max_inner={max_inner} steps (graph has a forward path "
+                f"deeper than the cap); raise max_inner")
 
         # ---- 3. constrained backward reach from every color root
         # frontier keyed (color, id); expand along REVERSED edges into
@@ -149,13 +167,26 @@ def strongly_connected_components(
                 break
             visited = visited.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
+        else:
+            raise RuntimeError(
+                f"scc: backward reach did not close in "
+                f"max_inner={max_inner} steps; raise max_inner "
+                f"(incomplete visited sets would split SCCs)")
 
         # ---- 4. peel: each color's visited set is one SCC; label min
         lab = visited.groupBy("color").agg(F.min("id").alias("scc"))
         _peel(visited.join(lab, "color").select("id", "scc"))
+    else:
+        if not act.isEmpty():
+            raise RuntimeError(
+                f"scc: {act.count()} vertices still active after "
+                f"max_rounds={max_rounds} outer rounds; raise max_rounds "
+                f"(returning would silently omit them)")
 
     e.unpersist()
-    assert done is not None
+    if done is None:
+        # empty edge input: no vertices, empty (id, scc) frame
+        return act.select("id", F.col("id").alias("scc")).limit(0)
     return done.select("id", "scc")
 
 

@@ -265,6 +265,85 @@ def prefix_filter_pairs(
     )
 
 
+def incremental_prefix_pairs(
+    batch: DataFrame,
+    corpus_shingles: DataFrame,
+    corpus_sizes: DataFrame,
+    df_table: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT batch-vs-corpus Jaccard join against a PERSISTED corpus —
+    the O(batch)-work-per-ingest variant of ``prefix_filter_pairs(
+    other=...)`` (which re-shingles and re-ranks the full corpus on
+    every call; ADVICE r3). The corpus side arrives pre-computed:
+
+      corpus_shingles: (id, sh)  — distinct word-k-gram per corpus doc
+      corpus_sizes:    (id, n)   — |S(id)| per corpus doc
+      df_table:        (sh, df)  — corpus shingle document frequency
+                                    (optional, rarity ORDER only)
+
+    Correctness needs NO corpus-side prefix: J(a,b) >= t implies
+    overlap >= t*|S(a)| (from J = o/(|a|+|b|-o) >= t and |b| >= o), so
+    by pigeonhole a's prefix — its |S(a)| - floor(t*|S(a)|) + 1 rarest
+    shingles — must intersect b's FULL shingle set. The prefix-filter
+    lemma holds under ANY total shingle order; ranking by the persisted
+    (even slightly stale) corpus df is purely a fan-out optimization,
+    so the sidecar never has to be recomputed when the corpus grows.
+    The candidate join is batch-prefix x corpus-shingles with the
+    symmetric size filter; verification rescans candidate pairs only.
+    Returns (id_a from batch, id_b from corpus, jaccard >= threshold).
+    """
+    sh_a = batch.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
+    ).localCheckpoint(eager=True)
+    # rank a's shingles by persisted corpus df; unseen shingles get
+    # df 0 = rarest (exactly right: they cannot hit the corpus anyway).
+    # The df table is corpus-sized — left to AQE (a shuffle join on sh
+    # at scale, auto-broadcast when the corpus is small).
+    if df_table is not None:
+        ranked = sh_a.join(df_table, "sh", "left").select(
+            "id", "sh", F.coalesce(F.col("df"), F.lit(0)).alias("df"))
+    else:
+        ranked = sh_a.select("id", "sh", F.lit(0).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    pre = (
+        ranked
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .where(F.col("pos") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "sh", "sz")
+    )
+    b = corpus_shingles.join(corpus_sizes, "id").select(
+        F.col("id").alias("id_b"), "sh", F.col("n").alias("sz_b"))
+    cand = (
+        pre.alias("a").join(
+            b,
+            (F.col("a.sh") == b["sh"])
+            & (F.col("sz_b") >= F.lit(threshold) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("sz_b")))
+        .select(F.col("a.id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    sa = sh_a.select(F.col("id").alias("id_a"), "sh")
+    sb = corpus_shingles.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sh_a.groupBy("id").agg(F.count(F.lit(1)).alias("n_a")).withColumnRenamed("id", "id_a")
+    zb = corpus_sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(za, "id_a").join(zb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

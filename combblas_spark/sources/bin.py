@@ -28,17 +28,22 @@ detour (VERDICT r2 missing-item #4).
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import shutil
 import struct
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MAGIC = b"HKDT"
 HEADER_SIZE = 52  # 4-byte magic + 6 * uint64
+MANIFEST = "manifest.json"
 
 
 def _read_header(path: str) -> tuple[int, int, int, int, int]:
@@ -71,7 +76,11 @@ def read_bin(spark: SparkSession, path: str,
 
     Indices converted 1-based -> 0-based. Distributed: each task decodes
     a contiguous record range via numpy.frombuffer (no per-row Python).
+    ``path`` may also be a write_bin_sharded directory — shards decode
+    in parallel with the same kernel, no concat needed.
     """
+    if os.path.isdir(path):
+        return _read_bin_sharded(spark, path, num_partitions)
     objsize, m, n, nnz, itsize = _read_header(path)
     if nnz == 0:
         return (spark.createDataFrame([], "src long, dst long, val double"),
@@ -104,40 +113,151 @@ def read_bin(spark: SparkSession, path: str,
     return edges, m, n
 
 
-def write_bin(edges: DataFrame, path: str, nrows: int | None = None,
-              ncols: int | None = None) -> None:
-    """Write (src,dst,val) as CombBLAS binary triples (IT=int64,
-    NT=float64, the reference's default template instantiation).
+def _read_bin_sharded(spark: SparkSession, dirpath: str,
+                      num_partitions: int | None = None
+                      ) -> tuple[DataFrame, int, int]:
+    """Sharded-directory read path: the manifest maps a global record
+    range onto (shard file, local offset), so one spark.range drives
+    the same vectorized frombuffer decode across all shards."""
+    with open(os.path.join(dirpath, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    m, n, nnz = manifest["nrows"], manifest["ncols"], manifest["nnz"]
+    itsize, objsize = manifest["itsize"], manifest["objsize"]
+    if nnz == 0:
+        return (spark.createDataFrame([], "src long, dst long, val double"),
+                m, n)
+    elemsize = 2 * itsize + objsize
+    it_dt = np.dtype("<i4") if itsize == 4 else np.dtype("<i8")
+    nt_dt = np.dtype("<f4") if objsize == 4 else np.dtype("<f8")
+    rec = np.dtype([("i", it_dt), ("j", it_dt), ("v", nt_dt)])
+    # (file, global start) in order — small (one row per shard), broadcast
+    # to tasks via closure
+    spans = []
+    start = 0
+    for p in manifest["parts"]:
+        spans.append((os.path.join(dirpath, p["file"]), start,
+                      start + p["records"]))
+        start += p["records"]
+    parts_n = num_partitions or spark.sparkContext.defaultParallelism
 
-    ParallelBinaryWrite shape: executors pack range-sorted slices into
-    binary blobs (one row per Arrow batch — vectorized numpy packing),
-    the driver streams header + blobs in partition order. Constant
-    driver memory (toLocalIterator pulls one blob at a time)."""
-    stats = edges.agg(
-        F.count(F.lit(1)).alias("nnz"),
-        F.max("src").alias("ms"), F.max("dst").alias("md")).collect()[0]
-    nnz = stats["nnz"]
-    m = nrows if nrows is not None else int(stats["ms"] or -1) + 1
-    n = ncols if ncols is not None else int(stats["md"] or -1) + 1
-    rec = np.dtype([("i", "<i8"), ("j", "<i8"), ("v", "<f8")])
-
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
+            lo, hi = int(pdf["id"].min()), int(pdf["id"].max()) + 1
+            for fname, s, e in spans:
+                a, b = max(lo, s), min(hi, e)
+                if a >= b:
+                    continue
+                with open(fname, "rb") as fh:
+                    fh.seek((a - s) * elemsize)
+                    buf = fh.read((b - a) * elemsize)
+                arr = np.frombuffer(buf, dtype=rec)
+                yield pd.DataFrame({
+                    "src": arr["i"].astype(np.int64) - 1,
+                    "dst": arr["j"].astype(np.int64) - 1,
+                    "val": arr["v"].astype(np.float64),
+                })
+
+    edges = (
+        spark.range(0, nnz, numPartitions=parts_n)
+        .mapInPandas(decode, "src long, dst long, val double")
+    )
+    return edges, m, n
+
+
+def write_bin_sharded(edges: DataFrame, dirpath: str,
+                      nrows: int | None = None,
+                      ncols: int | None = None) -> dict:
+    """Write (src,dst,val) as a SHARDED CombBLAS binary-triples
+    directory: ``header.bin`` (the 52-byte HKDT header) plus
+    ``part-NNNNN.bin`` record shards written BY THE EXECUTORS in
+    parallel (each task packs its range-sorted slice with numpy and
+    writes its own shard to the shared store — nothing serializes
+    through the driver, unlike the old single-file ``toLocalIterator``
+    path flagged in VERDICT r3), plus ``manifest.json`` recording shard
+    order and per-shard record counts.
+
+    ``cat header.bin part-*.bin`` (pid order) reproduces the single-file
+    format byte-for-byte; read_bin accepts the directory directly.
+    Returns the manifest dict. IT=int64, NT=float64 (the reference's
+    default template instantiation); 1-based indices on disk."""
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("nnz"),
+        F.max("src").alias("ms"), F.max("dst").alias("md")).collect()[0]
+    nnz = int(stats["nnz"])
+    m = nrows if nrows is not None else int(stats["ms"] or -1) + 1
+    n = ncols if ncols is not None else int(stats["md"] or -1) + 1
+    rec = np.dtype([("i", "<i8"), ("j", "<i8"), ("v", "<f8")])
+    os.makedirs(dirpath, exist_ok=True)
+    for old in glob.glob(os.path.join(dirpath, "part-*.bin")):
+        os.remove(old)
+
+    def shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(dirpath, f"part-{pid:05d}.bin")
+        count = 0
+        fh = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if fh is None:
+                fh = open(fname, "wb")
             arr = np.empty(len(pdf), dtype=rec)
             arr["i"] = pdf["src"].to_numpy() + 1   # 1-based on disk
             arr["j"] = pdf["dst"].to_numpy() + 1
             arr["v"] = pdf["val"].to_numpy()
-            yield pd.DataFrame({"blob": [arr.tobytes()]})
+            fh.write(arr.tobytes())
+            count += len(pdf)
+        if fh is not None:
+            fh.close()
+        yield pd.DataFrame({"pid": [pid], "n": [count]})
 
-    blobs = (
+    counts = (
         edges.select("src", "dst", "val")
         .orderBy("src", "dst")            # range partition + local sort
-        .mapInPandas(pack, "blob binary")
+        .mapInPandas(shard, "pid int, n long")
+        .collect()
     )
-    with open(path, "wb") as out:
+    parts = [{"file": f"part-{r['pid']:05d}.bin", "records": int(r["n"])}
+             for r in sorted(counts, key=lambda r: r["pid"]) if r["n"] > 0]
+    with open(os.path.join(dirpath, "header.bin"), "wb") as out:
         out.write(MAGIC)
         out.write(struct.pack("<6Q", 2, 8, 0, m, n, nnz))
-        for row in blobs.toLocalIterator():
-            out.write(row["blob"])
+    manifest = {"format": "hkdt-sharded", "nrows": m, "ncols": n,
+                "nnz": nnz, "itsize": 8, "objsize": 8, "parts": parts}
+    with open(os.path.join(dirpath, MANIFEST), "w") as out:
+        json.dump(manifest, out, indent=1)
+    return manifest
+
+
+def concat_shards(dirpath: str, path: str) -> None:
+    """Assemble a sharded directory into the reference's single-file
+    format — a pure byte concatenation in manifest order (no decode;
+    on a real store this is the server-side compose/concat call)."""
+    with open(os.path.join(dirpath, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    with open(path, "wb") as out:
+        with open(os.path.join(dirpath, "header.bin"), "rb") as fh:
+            shutil.copyfileobj(fh, out)
+        for p in manifest["parts"]:
+            with open(os.path.join(dirpath, p["file"]), "rb") as fh:
+                shutil.copyfileobj(fh, out)
+
+
+def write_bin(edges: DataFrame, path: str, nrows: int | None = None,
+              ncols: int | None = None) -> None:
+    """Write (src,dst,val) as a single CombBLAS binary-triples file
+    (IT=int64, NT=float64).
+
+    Implemented as sharded-write-then-concat: executors pack and write
+    range-sorted shards in parallel (write_bin_sharded), then the
+    shards are byte-concatenated in order — same bytes as the old
+    driver-streamed path, but the packing and store writes scale with
+    executors; only the final (optional, interchange-only) concat is
+    serial. For >100-GB dumps keep the sharded directory and skip this.
+    """
+    tmp = path + ".shards"
+    write_bin_sharded(edges, tmp, nrows=nrows, ncols=ncols)
+    concat_shards(tmp, path)
+    shutil.rmtree(tmp)

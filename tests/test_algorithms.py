@@ -950,8 +950,10 @@ def test_hits_vs_numpy(spark):
 
 def test_salsa_vs_numpy(spark):
     """SALSA: stochastic (degree-normalized) HITS — 5 un-normalized
-    iterations from h0=1 match the dense numpy recurrence; vertices
-    with no in-edges have auth 0, no out-edges hub 0. Both layouts."""
+    Lempel-Moran iterations (a = Wr^T h, h = Wc a: each contribution
+    weighted by the CONTRIBUTOR's degree) from h0=1 match the dense
+    numpy recurrence; vertices with no in-edges have auth 0, no
+    out-edges hub 0. Both layouts."""
     from combblas_spark.algorithms.hits import salsa
 
     E = _rand_directed_edges(11, n=12, m=40)
@@ -965,10 +967,14 @@ def test_salsa_vs_numpy(spark):
     Wr = np.divide(A, outd[:, None], out=np.zeros_like(A), where=outd[:, None] > 0)
     h = np.ones(len(nodes))
     for _ in range(5):
-        a = Wc.T @ h
-        h = Wr @ a
+        a = Wr.T @ h
+        h = Wc @ a
     h = np.where(outd > 0, h, 0.0)
     a = np.where(ind > 0, a, 0.0)
+    # non-degeneracy: the transpose chain's fixed point is all-ones,
+    # which carries no ranking signal — the correct chain must rank.
+    live_a = a[ind > 0]
+    assert live_a.std() > 1e-6, "authority scores degenerate to uniform"
     for dual in (True, False):
         out = {r["id"]: (r["hub"], r["auth"])
                for r in salsa(df_edges(spark, E), n_iter=5,
@@ -1326,3 +1332,125 @@ def test_host_link_graph_vs_reference(spark):
                 exp[(hs, hd)] += 1
     assert got == dict(exp)
     pages.unpersist()
+
+
+# -------------------------------------------------- round-4 additions
+
+
+def test_scc_raises_on_cap_exhaustion(spark):
+    """A 6-cycle needs ~6 coloring steps; max_inner=2 must raise, never
+    return split SCCs (ADVICE r3)."""
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.scc import strongly_connected_components
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    with _pytest.raises(RuntimeError, match="coloring"):
+        strongly_connected_components(df_edges(spark, cyc), max_inner=2)
+    # and the empty graph returns an empty frame, not an assert
+    empty = spark.createDataFrame([], "src long, dst long, val double")
+    out = strongly_connected_components(empty)
+    assert out.columns == ["id", "scc"] and out.count() == 0
+
+
+def test_pagerank_zero_teleport_raises(spark):
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.pagerank import pagerank
+
+    e = df_edges(spark, [(0, 1), (1, 2), (2, 0)])
+    tp = spark.createDataFrame([(0, 0.0), (1, 0.0)], "id long, w double")
+    with _pytest.raises(ValueError, match="teleport"):
+        pagerank(e, n_iter=2, teleport=tp)
+
+
+def test_bfs_random_parent_tree_valid(spark):
+    """Random-parent BFS (RandomParentBFS.cpp semiring, seeded): levels
+    identical to min-rule BFS, parents form a valid kernel-2 tree, and
+    at least one parent differs from the min rule on a graph with
+    multi-parent layers."""
+    from combblas_spark.algorithms.bfs import (
+        _bfs, bfs_levels, bfs_parents, validate_bfs_tree)
+
+    E = _rand_directed_edges(23, n=14, m=60)
+    g = df_edges(spark, E)
+    tree = _bfs(g, 0, False, 1_000_000, 1000, None, parent_rule="random")
+    chk = validate_bfs_tree(g, tree, 0)
+    assert chk["ok"], chk
+    lv_min = {r["id"]: r["level"] for r in bfs_levels(g, 0).collect()}
+    lv_rnd = {r["id"]: r["level"] for r in tree.collect()}
+    assert lv_min == lv_rnd
+    p_min = {r["id"]: r["parent"] for r in bfs_parents(g, 0).collect()}
+    p_rnd = {r["id"]: r["parent"] for r in
+             bfs_parents(g, 0, parent_rule="random").collect()}
+    assert set(p_min) == set(p_rnd)
+    assert any(p_min[v] != p_rnd[v] for v in p_min), \
+        "random rule never deviated from min rule (suspicious)"
+    # determinism: same seed -> same tree
+    p_rnd2 = {r["id"]: r["parent"] for r in
+              bfs_parents(g, 0, parent_rule="random").collect()}
+    assert p_rnd == p_rnd2
+
+
+def test_single_child_frontier(spark):
+    """One child per (level, parent): star 0->{1,2,3}, then 1->{4,5}.
+    Exactly one chosen child per parent per level, and it is one of the
+    parent's tree children."""
+    from combblas_spark.algorithms.bfs import bfs_tree, single_child_frontier
+
+    g = df_edges(spark, [(0, 1), (0, 2), (0, 3), (1, 4), (1, 5)])
+    tree = bfs_tree(g, 0)
+    sc = single_child_frontier(tree, 0).collect()
+    by_key = {(r["level"], r["parent"]): r["child"] for r in sc}
+    assert set(by_key) == {(1, 0), (2, 1)}
+    assert by_key[(1, 0)] in {1, 2, 3}
+    assert by_key[(2, 1)] in {4, 5}
+
+
+def test_ktips(spark):
+    """Tip walks: branch within l -> cut edge reported; dead-end and
+    too-long walks -> (-1,-1). Graph: path 0-1-2-10 into junction 10
+    (also adjacent to leaves 20, 21), isolated edge 30-31, and a long
+    path 40-41-..-45-10 whose tip only resolves with larger l."""
+    from combblas_spark.algorithms.ktips import k_tips
+
+    E = [(0, 1), (1, 2), (2, 10), (10, 20), (10, 21),
+         (30, 31),
+         (40, 41), (41, 42), (42, 43), (43, 44), (44, 45), (45, 10)]
+    g = df_edges(spark, E)
+    got = {r["tip"]: (r["cut_src"], r["cut_dst"])
+           for r in k_tips(g, l=4).collect()}
+    # degree-1 vertices: 0, 20, 21, 30, 31, 40
+    assert set(got) == {0, 20, 21, 30, 31, 40}
+    assert got[0] == (2, 10)       # walk 0-1-2-(10 branches)
+    assert got[20] == (20, 10)     # immediate junction
+    assert got[21] == (21, 10)
+    assert got[30] == (-1, -1)     # dead end (mutual tips)
+    assert got[31] == (-1, -1)
+    assert got[40] == (-1, -1)     # needs 6 rounds, l=4
+    got6 = {r["tip"]: (r["cut_src"], r["cut_dst"])
+            for r in k_tips(g, l=6).collect()}
+    assert got6[40] == (45, 10)
+
+
+def test_col_split_merge_roundtrip(spark):
+    """SplitMergeTest.cpp: split -> concatenate == identity; block grid
+    round-trip too; reference cut rule (last part takes remainder)."""
+    from combblas_spark.operators.split import (
+        _cuts, block_merge, block_split, col_concatenate, col_split)
+
+    assert _cuts(10, 3) == [(0, 3), (3, 6), (6, 10)]
+    assert _cuts(7, 7) == [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)]
+    assert _cuts(3, 5) == [(0, 3)]  # too small to split
+
+    E = [(i, (i * 7) % 13, float(i)) for i in range(40)]
+    g = df_edges(spark, E)
+    slices = col_split(g, 5, ncols=13)
+    assert [s["ncols"] for s in slices] == [2, 2, 2, 2, 5]
+    back = col_concatenate(slices)
+    orig = {(r["src"], r["dst"], r["val"]) for r in g.collect()}
+    assert {(r["src"], r["dst"], r["val"]) for r in back.collect()} == orig
+    grid = block_split(g, 3, 2, nrows=40, ncols=13)
+    assert len(grid) == 3 and len(grid[0]) == 2
+    back2 = block_merge(grid)
+    assert {(r["src"], r["dst"], r["val"]) for r in back2.collect()} == orig

@@ -271,3 +271,28 @@ def test_min_degree_reduces_fill_on_bcsstk01(spark):
     md_fill, nat_fill = fill_count(md_order), fill_count(natural)
     assert md_fill < nat_fill                        # strictly fill-reducing
     assert md_fill <= 0.8 * nat_fill                 # and substantially so
+
+
+def test_bin_sharded_write_read(spark, tmp_path):
+    """Sharded writer: executors write part shards + header + manifest;
+    concat reproduces the single-file bytes EXACTLY; read_bin on the
+    directory returns the same triples (VERDICT r3 #7)."""
+    from combblas_spark.sources.bin import (
+        concat_shards, read_bin, write_bin, write_bin_sharded)
+
+    E = [(i % 37, (i * 11) % 29, float(i) + 0.5) for i in range(500)]
+    g = spark.createDataFrame(E, "src long, dst long, val double") \
+        .repartition(6)
+    single = str(tmp_path / "single.bin")
+    write_bin(g, single)
+    shard_dir = str(tmp_path / "sharded")
+    man = write_bin_sharded(g, shard_dir)
+    assert man["nnz"] == 500 and len(man["parts"]) >= 1
+    # byte identity via concat
+    cat = str(tmp_path / "cat.bin")
+    concat_shards(shard_dir, cat)
+    assert open(single, "rb").read() == open(cat, "rb").read()
+    # direct sharded read, no concat
+    df, m, n = read_bin(spark, shard_dir)
+    got = {(r["src"], r["dst"], r["val"]) for r in df.collect()}
+    assert got == set(E) and (m, n) == (37, 29)

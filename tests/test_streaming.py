@@ -301,3 +301,72 @@ def test_corpus_ingest_stream(spark, tmp_path):
                  1, corp, threshold=0.5, quality_kwargs=q)
     got2 = {r["doc_id"] for r in read_corpus(spark, corp).collect()}
     assert got2 == got
+
+
+def test_incremental_sidecar_equivalence(spark):
+    """incremental_prefix_pairs (one-sided prefix vs persisted corpus
+    tables) returns exactly the pairs of the recompute-everything
+    two-sided join — the prefix filter is exact under any rarity order."""
+    from combblas_spark.functions.dedup import (
+        incremental_prefix_pairs, prefix_filter_pairs, shingles)
+    from pyspark.sql import functions as F
+    import random
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(30)]
+    base = [rng.choice(words) for _ in range(25)]
+    docs = []
+    for i in range(16):
+        t = list(base)
+        for _ in range(rng.randrange(0, 12)):
+            t[rng.randrange(len(t))] = rng.choice(words)
+        docs.append((i, " ".join(t)))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus = d.where("doc_id % 2 = 0")
+    batch = d.where("doc_id % 2 = 1")
+    want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            prefix_filter_pairs(batch, threshold=0.6, other=corpus).collect()}
+    csh = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh"))
+    csz = csh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    cdf = csh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+           incremental_prefix_pairs(batch, csh, csz, df_table=cdf,
+                                    threshold=0.6).collect()}
+    assert got == want and want  # non-vacuous
+    # df_table is an optimization only: omitting it changes nothing
+    got2 = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            incremental_prefix_pairs(batch, csh, csz,
+                                     threshold=0.6).collect()}
+    assert got2 == want
+
+
+def test_corpus_ingest_fresh_checkpoint_appends(spark, tmp_path):
+    """A SECOND stream with a fresh checkpoint over an existing corpus
+    must append new batch dirs, never overwrite batch=0 (ADVICE r3);
+    and its batches near-dup-check against the standing corpus via the
+    persisted sidecars."""
+    import os
+
+    from combblas_spark.streaming.corpus import (
+        max_batch_id, read_corpus, run_corpus_ingest)
+
+    base = "the quick brown fox jumps over a lazy dog near the old red barn"
+    inp1, inp2, corp = (str(tmp_path / d) for d in ("in1", "in2", "corpus"))
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    spark.createDataFrame([(0, base)], "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(inp1)
+    run_corpus_ingest(spark, inp1, corp, ck1, threshold=0.5) \
+        .awaitTermination(120)
+    assert max_batch_id(corp) == 0
+    assert os.path.isdir(os.path.join(corp, "_shingles", "batch=0"))
+    # second pipeline, FRESH checkpoint: near-dup of doc 0 + a new doc
+    spark.createDataFrame(
+        [(7, base + " extra"), (8, "an entirely different document about engines")],
+        "doc_id long, text string").coalesce(1).write.mode("append").parquet(inp2)
+    run_corpus_ingest(spark, inp2, corp, ck2, threshold=0.5) \
+        .awaitTermination(120)
+    got = {r["doc_id"] for r in read_corpus(spark, corp).collect()}
+    assert got == {0, 8}, got          # 7 deduped against standing corpus
+    assert max_batch_id(corp) == 1     # appended, batch=0 intact
