@@ -297,6 +297,22 @@ def q_ktips(spark, sf):
     return k_tips(tree, l=6).select("tip", "cut_src", "cut_dst")
 
 
+def q_selective_prune(spark, sf):
+    """SelectivePrune (Applications/Incremental/IncClust.h:310): an nz
+    survives unless it is same-age on both ends AND weak AND unmasked.
+    Deterministic flags/mask: old = even id, mask = edges with
+    (src+dst) % 3 == 0, threshold 3.0 (both outcomes occur at sf0.001
+    and sf0.01)."""
+    from combblas_spark.algorithms.mcl import selective_prune
+
+    g = events_graph(spark, sf)
+    verts = (g.select(F.col("src").alias("id"))
+             .unionByName(g.select(F.col("dst").alias("id"))).distinct())
+    is_old = verts.select("id", (F.col("id") % 2 == 0).alias("old"))
+    mask = g.where((F.col("src") + F.col("dst")) % 3 == 0).select("src", "dst")
+    return selective_prune(g, mask, is_old, 3.0).select("src", "dst", "val")
+
+
 def q_incremental_sidecar(spark, sf):
     """Sidecar-table incremental dedup (the streaming-ingest hot path
     after ADVICE r3): corpus side pre-computed (shingles/sizes/df)
@@ -2092,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_child": q_single_child,
         "split_merge": q_split_merge,
         "ktips": q_ktips,
+        "selective_prune": q_selective_prune,
         "incremental_sidecar": q_incremental_sidecar,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
@@ -2126,8 +2143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pointer_jump": q_pointer_jump,
         "kselect_top2": q_kselect_top2,
         "kth_value": q_kth_value,
-        "vector_assign": q_vector_assign,
         # --- 4. tail: green in the r3 window (positions 51+) -----------
+        "vector_assign": q_vector_assign,
         "bowtie": q_bowtie,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
@@ -2706,6 +2723,11 @@ def oracle_sql() -> dict[str, str]:
               FROM par) WHERE rn = 1""",
         "split_merge": f"""{_BASE}
             SELECT src, dst, val FROM edges""",
+        "selective_prune": f"""{_BASE}
+            SELECT src, dst, val FROM edges e
+            WHERE NOT (e.val < 3.0
+                       AND (e.src + e.dst) % 3 <> 0
+                       AND (e.src % 2) = (e.dst % 2))""",
         "ktips": _ktips_sql(6),
         "pagerank": _pagerank_sql(),
         "pagerank_personalized": _pagerank_personalized_sql(),

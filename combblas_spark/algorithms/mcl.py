@@ -37,6 +37,39 @@ def _col_stochastic(edges: DataFrame) -> DataFrame:
     )
 
 
+def selective_prune(
+    A: DataFrame,
+    mask: DataFrame,
+    is_old: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """SelectivePrune (Applications/Incremental/IncClust.h:310): drop an
+    nz of ``A`` only when ALL THREE hold —
+
+      (1) its row and column vertices have the SAME old/new flag
+          (old-old or new-new; old<->new bridges always survive),
+      (2) its value is below ``threshold``,
+      (3) the ``mask`` has no nz at the same position (the mask injects
+          prior knowledge — e.g. previously co-clustered pairs).
+
+    The reference computes the prunable set by SetDifference + Prune +
+    DimApply/PruneColumn flag matching; here it is one filter + one
+    anti-join + two flag joins, then an anti-join back onto A — all
+    hash joins on (src, dst)/vertex keys, no new shuffle shapes.
+    ``is_old``: (id, old) with a boolean/int flag; ``mask``: (src, dst).
+    """
+    fs = is_old.select(F.col("id").alias("src"), F.col("old").alias("_fs"))
+    fd = is_old.select(F.col("id").alias("dst"), F.col("old").alias("_fd"))
+    prunable = (
+        A.where(F.col("val") < threshold)
+        .join(mask.select("src", "dst"), ["src", "dst"], "left_anti")
+        .join(fs, "src").join(fd, "dst")
+        .where(F.col("_fs").cast("int") == F.col("_fd").cast("int"))
+        .select("src", "dst")
+    )
+    return A.join(prunable, ["src", "dst"], "left_anti")
+
+
 def mcl(
     edges: DataFrame,
     inflation: float = 2.0,
@@ -48,6 +81,9 @@ def mcl(
     recover_num: int = 3,
     recover_pct: float = 0.9,
     metrics: list | None = None,
+    summary_iter: int | None = None,
+    summary_out: list | None = None,
+    iter_hook=None,
 ) -> DataFrame:
     """Returns (id, cluster) — cluster = min vertex id of the MCL cluster.
 
@@ -66,6 +102,16 @@ def mcl(
     Integer inflation exponents are computed by repeated multiplication
     (exact IEEE products, engine-portable — pow() is only ~1ulp and
     would break external-oracle bit parity); non-integer uses pow.
+
+    ``summary_iter``/``summary_out``: the incremental-pipeline summary
+    contract (IncClust.h:83-85, HipMCL :435-520): the MCL STATE matrix
+    at iteration ``summary_iter`` (or the initial state if the run
+    converges earlier — the reference's fallback, :440) is appended to
+    the ``summary_out`` list; it becomes the next increment's Mpp.
+    ``iter_hook``: optional A -> A transform applied after each
+    iteration's normalize+checkpoint (the incremental pipeline passes a
+    selective_prune closure, mirroring IncClust.h:760-763 which prunes
+    inside the loop when nnz grows).
     """
     if select_k < recover_num:
         # keeps prune_recovery_select's omission of the reference's
@@ -86,6 +132,11 @@ def mcl(
         )
     A = _col_stochastic(sym.groupBy("src", "dst").agg(F.sum("val").alias("val")))
     A = A.localCheckpoint(eager=True)
+    if summary_out is not None:
+        # fallback summary = the initial state (IncClust.h:440); replaced
+        # if the loop reaches summary_iter
+        summary_out.clear()
+        summary_out.append(A)
 
     if inflation == int(inflation) and 1 <= int(inflation) <= 4:
         p = int(inflation)
@@ -140,6 +191,11 @@ def mcl(
         chaos = obs.get["chaos"] or 0.0
         kept.unpersist()
         A = A_new
+        if iter_hook is not None:
+            A = superstep_checkpoint(iter_hook(A), 1000 + it)
+        if summary_out is not None and summary_iter is not None and it == summary_iter:
+            summary_out.clear()
+            summary_out.append(A)
         if metrics is not None:
             metrics.append({"iter": it, "chaos": chaos})
         if chaos < chaos_eps:
@@ -244,3 +300,77 @@ def mcl_incremental(
         node_of.join(sub.withColumnRenamed("id", "node"), "node")
         .select("id", "cluster")
     )
+
+
+def mcl_incremental_pipeline(
+    prev_summary: DataFrame,
+    new_edges: DataFrame,
+    prev_clusters: DataFrame,
+    inflation: float = 2.0,
+    selective_threshold: float | None = 1e-4,
+    summary_iter: int | None = 1,
+    summary_out: list | None = None,
+    **mcl_kwargs,
+) -> DataFrame:
+    """Full Incremental/ pipeline parity (Applications/Incremental/
+    Incremental-Pipeline.cpp driving IncClust.h:618 IncrementalMCL +
+    :922 PrepIncMat):
+
+      Minc    = [ Mpp  Mpn ]   Mpp := the previous step's SAVED SUMMARY
+                [ Mnp  Mnn ]   (MCL state snapshot), NOT the raw old
+                               edges; Mpn/Mnp/Mnn := this increment's
+                               edges touching >= 1 new vertex
+      Mask    = previously co-clustered (src, dst) pairs (prior
+                knowledge the per-iteration SelectivePrune must keep)
+      isOld   = flag vector; old<->new bridge entries are never
+                selectively pruned
+      run MCL on Minc with SelectivePrune inside the loop; snapshot a
+      new summary for the NEXT increment.
+
+    Spark mapping notes: PrepIncMat's shuffleVertexOrder permutation is
+    a load-balance device for the reference's 2D block distribution —
+    hash partitioning gives the same property for free, so it maps to a
+    no-op. The reference gates SelectivePrune on nnz growth (a cost
+    heuristic); here the hook runs every iteration — deterministic and
+    strictly-at-least-as-pruned, documented delta. Like the reference,
+    the result is approximate by design: previous clusters influence
+    but do not constrain the new assignment (unlike mcl_incremental's
+    hard supernode contraction above — both shapes are offered, the
+    contraction for cheap maintenance, this pipeline for fidelity).
+
+    prev_summary: (src, dst, val) over old vertices; new_edges:
+    (src, dst, val) where at least one endpoint is new (quadrants Mpn,
+    Mnp, Mnn concatenated — they are one table in edge-list form);
+    prev_clusters: (id, cluster). Returns (id, cluster) over all
+    vertices of Minc; appends the new summary to summary_out.
+    """
+    minc = (
+        prev_summary.select("src", "dst", "val")
+        .unionByName(new_edges.select("src", "dst", "val"))
+        .groupBy("src", "dst").agg(F.sum("val").alias("val"))
+    )
+    old_ids = prev_clusters.select("id").distinct()
+    verts = (
+        minc.select(F.col("src").alias("id"))
+        .unionByName(minc.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    is_old = verts.join(
+        old_ids.select("id", F.lit(True).alias("old")), "id", "left"
+    ).select("id", F.coalesce(F.col("old"), F.lit(False)).alias("old"))
+    is_old = is_old.localCheckpoint(eager=True)
+    ca = prev_clusters.select(F.col("id").alias("src"), F.col("cluster").alias("_ca"))
+    cb = prev_clusters.select(F.col("id").alias("dst"), F.col("cluster").alias("_cb"))
+    mask = (
+        minc.join(ca, "src").join(cb, "dst")
+        .where(F.col("_ca") == F.col("_cb"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    hook = None
+    if selective_threshold is not None:
+        def hook(a, _m=mask, _f=is_old, _t=selective_threshold):
+            return selective_prune(a, _m, _f, _t)
+    return mcl(minc, inflation=inflation, iter_hook=hook,
+               summary_iter=summary_iter, summary_out=summary_out,
+               **mcl_kwargs)

@@ -62,6 +62,7 @@ def pagerank(
     initial_ranks: DataFrame | None = None,
     edge_layout: str | None = None,
     teleport: DataFrame | None = None,
+    loop_layout: str | None = None,
 ) -> DataFrame:
     """Returns (id, rank) over the vertex set src UNION dst.
 
@@ -152,7 +153,13 @@ def pagerank(
     outw = edges.groupBy("src").agg(F.sum(w).alias("_outw"))
     enorm = edges.join(outw, "src").select("src", "dst", (w / F.col("_outw")).alias("w"))
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    regime_key = "dst" if can_broadcast else "src"
+    # loop_layout FORCES the cached-edge partitioning for the superstep
+    # loop (A/B instrumentation, VERDICT r3 #2): "src" pins the SpMV
+    # join side (default in the shuffle regime), "dst" pins the
+    # aggregation side (default in the broadcast regime, where the join
+    # is a broadcast and free). Results are layout-invariant; only the
+    # exchange placement moves. Leave None outside experiments.
+    regime_key = loop_layout or ("dst" if can_broadcast else "src")
     if edge_layout == regime_key:
         # caller declared the input already partitioned on the regime
         # key (bucketed table) — keep its layout; the normalize join

@@ -225,14 +225,26 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    per_bucket_cap: int | None = 128,
+    per_bucket_cap: int | str | None = "auto",
 ) -> DataFrame:
     """Approximate all-pairs top-k: multi-table banded LSH candidates
     (union over n_tables, deduped), exact cosine per candidate, window
     top-k per query. Recall grows with n_tables (OR) and falls with
     n_planes (AND) — the standard LSH tuning knobs. per_bucket_cap
     bounds the in-bucket quadratic against bucket skew.
+
+    per_bucket_cap="auto" (default) sizes the cap to 8x the EXPECTED
+    bucket size (n / 2^n_planes, floor 128): measured at 1M vectors /
+    12 planes (BENCH.md r4 ANN recall table), a cap BELOW the mean
+    bucket destroys recall (cap 128 = 0.5x mean -> recall 0.12; 2x mean
+    -> 0.61; 8x mean -> 0.97 at 4 tables) while still bounding skewed
+    buckets' quadratic. A fixed cap cannot be right across scales —
+    the old fixed default of 128 silently binds the MEAN bucket once
+    n > 128 * 2^n_planes. Pass an int to pin it, None to uncap.
     """
+    if per_bucket_cap == "auto":
+        n = vectors.count()
+        per_bucket_cap = max(128, (8 * n) >> n_planes)
     pairs = lsh_candidate_pairs(
         vectors, n_tables, n_planes, seed, id_col, vec_col, dim, per_bucket_cap)
     directed = pairs.select(

@@ -1454,3 +1454,63 @@ def test_col_split_merge_roundtrip(spark):
     assert len(grid) == 3 and len(grid[0]) == 2
     back2 = block_merge(grid)
     assert {(r["src"], r["dst"], r["val"]) for r in back2.collect()} == orig
+
+
+def test_selective_prune(spark):
+    """IncClust.h:310 truth table: an nz dies only when same-age AND
+    weak AND unmasked."""
+    from combblas_spark.algorithms.mcl import selective_prune
+
+    A = df_edges(spark, [
+        (0, 2, 0.1),   # old-old, weak, unmasked -> pruned
+        (0, 4, 0.1),   # old-old, weak, MASKED   -> kept
+        (0, 6, 9.0),   # old-old, strong         -> kept
+        (1, 3, 0.1),   # new-new, weak, unmasked -> pruned
+        (0, 1, 0.1),   # old-new bridge, weak    -> kept
+    ])
+    mask = spark.createDataFrame([(0, 4)], "src long, dst long")
+    is_old = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(8)], "id long, old boolean")
+    got = {(r["src"], r["dst"]) for r in
+           selective_prune(A, mask, is_old, 1.0).collect()}
+    assert got == {(0, 4), (0, 6), (0, 1)}
+
+
+def test_mcl_incremental_pipeline_two_deltas(spark):
+    """Full Incremental/ parity, two-delta check: cluster G0 (two
+    cliques) saving a summary; add a third clique with a weak bridge;
+    the incremental pipeline (summary + new edges + selective prune)
+    finds the same partition as a from-scratch MCL on the full graph."""
+    from combblas_spark.algorithms.mcl import (
+        mcl, mcl_incremental_pipeline)
+
+    def clique(vs, w=1.0):
+        return [(a, b, w) for a in vs for b in vs if a < b]
+
+    g0 = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10, 0.05)]
+    summary0: list = []
+    c0 = mcl(df_edges(spark, g0), inflation=2.0, summary_iter=1,
+             summary_out=summary0)
+    part0 = {frozenset(int(r["id"]) for r in c0.collect()
+                       if r["cluster"] == c)
+             for c in {r["cluster"] for r in c0.collect()}}
+    assert part0 == {frozenset({0, 1, 2, 3}), frozenset({10, 11, 12, 13})}
+    assert summary0, "summary not captured"
+
+    # delta: new clique 20-23, weakly bridged to the 10s clique
+    new_edges = clique([20, 21, 22, 23]) + [(13, 20, 0.05)]
+    prev = c0.selectExpr("id", "cluster")
+    summary1: list = []
+    c1 = mcl_incremental_pipeline(
+        summary0[0], df_edges(spark, new_edges), prev,
+        inflation=2.0, selective_threshold=1e-4,
+        summary_iter=1, summary_out=summary1)
+    rows = c1.collect()
+    part1 = {frozenset(int(r["id"]) for r in rows if r["cluster"] == c)
+             for c in {r["cluster"] for r in rows}}
+    full = mcl(df_edges(spark, g0 + new_edges), inflation=2.0)
+    frows = full.collect()
+    partf = {frozenset(int(r["id"]) for r in frows if r["cluster"] == c)
+             for c in {r["cluster"] for r in frows}}
+    assert part1 == partf, (part1, partf)
+    assert summary1, "second summary not captured"
