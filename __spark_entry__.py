@@ -122,6 +122,24 @@ def q_spgemm_phased(spark, sf):
     return spgemm_phased(g, g, phases=4).select("src", "dst", F.col("val").alias("c"))
 
 
+def q_blocked_spgemm(spark, sf):
+    """BlockSpGEMM iterator (BlockSpGEMM.h via ReleaseTests/
+    BlockedSpGEMM.cpp): C = A^2 produced as a 2x3 grid of output
+    blocks, re-offset and unioned — must equal the unblocked product,
+    so it shares spgemm_aa's oracle."""
+    from combblas_spark.operators.split import blocked_spgemm
+
+    g = events_graph(spark, sf)
+    n = int(g.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]) + 1
+    out = None
+    for b in blocked_spgemm(g, g, 2, 3, nrows=n, ncols=n):
+        df = (b["df"]
+              .withColumn("src", F.col("src") + F.lit(b["row_offset"]))
+              .withColumn("dst", F.col("dst") + F.lit(b["col_offset"])))
+        out = df if out is None else out.unionByName(df)
+    return out.select("src", "dst", F.col("val").alias("c"))
+
+
 def q_spgemm_minplus(spark, sf):
     """SpGEMM over the MinPlus (tropical) semiring — 2-hop shortest
     path lengths, the classic non-(+,*) semiring showcase
@@ -2107,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_random_parent": q_bfs_random_parent,
         "single_child": q_single_child,
         "split_merge": q_split_merge,
+        "blocked_spgemm": q_blocked_spgemm,
         "ktips": q_ktips,
         "selective_prune": q_selective_prune,
         "incremental_sidecar": q_incremental_sidecar,
@@ -2142,8 +2161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transpose_rowsums": q_transpose_rowsums,
         "pointer_jump": q_pointer_jump,
         "kselect_top2": q_kselect_top2,
-        "kth_value": q_kth_value,
         # --- 4. tail: green in the r3 window (positions 51+) -----------
+        "kth_value": q_kth_value,
         "vector_assign": q_vector_assign,
         "bowtie": q_bowtie,
         "random_walks": q_random_walks,
@@ -2596,6 +2615,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.src, b.dst, sum(a.val * b.val) AS c
             FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
         "spgemm_phased": f"""{_BASE}
+            SELECT a.src, b.dst, sum(a.val * b.val) AS c
+            FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
+        "blocked_spgemm": f"""{_BASE}
             SELECT a.src, b.dst, sum(a.val * b.val) AS c
             FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
         "galerkin": f"""{_BASE}

@@ -99,3 +99,35 @@ def block_merge(grid: list[list[dict]], row: str = "src",
                   .withColumn(col, F.col(col) + F.lit(b["col_offset"])))
             out = df if out is None else out.unionByName(df)
     return out
+
+
+def blocked_spgemm(A: DataFrame, B: DataFrame, br: int, bc: int,
+                   nrows: int, ncols: int):
+    """BlockSpGEMM (include/CombBLAS/BlockSpGEMM.h, exercised by
+    ReleaseTests/BlockedSpGEMM.cpp): C = A (x) B produced one output
+    block at a time — the getNextBlock iterator. Output block (i, j) is
+    A[row range i] x B[col range j] with the inner dimension FULL (the
+    row/col restrictions distribute over the product), indices re-based
+    to the block, offsets reported alongside.
+
+    Yields {"df", "row_offset", "nrows", "col_offset", "ncols"} in the
+    reference's row-major block order. Re-offsetting and unioning all
+    blocks (block_merge) reproduces spgemm(A, B) exactly — the blocked
+    form exists so ONE block's working set at a time needs memory, the
+    same phasing motive as spgemm_phased, but on the OUTPUT dimension.
+    Each block's plan is a filter-pushed restriction of the same join;
+    Catalyst prunes the scan per block.
+
+    ``nrows``: row count of A; ``ncols``: column count of B.
+    """
+    from combblas_spark.operators.spgemm import spgemm
+
+    for rlo, rhi in _cuts(nrows, br):
+        for clo, chi in _cuts(ncols, bc):
+            a = A.where((F.col("src") >= rlo) & (F.col("src") < rhi))
+            b = B.where((F.col("dst") >= clo) & (F.col("dst") < chi))
+            blk = (spgemm(a, b)
+                   .withColumn("src", F.col("src") - F.lit(rlo))
+                   .withColumn("dst", F.col("dst") - F.lit(clo)))
+            yield {"df": blk, "row_offset": rlo, "nrows": rhi - rlo,
+                   "col_offset": clo, "ncols": chi - clo}

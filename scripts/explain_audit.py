@@ -155,6 +155,48 @@ def main() -> None:
     assert all(m not in plan for m in
                ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonRDD")), plan
     print("prefix_filter_pairs: equi-join planned, PYTHON-FREE (asserted)")
+
+    print("=== 8. one-sided sidecar incremental join (r4): equi-join on "
+          "prefix shingle vs PRECOMPUTED corpus tables, Python-free ===")
+    from combblas_spark.functions.dedup import incremental_prefix_pairs
+    from combblas_spark.functions.text import shingles as _sh
+
+    corpus = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    # mirror the real ingest path: sidecars are MATERIALIZED tables
+    # (parquet on disk in streaming/corpus.py; checkpointed here)
+    csh = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(_sh(F.col("text"), 3))).alias("sh"),
+    ).localCheckpoint(eager=True)
+    csz = csh.groupBy("id").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    cdf = csh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).localCheckpoint(eager=True)
+    ip = incremental_prefix_pairs(batch, csh, csz, df_table=cdf, threshold=0.8)
+    plan = ip._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert all(m not in plan for m in
+               ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonRDD")), plan
+    # the sidecar contract: with corpus tables materialized, the plan
+    # contains NO text re-shingling at all (the batch side's explode is
+    # checkpointed inside incremental_prefix_pairs before the joins)
+    n_explode = plan.count("Generate explode")
+    assert n_explode == 0, f"text re-exploded in the loop plan? {n_explode}\n{plan}"
+    print("incremental_prefix_pairs: equi-join planned, PYTHON-FREE, "
+          "zero re-shingling above the sidecar tables (asserted)")
+
+    print("=== 9. ktips walk step / selective prune: joins only, no "
+          "cartesian, no Python ===")
+    from combblas_spark.algorithms.mcl import selective_prune
+
+    A = g.select("src", "dst", "val")
+    mask = A.where((F.col("src") + F.col("dst")) % 3 == 0).select("src", "dst")
+    isold = vertices(g).select("id", (F.col("id") % 2 == 0).alias("old"))
+    sp = selective_prune(A, mask, isold, 3.0)
+    plan = sp._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert all(m not in plan for m in
+               ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonRDD")), plan
+    print("selective_prune: anti-join + flag joins, PYTHON-FREE (asserted)")
     spark.stop()
 
 

@@ -1514,3 +1514,19 @@ def test_mcl_incremental_pipeline_two_deltas(spark):
              for c in {r["cluster"] for r in frows}}
     assert part1 == partf, (part1, partf)
     assert summary1, "second summary not captured"
+
+
+def test_blocked_spgemm(spark):
+    """BlockedSpGEMM.cpp contract: the union of re-offset output blocks
+    equals the unblocked product, block count = br*bc."""
+    from combblas_spark.operators.spgemm import spgemm
+    from combblas_spark.operators.split import block_merge, blocked_spgemm
+
+    E = [(i % 11, (i * 3) % 9, float(i % 5 + 1)) for i in range(60)]
+    g = df_edges(spark, E)
+    blocks = list(blocked_spgemm(g, g, 3, 2, nrows=11, ncols=9))
+    assert len(blocks) == 6
+    got = {(r["src"], r["dst"], r["val"])
+           for r in block_merge([blocks[:2], blocks[2:4], blocks[4:]]).collect()}
+    want = {(r["src"], r["dst"], r["val"]) for r in spgemm(g, g).collect()}
+    assert got == want and want
