@@ -183,6 +183,7 @@ def prefix_filter_pairs(
     threshold: float = 0.8,
     shingle_k: int = 3,
     other: DataFrame | None = None,
+    key_encoding: str = "string",
 ) -> DataFrame:
     """EXACT word-k-gram Jaccard similarity self-join via prefix
     filtering (the AllPairs/PPJoin candidate condition): returns EVERY
@@ -210,38 +211,61 @@ def prefix_filter_pairs(
     frequencies are computed over BOTH sides so the rarity order (and
     hence the prefix-filter guarantee) is consistent; the two id spaces
     must be disjoint or the caller filters self-pairs.
+
+    ``key_encoding="hash64"`` runs the CANDIDATE stages (df groupBy,
+    freq join, prefix equi-join — the three biggest shuffles) on
+    ``xxhash64(sh)`` 8-byte longs instead of ~(8+k*word) byte shingle
+    strings. EXACTNESS IS PRESERVED: the rarity order becomes
+    (df(h), h, sh) — still a consistent total order over the true
+    shingle universe (the sh tie-break covers the astronomically-rare
+    h collision), so the prefix-filter lemma holds verbatim; a hash
+    collision in the candidate join can only ADD candidate pairs, and
+    the verify stage rescans true strings, so the output is identical
+    to string mode. The trade: candidate shuffles shrink ~3x in key
+    bytes; df of colliding shingles merges (ordering-only effect).
     """
+    if key_encoding not in ("string", "hash64"):
+        raise ValueError(f"key_encoding must be 'string' or 'hash64', got {key_encoding!r}")
+    use_hash = key_encoding == "hash64"
+    key = "k" if use_hash else "sh"
+
     def explode_sh(d: DataFrame) -> DataFrame:
         return d.select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
         )
 
+    def keyed(sh: DataFrame) -> DataFrame:
+        # derive the long key AFTER the checkpoint: xxhash64 is cheaper
+        # to recompute than to store, and the checkpoint stays (id, sh)
+        return sh.withColumn("k", F.xxhash64("sh")) if use_hash else sh
+
     # checkpoint: feeds freq, ranking, and the verify rescans
     sh_a = explode_sh(docs).localCheckpoint(eager=True)
     sh_b = explode_sh(other).localCheckpoint(eager=True) if other is not None else sh_a
     sh_all = sh_a if other is None else sh_a.unionByName(sh_b)
-    freq = sh_all.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    freq = keyed(sh_all).groupBy(key).agg(F.count(F.lit(1)).alias("df"))
 
     def prefix_of(sh: DataFrame) -> DataFrame:
         # set size rides the SAME window partitioning as the rarity rank
         # (unbounded count over the id partition) — one exchange fewer
         # than a separate groupBy+join; measured parity on one box, a
         # full shingle-table network shuffle saved on a cluster
-        w = Window.partitionBy("id").orderBy("df", "sh")
+        order = ["df", "k", "sh"] if use_hash else ["df", "sh"]
+        w = Window.partitionBy("id").orderBy(*order)
         return (
-            sh.join(freq, "sh")
+            keyed(sh).join(freq, key)
             .withColumn("pos", F.row_number().over(w))
             .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
             .where(F.col("pos") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
-            .select("id", "sh", "sz")
+            .select("id", key, "sz")
         )
 
     a = prefix_of(sh_a).alias("a")
     b = (a if other is None else prefix_of(sh_b)).alias("b")
     pair_pred = (F.col("a.id") < F.col("b.id")) if other is None else F.lit(True)
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & pair_pred
+        a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & pair_pred
                & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
                & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -350,6 +374,7 @@ def containment_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    key_encoding: str = "string",
 ) -> DataFrame:
     """EXACT containment similarity self-join: every ordered pair
     (id_a != id_b) with |S(a) ∩ S(b)| / |S(a)| >= threshold — i.e. doc
@@ -366,23 +391,36 @@ def containment_pairs(
     a-prefix x all-shingles, still bounded by prefix rarity, never
     all-pairs. Verification rescans candidate pairs only. Returns
     (id_a, id_b, containment): id_a is the contained document.
+
+    ``key_encoding="hash64"``: same exactness-preserving candidate-key
+    compression as ``prefix_filter_pairs`` (candidate shuffles on
+    xxhash64 longs, verify on true strings).
     """
+    if key_encoding not in ("string", "hash64"):
+        raise ValueError(f"key_encoding must be 'string' or 'hash64', got {key_encoding!r}")
+    use_hash = key_encoding == "hash64"
+    key = "k" if use_hash else "sh"
+
+    def keyed(d: DataFrame) -> DataFrame:
+        return d.withColumn("k", F.xxhash64("sh")) if use_hash else d
+
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
     ).localCheckpoint(eager=True)
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy("df", "sh")
+    freq = keyed(sh).groupBy(key).agg(F.count(F.lit(1)).alias("df"))
+    order = ["df", "k", "sh"] if use_hash else ["df", "sh"]
+    w = Window.partitionBy("id").orderBy(*order)
     pre = (
-        sh.join(freq, "sh")
+        keyed(sh).join(freq, key)
         .withColumn("pos", F.row_number().over(w))
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
         .where(F.col("pos") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "sh", "sz")
+        .select("id", key, "sz")
     )
-    a, b = pre.alias("a"), sh.alias("b")
+    a, b = pre.alias("a"), keyed(sh).alias("b")
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        a.join(b, (F.col(f"a.{key}") == F.col(f"b.{key}")) & (F.col("a.id") != F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

@@ -55,6 +55,8 @@ def main() -> None:
     ap.add_argument("--vocab", type=int, default=50_000)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--key-encoding", choices=["string", "hash64"], default="string",
+                    help="candidate-stage shuffle key: shingle strings or xxhash64 longs")
     args = ap.parse_args()
 
     from combblas_spark import get_spark
@@ -65,7 +67,9 @@ def main() -> None:
     docs = synth_corpus(spark, args.docs, args.words, args.vocab).localCheckpoint(eager=True)
 
     t0 = time.time()
-    pairs = prefix_filter_pairs(docs, threshold=args.threshold).localCheckpoint(eager=True)
+    pairs = prefix_filter_pairs(
+        docs, threshold=args.threshold, key_encoding=args.key_encoding
+    ).localCheckpoint(eager=True)
     n_pairs = pairs.count()
     t_pairs = time.time() - t0
 
@@ -79,6 +83,7 @@ def main() -> None:
 
     print(json.dumps({
         "docs": args.docs, "cores": args.cores, "threshold": args.threshold,
+        "key_encoding": args.key_encoding,
         "pairs": n_pairs, "planted_found": planted, "planted_expected": expected,
         "pairs_sec": round(t_pairs, 2), "cluster_sec": round(t_cluster, 2),
         "docs_per_sec_pairs": round(args.docs / t_pairs),

@@ -213,6 +213,45 @@ def test_prefix_filter_pairs_complete(spark):
     assert (5, 31) in _brute_jaccard_pairs(rows, 0.8)  # the plants fired
 
 
+def test_prefix_filter_hash64_identical(spark):
+    """key_encoding='hash64' (candidate shuffles on xxhash64 longs) is
+    bit-identical to string mode AND to brute force: the rarity order
+    changes (df merges on hash collisions, order is (df,h,sh)) but the
+    prefix-filter lemma holds under any total order, and verification
+    rescans true strings."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["web", "page", "link", "graph", "spark", "data", "crawl", "rank"]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 18)))))
+    base = rows[3][1].split(" ")
+    base[2] = "edited"
+    rows.append((30, " ".join(base)))
+    rows.append((31, rows[5][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        want = _brute_jaccard_pairs(rows, t)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in prefix_filter_pairs(docs, threshold=t,
+                                            key_encoding="hash64").collect()}
+        assert got == want, f"threshold {t}: {got.keys() ^ want.keys()}"
+    # incremental (batch-vs-corpus) shape under hash keys
+    corpus = docs.where("doc_id < 20")
+    batch = docs.where("doc_id >= 20")
+    allp = _brute_jaccard_pairs(rows, 0.5)
+    want = {(b, a): j for (a, b), j in allp.items() if a < 20 <= b} | \
+           {(a, b): j for (a, b), j in allp.items() if b < 20 <= a}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           prefix_filter_pairs(batch, threshold=0.5, other=corpus,
+                               key_encoding="hash64").collect()}
+    assert got == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        prefix_filter_pairs(docs, key_encoding="md5")
+
+
 def test_prefix_filter_partition_invariance(spark):
     """Identical pair set whatever the input partitioning — the rank
     order (df, shingle) is total, so prefixes are deterministic."""
@@ -288,6 +327,10 @@ def test_containment_pairs(spark):
                     want[(a, b)] = round(c, 6)
     assert got == want
     assert got[(4, 20)] == 1.0                          # quoted doc found
+    got_h = {(r["id_a"], r["id_b"]): r["containment"]
+             for r in containment_pairs(docs, threshold=t,
+                                        key_encoding="hash64").collect()}
+    assert got_h == want                                # hash keys identical
     jac = {(r["id_a"], r["id_b"]) for r in
            prefix_filter_pairs(docs, threshold=t).collect()}
     assert (4, 20) not in jac                           # Jaccard misses it
