@@ -861,9 +861,12 @@ def q_prefix_jaccard(spark, sf):
     """EXACT Jaccard>=0.8 similarity self-join via prefix filtering
     (AllPairs/PPJoin candidate condition): rarest-prefix equi-join +
     symmetric size filter, then exact verify — the zero-recall-loss
-    scale path complementing LSH."""
-    return prefix_filter_pairs(_docs(spark, sf), threshold=0.8).select(
-        "id_a", "id_b", "jaccard")
+    scale path complementing LSH. Pinned to key_encoding='string' (the
+    original plan, green r3) so this row and prefix_jaccard_hash64 keep
+    checking BOTH encodings against one oracle."""
+    return prefix_filter_pairs(
+        _docs(spark, sf), threshold=0.8, key_encoding="string"
+    ).select("id_a", "id_b", "jaccard")
 
 
 def q_prefix_jaccard_hash64(spark, sf):

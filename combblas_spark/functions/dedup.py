@@ -183,7 +183,7 @@ def prefix_filter_pairs(
     threshold: float = 0.8,
     shingle_k: int = 3,
     other: DataFrame | None = None,
-    key_encoding: str = "string",
+    key_encoding: str = "hash64",
 ) -> DataFrame:
     """EXACT word-k-gram Jaccard similarity self-join via prefix
     filtering (the AllPairs/PPJoin candidate condition): returns EVERY
@@ -212,17 +212,20 @@ def prefix_filter_pairs(
     hence the prefix-filter guarantee) is consistent; the two id spaces
     must be disjoint or the caller filters self-pairs.
 
-    ``key_encoding="hash64"`` runs the CANDIDATE stages (df groupBy,
-    freq join, prefix equi-join — the three biggest shuffles) on
-    ``xxhash64(sh)`` 8-byte longs instead of ~(8+k*word) byte shingle
-    strings. EXACTNESS IS PRESERVED: the rarity order becomes
-    (df(h), h, sh) — still a consistent total order over the true
-    shingle universe (the sh tie-break covers the astronomically-rare
-    h collision), so the prefix-filter lemma holds verbatim; a hash
-    collision in the candidate join can only ADD candidate pairs, and
-    the verify stage rescans true strings, so the output is identical
-    to string mode. The trade: candidate shuffles shrink ~3x in key
-    bytes; df of colliding shingles merges (ordering-only effect).
+    ``key_encoding="hash64"`` (the default) runs the CANDIDATE stages
+    (df groupBy, freq join, prefix equi-join — the three biggest
+    shuffles) on ``xxhash64(sh)`` 8-byte longs instead of ~(8+k*word)
+    byte shingle strings. EXACTNESS IS PRESERVED: the rarity order
+    becomes (df(h), h, sh) — still a consistent total order over the
+    true shingle universe (the sh tie-break covers the astronomically-
+    rare h collision), so the prefix-filter lemma holds verbatim; a
+    hash collision in the candidate join can only ADD candidate pairs,
+    and the verify stage rescans true strings, so the output is
+    identical to string mode (driver-oracle-checked: prefix_jaccard vs
+    prefix_jaccard_hash64 share one oracle). Measured best-of-2
+    alternating, 32 cores: 1.18x at 100k docs, 2.34x at 400k docs
+    (89.3s -> 38.2s) — the win GROWS with scale as string-key shuffles
+    start spilling. ``"string"`` keeps the original plan.
     """
     if key_encoding not in ("string", "hash64"):
         raise ValueError(f"key_encoding must be 'string' or 'hash64', got {key_encoding!r}")
@@ -298,6 +301,7 @@ def incremental_prefix_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    key_encoding: str = "hash64",
 ) -> DataFrame:
     """EXACT batch-vs-corpus Jaccard join against a PERSISTED corpus —
     the O(batch)-work-per-ingest variant of ``prefix_filter_pairs(
@@ -319,7 +323,21 @@ def incremental_prefix_pairs(
     The candidate join is batch-prefix x corpus-shingles with the
     symmetric size filter; verification rescans candidate pairs only.
     Returns (id_a from batch, id_b from corpus, jaccard >= threshold).
+
+    ``key_encoding="hash64"`` (default): the batch-prefix x corpus-
+    shingles join runs on ``xxhash64(sh)`` longs derived ON READ from
+    both sides — no sidecar format change, corpus tables keep strings.
+    Exactness as in ``prefix_filter_pairs``: collisions only add
+    candidates; verification rescans true strings.
     """
+    if key_encoding not in ("string", "hash64"):
+        raise ValueError(f"key_encoding must be 'string' or 'hash64', got {key_encoding!r}")
+    use_hash = key_encoding == "hash64"
+    key = "k" if use_hash else "sh"
+
+    def keyed(d: DataFrame) -> DataFrame:
+        return d.withColumn("k", F.xxhash64("sh")) if use_hash else d
+
     sh_a = batch.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
@@ -327,26 +345,29 @@ def incremental_prefix_pairs(
     # rank a's shingles by persisted corpus df; unseen shingles get
     # df 0 = rarest (exactly right: they cannot hit the corpus anyway).
     # The df table is corpus-sized — left to AQE (a shuffle join on sh
-    # at scale, auto-broadcast when the corpus is small).
+    # at scale, auto-broadcast when the corpus is small). This join
+    # stays on strings (the sidecar's key) — it is batch-prefix-sized
+    # on the probe side, not the scale driver.
     if df_table is not None:
         ranked = sh_a.join(df_table, "sh", "left").select(
             "id", "sh", F.coalesce(F.col("df"), F.lit(0)).alias("df"))
     else:
         ranked = sh_a.select("id", "sh", F.lit(0).alias("df"))
-    w = Window.partitionBy("id").orderBy("df", "sh")
+    order = ["df", "k", "sh"] if use_hash else ["df", "sh"]
+    w = Window.partitionBy("id").orderBy(*order)
     pre = (
-        ranked
+        keyed(ranked)
         .withColumn("pos", F.row_number().over(w))
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
         .where(F.col("pos") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "sh", "sz")
+        .select("id", key, "sz")
     )
-    b = corpus_shingles.join(corpus_sizes, "id").select(
-        F.col("id").alias("id_b"), "sh", F.col("n").alias("sz_b"))
+    b = keyed(corpus_shingles).join(corpus_sizes, "id").select(
+        F.col("id").alias("id_b"), key, F.col("n").alias("sz_b"))
     cand = (
         pre.alias("a").join(
             b,
-            (F.col("a.sh") == b["sh"])
+            (F.col(f"a.{key}") == b[key])
             & (F.col("sz_b") >= F.lit(threshold) * F.col("a.sz"))
             & (F.col("a.sz") >= F.lit(threshold) * F.col("sz_b")))
         .select(F.col("a.id").alias("id_a"), "id_b")
@@ -374,7 +395,7 @@ def containment_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 3,
-    key_encoding: str = "string",
+    key_encoding: str = "hash64",
 ) -> DataFrame:
     """EXACT containment similarity self-join: every ordered pair
     (id_a != id_b) with |S(a) ∩ S(b)| / |S(a)| >= threshold — i.e. doc
@@ -392,9 +413,9 @@ def containment_pairs(
     all-pairs. Verification rescans candidate pairs only. Returns
     (id_a, id_b, containment): id_a is the contained document.
 
-    ``key_encoding="hash64"``: same exactness-preserving candidate-key
-    compression as ``prefix_filter_pairs`` (candidate shuffles on
-    xxhash64 longs, verify on true strings).
+    ``key_encoding="hash64"`` (default): same exactness-preserving
+    candidate-key compression as ``prefix_filter_pairs`` (candidate
+    shuffles on xxhash64 longs, verify on true strings).
     """
     if key_encoding not in ("string", "hash64"):
         raise ValueError(f"key_encoding must be 'string' or 'hash64', got {key_encoding!r}")

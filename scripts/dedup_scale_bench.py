@@ -55,8 +55,9 @@ def main() -> None:
     ap.add_argument("--vocab", type=int, default=50_000)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--threshold", type=float, default=0.8)
-    ap.add_argument("--key-encoding", choices=["string", "hash64"], default="string",
-                    help="candidate-stage shuffle key: shingle strings or xxhash64 longs")
+    ap.add_argument("--key-encoding", choices=["string", "hash64"], default="hash64",
+                    help="candidate-stage shuffle key: xxhash64 longs (library "
+                         "default; 2.34x at 400k docs) or shingle strings")
     args = ap.parse_args()
 
     from combblas_spark import get_spark

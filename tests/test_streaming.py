@@ -340,6 +340,13 @@ def test_incremental_sidecar_equivalence(spark):
             incremental_prefix_pairs(batch, csh, csz,
                                      threshold=0.6).collect()}
     assert got2 == want
+    # hash64 candidate keys (derived on read, sidecars keep strings)
+    # are bit-identical too
+    got3 = {(r["id_a"], r["id_b"], r["jaccard"]) for r in
+            incremental_prefix_pairs(batch, csh, csz, df_table=cdf,
+                                     threshold=0.6,
+                                     key_encoding="hash64").collect()}
+    assert got3 == want
 
 
 def test_corpus_ingest_fresh_checkpoint_appends(spark, tmp_path):
