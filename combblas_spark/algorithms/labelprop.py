@@ -3,8 +3,10 @@
 Not in the reference (north rule requires it); expressed as the "most
 frequent neighbor label" semiring from SURVEY.md §2.6: a mode/argmax
 aggregate is not a single Spark agg, so it is the documented two-stage
-groupBy (count per (vertex,label)) + per-vertex argmax window with a
-deterministic min-label tie-break — which keeps results EXACT and
+groupBy (count per (vertex,label)) + per-vertex argmax — a hash-agg
+`min_by(label, struct(-count, label))` by default (`argmax="window"`
+keeps the row_number variant; A/B in BENCH.md) — with a deterministic
+min-label tie-break, which keeps results EXACT and
 SQL-oracle-comparable.
 
 Rounds are synchronous and fixed-count (n_rounds) so the DuckDB oracle
@@ -40,6 +42,7 @@ def label_propagation(
     small_vector_threshold: int = 100_000,
     runner=None,
     seeds: DataFrame | None = None,
+    argmax: str = "min_by",
 ) -> DataFrame:
     """Returns (id, label). Initial label = vertex id; each round every
     vertex adopts the most frequent label among its (undirected)
@@ -103,12 +106,27 @@ def label_propagation(
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
-        w = Window.partitionBy("id").orderBy(F.col("_c").desc(), F.col("label").asc())
-        best = (
-            nbr.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("id", F.col("label").alias("_new"))
-        )
+        if argmax == "min_by":
+            # hash-agg argmax (default): lexicographic min of
+            # (-count, label) == (max count, then min label) — identical
+            # tie-break to the window variant, but a second hash
+            # aggregate (still satisfied by HashPartitioning(dst→id),
+            # no exchange) instead of a per-partition SORT +
+            # row_number. A/B at RMAT-18: 0.20-0.67x the window round
+            # (BENCH.md round-4 "labelprop argmax"); equality asserted
+            # per run by scripts/labelprop_argmax_bench.py.
+            best = (
+                nbr.groupBy("id")
+                .agg(F.min_by("label", F.struct((-F.col("_c")).alias("_nc"),
+                                                F.col("label"))).alias("_new"))
+            )
+        else:
+            w = Window.partitionBy("id").orderBy(F.col("_c").desc(), F.col("label").asc())
+            best = (
+                nbr.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select("id", F.col("label").alias("_new"))
+            )
         stitched = F.broadcast(best) if small_vector else best
         if seeded:
             # clamp seeds; unlabeled vertices adopt the vote if any

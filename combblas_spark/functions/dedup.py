@@ -32,9 +32,22 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one representative (min id) per fingerprint."""
-    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col).asc())
-    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    """Keep one representative (min id) per fingerprint.
+
+    Implemented as one hash aggregate — ``min_by(struct(<row>), id)``
+    per fingerprint — NOT a row_number window: the aggregate is
+    map-side combinable (each input partition forwards at most one
+    candidate row per fingerprint it sees), so shuffle bytes are
+    bounded by distinct-fingerprints-per-partition, where the window
+    variant sorts and ships EVERY duplicate row. On a web corpus where
+    exact dups are 20-40% of rows that is the difference between
+    shuffling the corpus and shuffling the deduped corpus."""
+    rep = (
+        docs.groupBy(fingerprint(F.col(text_col)).alias("_fp"))
+        .agg(F.min_by(F.struct(*[F.col(c) for c in docs.columns]),
+                      F.col(id_col)).alias("_rep"))
+    )
+    return rep.select("_rep.*")
 
 
 # ------------------------------------------------------------------- MinHash

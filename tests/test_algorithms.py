@@ -223,6 +223,18 @@ def test_labelprop_rmat(spark):
     assert got == labelprop_oracle(pairs, 3)
 
 
+def test_labelprop_argmax_variants_agree(spark):
+    # min_by (default, hash-agg) and window (row_number) argmax must be
+    # bit-identical on a graph with real ties (RMAT has many).
+    raw = rmat_edges(spark, scale=7, edgefactor=4, seed=11)
+    g = build_graph(raw).persist()
+    a = {r["id"]: r["label"]
+         for r in label_propagation(g, n_rounds=3, argmax="min_by").collect()}
+    b = {r["id"]: r["label"]
+         for r in label_propagation(g, n_rounds=3, argmax="window").collect()}
+    assert a == b
+
+
 # ----------------------------------------------------------------- Triangles
 
 def tri_oracle(edges, n):
