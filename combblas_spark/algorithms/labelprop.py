@@ -107,14 +107,15 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("_c"))
         )
         if argmax == "min_by":
-            # hash-agg argmax (default): lexicographic min of
+            # min_by argmax (default): lexicographic min of
             # (-count, label) == (max count, then min label) — identical
-            # tie-break to the window variant, but a second hash
-            # aggregate (still satisfied by HashPartitioning(dst→id),
-            # no exchange) instead of a per-partition SORT +
-            # row_number. A/B at RMAT-18: 0.20-0.67x the window round
-            # (BENCH.md round-4 "labelprop argmax"); equality asserted
-            # per run by scripts/labelprop_argmax_bench.py.
+            # tie-break to the window variant. Plans as an exchange-free
+            # SortAggregate whose sort is on the GROUP KEY ONLY, vs the
+            # window's 3-column sort + row_number; partial min_by
+            # collapses each partition's votes to one row per id.
+            # A/B at RMAT-18: 0.20-0.67x the window round (BENCH.md
+            # round-4 "labelprop argmax"); equality asserted per run
+            # by scripts/labelprop_argmax_bench.py.
             best = (
                 nbr.groupBy("id")
                 .agg(F.min_by("label", F.struct((-F.col("_c")).alias("_nc"),

@@ -34,8 +34,9 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one representative (min id) per fingerprint.
 
-    Implemented as one hash aggregate — ``min_by(struct(<row>), id)``
-    per fingerprint — NOT a row_number window: the aggregate is
+    Implemented as one aggregate — ``min_by(struct(<row>), id)`` per
+    fingerprint (plans as a partial+final SortAggregate, sorted on the
+    fingerprint key only) — NOT a row_number window: the aggregate is
     map-side combinable (each input partition forwards at most one
     candidate row per fingerprint it sees), so shuffle bytes are
     bounded by distinct-fingerprints-per-partition, where the window
