@@ -36,13 +36,18 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
     Implemented as one aggregate — ``min_by(struct(<row>), id)`` per
     fingerprint (plans as a partial+final SortAggregate, sorted on the
-    fingerprint key only) — NOT a row_number window: the aggregate is
-    map-side combinable (each input partition forwards at most one
-    candidate row per fingerprint it sees), so shuffle bytes are
-    bounded by distinct-fingerprints-per-partition, where the window
-    variant sorts and ships EVERY duplicate row. On a web corpus where
-    exact dups are 20-40% of rows that is the difference between
-    shuffling the corpus and shuffling the deduped corpus."""
+    fingerprint key only) — NOT a row_number window. The aggregate is
+    map-side combinable: each input partition forwards at most one
+    candidate row per fingerprint it sees, so shuffle bytes shrink by
+    the WITHIN-PARTITION duplication factor. That factor is large
+    exactly when duplicates co-locate — crawl-segment-ordered web
+    corpora, where recrawls and mirror pages arrive together — and ~1
+    under random placement. Measured 3-way A/B vs the window and a
+    thin-key semi-join (scripts/dedup_exact_ab.py, BENCH.md round-4):
+    min_by is ~1.3x faster for thin rows, a wash (within host noise)
+    at 2KB rows single-box; the window never beats it by more than
+    noise, and min_by is the only variant whose network bytes can
+    drop below corpus size on a real cluster."""
     rep = (
         docs.groupBy(fingerprint(F.col(text_col)).alias("_fp"))
         .agg(F.min_by(F.struct(*[F.col(c) for c in docs.columns]),
