@@ -166,12 +166,17 @@ def pagerank(
         # above is co-partitioned with the degree agg for layout "src",
         # so the whole setup ran exchange-free.
         pass
-    elif can_broadcast:
-        # broadcast regime: pre-partition edges by the AGGREGATION key
-        # (dst). The per-superstep SpMV is then a broadcast join + an
-        # agg whose partitioning is already satisfied -> ZERO exchanges
-        # inside the loop; only the small rank vector moves (the SUMMA
+    elif regime_key == "dst":
+        # broadcast regime default (or loop_layout="dst" override):
+        # pre-partition edges by the AGGREGATION key (dst). The
+        # per-superstep SpMV is then a broadcast join + an agg whose
+        # partitioning is already satisfied -> ZERO exchanges inside
+        # the loop; only the small rank vector moves (the SUMMA
         # analogue: blocks stay put, the vector is the allgather).
+        # NOTE: branching must be on regime_key, not can_broadcast —
+        # the original branch ignored loop_layout entirely, so the
+        # first round-4 dual-layout A/B compared src against src
+        # (caught in review; re-measured after this fix, BENCH.md).
         enorm = enorm.repartition(shuffle_n, "dst")
     else:
         # big-vector regime: pin the edge partitioning to the JOIN key

@@ -51,11 +51,14 @@ def strongly_connected_components(
     vertex id of the component (same labeling convention as
     connected_components, so the two are drop-in comparable).
 
-    Raises RuntimeError if ``max_inner`` or ``max_rounds`` is exhausted
-    before fixpoint — a capped loop exiting early would silently emit
-    SPLIT components (stale colors become false roots), so non-
-    convergence must be loud, never wrong (ADVICE r3). Empty edge input
-    returns an empty (id, scc) frame."""
+    Raises RuntimeError if ``max_inner`` (coloring / backward reach) or
+    ``max_rounds`` is exhausted before fixpoint — those loops exiting
+    early would silently emit SPLIT components (stale colors become
+    false roots) or drop vertices, so non-convergence must be loud,
+    never wrong (ADVICE r3). The TRIM loop is the exception: trim is a
+    pure graph-shrinking optimization, so hitting its cap just carries
+    the un-trimmed trivial vertices into the (correct) color/reach
+    phases. Empty edge input returns an empty (id, scc) frame."""
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -99,11 +102,13 @@ def strongly_connected_components(
             if trivial.isEmpty():
                 break
             _peel(trivial)
-        else:
-            raise RuntimeError(
-                f"scc: trim did not reach fixpoint in max_inner={max_inner} "
-                f"steps; raise max_inner (results would be wrong, not "
-                f"approximate, if we continued)")
+        # NO raise on trim-cap exhaustion (unlike coloring/backward
+        # reach below): trim only SHRINKS the graph; un-trimmed trivial
+        # vertices are still labeled correctly by phases 2-3 (a no-in
+        # vertex keeps color=id and is its own color root; a no-out
+        # vertex is peeled once its singleton SCC's root round comes).
+        # A long peel chain (e.g. a directed path deeper than
+        # max_inner) therefore proceeds, just with less pre-shrinking.
         if act.isEmpty():
             break
 

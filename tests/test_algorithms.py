@@ -1365,6 +1365,20 @@ def test_scc_raises_on_cap_exhaustion(spark):
     assert out.columns == ["id", "scc"] and out.count() == 0
 
 
+def test_scc_trim_cap_is_not_an_error(spark):
+    """Trim is an optimization: a directed chain peels ~2 vertices per
+    trim step, so max_inner=3 can't trim a 12-chain to fixpoint — the
+    color/reach phases must still label every vertex as its own SCC
+    (review finding: the old code raised here claiming wrongness)."""
+    from combblas_spark.algorithms.scc import strongly_connected_components
+
+    chain = [(i, i + 1) for i in range(12)]
+    got = {r["id"]: r["scc"]
+           for r in strongly_connected_components(
+               df_edges(spark, chain), max_inner=3).collect()}
+    assert got == {i: i for i in range(13)}
+
+
 def test_pagerank_zero_teleport_raises(spark):
     import pytest as _pytest
 
