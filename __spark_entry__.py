@@ -127,16 +127,11 @@ def q_blocked_spgemm(spark, sf):
     BlockedSpGEMM.cpp): C = A^2 produced as a 2x3 grid of output
     blocks, re-offset and unioned — must equal the unblocked product,
     so it shares spgemm_aa's oracle."""
-    from combblas_spark.operators.split import blocked_spgemm
+    from combblas_spark.operators.split import block_merge, blocked_spgemm
 
     g = events_graph(spark, sf)
     n = int(g.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]) + 1
-    out = None
-    for b in blocked_spgemm(g, g, 2, 3, nrows=n, ncols=n):
-        df = (b["df"]
-              .withColumn("src", F.col("src") + F.lit(b["row_offset"]))
-              .withColumn("dst", F.col("dst") + F.lit(b["col_offset"])))
-        out = df if out is None else out.unionByName(df)
+    out = block_merge([list(blocked_spgemm(g, g, 2, 3, nrows=n, ncols=n))])
     return out.select("src", "dst", F.col("val").alias("c"))
 
 

@@ -195,6 +195,30 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 # -------------------------------------- exact similarity join (prefix filter)
 
+def _candidate_key_mode(key_encoding: str):
+    """Shared candidate-key encoding for the prefix-filter family
+    (prefix_filter_pairs / incremental_prefix_pairs / containment_pairs
+    — keep them IDENTICAL or their rarity orders silently diverge).
+
+    Returns ``(key, keyed, order)``: the candidate-join column name,
+    a function deriving it (xxhash64 over the shingle for "hash64",
+    identity for "string" — derived after checkpoints, cheaper to
+    recompute than store), and the tie-broken rarity ORDER BY list.
+    The order is a consistent total order over true shingles in both
+    encodings, which is all the prefix-filter lemma needs."""
+    if key_encoding not in ("string", "hash64"):
+        raise ValueError(
+            f"key_encoding must be 'string' or 'hash64', got {key_encoding!r}")
+    use_hash = key_encoding == "hash64"
+    key = "k" if use_hash else "sh"
+
+    def keyed(d: DataFrame) -> DataFrame:
+        return d.withColumn("k", F.xxhash64("sh")) if use_hash else d
+
+    order = ["df", "k", "sh"] if use_hash else ["df", "sh"]
+    return key, keyed, order
+
+
 def prefix_filter_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -246,21 +270,13 @@ def prefix_filter_pairs(
     (89.3s -> 38.2s) — the win GROWS with scale as string-key shuffles
     start spilling. ``"string"`` keeps the original plan.
     """
-    if key_encoding not in ("string", "hash64"):
-        raise ValueError(f"key_encoding must be 'string' or 'hash64', got {key_encoding!r}")
-    use_hash = key_encoding == "hash64"
-    key = "k" if use_hash else "sh"
+    key, keyed, order = _candidate_key_mode(key_encoding)
 
     def explode_sh(d: DataFrame) -> DataFrame:
         return d.select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
         )
-
-    def keyed(sh: DataFrame) -> DataFrame:
-        # derive the long key AFTER the checkpoint: xxhash64 is cheaper
-        # to recompute than to store, and the checkpoint stays (id, sh)
-        return sh.withColumn("k", F.xxhash64("sh")) if use_hash else sh
 
     # checkpoint: feeds freq, ranking, and the verify rescans
     sh_a = explode_sh(docs).localCheckpoint(eager=True)
@@ -273,7 +289,6 @@ def prefix_filter_pairs(
         # (unbounded count over the id partition) — one exchange fewer
         # than a separate groupBy+join; measured parity on one box, a
         # full shingle-table network shuffle saved on a cluster
-        order = ["df", "k", "sh"] if use_hash else ["df", "sh"]
         w = Window.partitionBy("id").orderBy(*order)
         return (
             keyed(sh).join(freq, key)
@@ -349,13 +364,7 @@ def incremental_prefix_pairs(
     Exactness as in ``prefix_filter_pairs``: collisions only add
     candidates; verification rescans true strings.
     """
-    if key_encoding not in ("string", "hash64"):
-        raise ValueError(f"key_encoding must be 'string' or 'hash64', got {key_encoding!r}")
-    use_hash = key_encoding == "hash64"
-    key = "k" if use_hash else "sh"
-
-    def keyed(d: DataFrame) -> DataFrame:
-        return d.withColumn("k", F.xxhash64("sh")) if use_hash else d
+    key, keyed, order = _candidate_key_mode(key_encoding)
 
     sh_a = batch.select(
         F.col(id_col).alias("id"),
@@ -372,7 +381,6 @@ def incremental_prefix_pairs(
             "id", "sh", F.coalesce(F.col("df"), F.lit(0)).alias("df"))
     else:
         ranked = sh_a.select("id", "sh", F.lit(0).alias("df"))
-    order = ["df", "k", "sh"] if use_hash else ["df", "sh"]
     w = Window.partitionBy("id").orderBy(*order)
     pre = (
         keyed(ranked)
@@ -381,16 +389,22 @@ def incremental_prefix_pairs(
         .where(F.col("pos") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
         .select("id", key, "sz")
     )
-    b = keyed(corpus_shingles).join(corpus_sizes, "id").select(
-        F.col("id").alias("id_b"), key, F.col("n").alias("sz_b"))
+    # candidate equi-join WITHOUT the size columns: joining sizes onto
+    # the full corpus shingle table first would shuffle corpus-shingle-
+    # sized data by id on EVERY ingest (review finding r4, undercutting
+    # the O(batch) contract). The symmetric size filter is applied to
+    # the candidate-pair-sized set instead — candidates are bounded by
+    # prefix rarity, orders of magnitude below corpus shingles.
+    b = keyed(corpus_shingles).select(F.col("id").alias("id_b"), key)
     cand = (
-        pre.alias("a").join(
-            b,
-            (F.col(f"a.{key}") == b[key])
-            & (F.col("sz_b") >= F.lit(threshold) * F.col("a.sz"))
-            & (F.col("a.sz") >= F.lit(threshold) * F.col("sz_b")))
-        .select(F.col("a.id").alias("id_a"), "id_b")
+        pre.alias("a").join(b, F.col(f"a.{key}") == b[key])
+        .select(F.col("a.id").alias("id_a"), "id_b", F.col("a.sz").alias("sz_a"))
         .distinct()
+        .join(corpus_sizes.select(F.col("id").alias("id_b"),
+                                  F.col("n").alias("sz_b")), "id_b")
+        .where((F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+               & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b")))
+        .select("id_a", "id_b")
     )
     sa = sh_a.select(F.col("id").alias("id_a"), "sh")
     sb = corpus_shingles.select(F.col("id").alias("id_b"), "sh")
@@ -436,20 +450,13 @@ def containment_pairs(
     candidate-key compression as ``prefix_filter_pairs`` (candidate
     shuffles on xxhash64 longs, verify on true strings).
     """
-    if key_encoding not in ("string", "hash64"):
-        raise ValueError(f"key_encoding must be 'string' or 'hash64', got {key_encoding!r}")
-    use_hash = key_encoding == "hash64"
-    key = "k" if use_hash else "sh"
-
-    def keyed(d: DataFrame) -> DataFrame:
-        return d.withColumn("k", F.xxhash64("sh")) if use_hash else d
+    key, keyed, order = _candidate_key_mode(key_encoding)
 
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
     ).localCheckpoint(eager=True)
     freq = keyed(sh).groupBy(key).agg(F.count(F.lit(1)).alias("df"))
-    order = ["df", "k", "sh"] if use_hash else ["df", "sh"]
     w = Window.partitionBy("id").orderBy(*order)
     pre = (
         keyed(sh).join(freq, key)

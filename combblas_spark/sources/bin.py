@@ -39,7 +39,6 @@ import numpy as np
 import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 MAGIC = b"HKDT"
 HEADER_SIZE = 52  # 4-byte magic + 6 * uint64
@@ -181,13 +180,15 @@ def write_bin_sharded(edges: DataFrame, dirpath: str,
     ``cat header.bin part-*.bin`` (pid order) reproduces the single-file
     format byte-for-byte; read_bin accepts the directory directly.
     Returns the manifest dict. IT=int64, NT=float64 (the reference's
-    default template instantiation); 1-based indices on disk."""
-    stats = edges.agg(
-        F.count(F.lit(1)).alias("nnz"),
-        F.max("src").alias("ms"), F.max("dst").alias("md")).collect()[0]
-    nnz = int(stats["nnz"])
-    m = nrows if nrows is not None else int(stats["ms"] or -1) + 1
-    n = ncols if ncols is not None else int(stats["md"] or -1) + 1
+    default template instantiation); 1-based indices on disk.
+
+    REQUIRES a filesystem shared between executors and the caller
+    (shard tasks open ``dirpath`` locally) — true in local mode and on
+    NFS/FUSE-mounted object stores; for executor-local disks use
+    ``write_bin(..., via_driver=True)``. Header/manifest counts come
+    from the SAME action that writes the shards (a separate count
+    action could disagree with a non-deterministic input — review
+    finding r4)."""
     rec = np.dtype([("i", "<i8"), ("j", "<i8"), ("v", "<f8")])
     os.makedirs(dirpath, exist_ok=True)
     for old in glob.glob(os.path.join(dirpath, "part-*.bin")):
@@ -197,6 +198,7 @@ def write_bin_sharded(edges: DataFrame, dirpath: str,
         pid = TaskContext.get().partitionId()
         fname = os.path.join(dirpath, f"part-{pid:05d}.bin")
         count = 0
+        ms = md = -1
         fh = None
         for pdf in batches:
             if pdf.empty:
@@ -209,16 +211,24 @@ def write_bin_sharded(edges: DataFrame, dirpath: str,
             arr["v"] = pdf["val"].to_numpy()
             fh.write(arr.tobytes())
             count += len(pdf)
+            ms = max(ms, int(pdf["src"].max()))
+            md = max(md, int(pdf["dst"].max()))
         if fh is not None:
             fh.close()
-        yield pd.DataFrame({"pid": [pid], "n": [count]})
+        yield pd.DataFrame({"pid": [pid], "n": [count],
+                            "ms": [ms], "md": [md]})
 
     counts = (
         edges.select("src", "dst", "val")
         .orderBy("src", "dst")            # range partition + local sort
-        .mapInPandas(shard, "pid int, n long")
+        .mapInPandas(shard, "pid int, n long, ms long, md long")
         .collect()
     )
+    nnz = sum(int(r["n"]) for r in counts)
+    m = nrows if nrows is not None else \
+        max((int(r["ms"]) for r in counts), default=-1) + 1
+    n = ncols if ncols is not None else \
+        max((int(r["md"]) for r in counts), default=-1) + 1
     parts = [{"file": f"part-{r['pid']:05d}.bin", "records": int(r["n"])}
              for r in sorted(counts, key=lambda r: r["pid"]) if r["n"] > 0]
     with open(os.path.join(dirpath, "header.bin"), "wb") as out:
@@ -246,17 +256,61 @@ def concat_shards(dirpath: str, path: str) -> None:
 
 
 def write_bin(edges: DataFrame, path: str, nrows: int | None = None,
-              ncols: int | None = None) -> None:
+              ncols: int | None = None, via_driver: bool = False) -> None:
     """Write (src,dst,val) as a single CombBLAS binary-triples file
     (IT=int64, NT=float64).
 
-    Implemented as sharded-write-then-concat: executors pack and write
+    Default: sharded-write-then-concat — executors pack and write
     range-sorted shards in parallel (write_bin_sharded), then the
-    shards are byte-concatenated in order — same bytes as the old
-    driver-streamed path, but the packing and store writes scale with
-    executors; only the final (optional, interchange-only) concat is
-    serial. For >100-GB dumps keep the sharded directory and skip this.
-    """
+    shards are byte-concatenated in order; only the final
+    (interchange-only) concat is serial. For >100-GB dumps keep the
+    sharded directory and skip this. The sharded path needs a
+    filesystem shared with the executors; ``via_driver=True`` restores
+    a cluster-portable single-file write: executors still PACK the
+    bytes (vectorized numpy, in sorted order), but the blobs stream
+    through the driver to a driver-local file — constant driver
+    memory, serial I/O, identical bytes."""
+    if via_driver:
+        rec = np.dtype([("i", "<i8"), ("j", "<i8"), ("v", "<f8")])
+
+        def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                arr = np.empty(len(pdf), dtype=rec)
+                arr["i"] = pdf["src"].to_numpy() + 1
+                arr["j"] = pdf["dst"].to_numpy() + 1
+                arr["v"] = pdf["val"].to_numpy()
+                yield pd.DataFrame({
+                    "n": [len(pdf)],
+                    "ms": [int(pdf["src"].max())],
+                    "md": [int(pdf["dst"].max())],
+                    "blob": [arr.tobytes()],
+                })
+
+        packed = (
+            edges.select("src", "dst", "val")
+            .orderBy("src", "dst")
+            .mapInPandas(pack, "n long, ms long, md long, blob binary")
+        )
+        nnz = 0
+        ms = md = -1
+        with open(path, "wb") as out:
+            out.write(b"\0" * 52)          # header placeholder
+            # toLocalIterator preserves partition + row order => the
+            # payload is the same globally sorted byte stream as the
+            # sharded concat; counts come from the same single pass.
+            for row in packed.toLocalIterator():
+                out.write(row["blob"])
+                nnz += int(row["n"])
+                ms = max(ms, int(row["ms"]))
+                md = max(md, int(row["md"]))
+            m = nrows if nrows is not None else ms + 1
+            n = ncols if ncols is not None else md + 1
+            out.seek(0)
+            out.write(MAGIC)
+            out.write(struct.pack("<6Q", 2, 8, 0, m, n, nnz))
+        return
     tmp = path + ".shards"
     write_bin_sharded(edges, tmp, nrows=nrows, ncols=ncols)
     concat_shards(tmp, path)

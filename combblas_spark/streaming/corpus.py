@@ -94,6 +94,44 @@ def _read_sidecar(spark: SparkSession, corpus_path: str, kind: str,
     return spark.read.schema(schema).parquet(*dirs)
 
 
+def _write_sidecars(docs: DataFrame, corpus_path: str, batch_id: int) -> None:
+    """Persist the three sidecar tables for one (doc_id, text) batch.
+    Deterministic paths + overwrite => replay/backfill idempotent."""
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh"),
+    ).localCheckpoint(eager=True)
+    sh.write.mode("overwrite").parquet(
+        os.path.join(corpus_path, "_shingles", f"batch={batch_id}"))
+    sh.groupBy("id").agg(F.count(F.lit(1)).alias("n")) \
+        .write.mode("overwrite").parquet(
+        os.path.join(corpus_path, "_sizes", f"batch={batch_id}"))
+    sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")) \
+        .write.mode("overwrite").parquet(
+        os.path.join(corpus_path, "_df", f"batch={batch_id}"))
+
+
+def _backfill_legacy_sidecars(spark: SparkSession, corpus_path: str,
+                              before_batch: int) -> None:
+    """Corpora created before the sidecar format (or by hand) have
+    batch=<id> document dirs with no matching sidecars. The incremental
+    join reads ONLY sidecars, so any uncovered batch would silently
+    never be dedup-checked again (review finding r4). Backfill them
+    once — O(legacy docs), amortized over the corpus lifetime — so the
+    sidecar union always covers every committed batch."""
+    def ids(root: str) -> set[int]:
+        return {int(_BATCH_RE.match(os.path.basename(d)).group(1))
+                for d in _batch_dirs(root, before_batch)}
+
+    committed = ids(corpus_path)
+    covered = set.intersection(
+        *(ids(os.path.join(corpus_path, k)) for k in _SIDECARS))
+    for bid in sorted(committed - covered):
+        docs = spark.read.schema(DOC_SCHEMA).parquet(
+            os.path.join(corpus_path, f"batch={bid}"))
+        _write_sidecars(docs, corpus_path, bid)
+
+
 def max_batch_id(corpus_path: str) -> int:
     """Largest committed batch directory id, -1 when none exist."""
     dirs = _batch_dirs(corpus_path, None)
@@ -123,6 +161,13 @@ def ingest_batch(
     # the pair joins below reference b on both sides of several plans
     b = b.localCheckpoint(eager=True)
 
+    # one-time migration: batches written without sidecars (legacy
+    # corpora) get theirs computed now, so the sidecar union below is
+    # ALWAYS the full standing corpus — there is no fallback path whose
+    # coverage could silently diverge (review finding r4: the old
+    # fallback went dead after the first sidecar-format commit,
+    # skipping dedup against every pre-sidecar batch).
+    _backfill_legacy_sidecars(spark, corpus_path, before_batch=batch_id)
     corpus_sh = _read_sidecar(spark, corpus_path, "_shingles",
                               "id long, sh string", before_batch=batch_id)
     if corpus_sh is not None:
@@ -136,15 +181,6 @@ def ingest_batch(
             b, corpus_sh, corpus_sz, df_table=dft, threshold=threshold
         ).select(F.col("id_a").alias("doc_id")).distinct()
         b = b.join(hits, "doc_id", "left_anti").localCheckpoint(eager=True)
-    else:
-        # corpora created before the sidecar format (or by hand):
-        # fall back to the recompute-everything exact join
-        corpus = read_corpus(spark, corpus_path, before_batch=batch_id)
-        if corpus is not None:
-            hits = prefix_filter_pairs(
-                b, threshold=threshold, other=corpus).select(
-                F.col("id_a").alias("doc_id")).distinct()
-            b = b.join(hits, "doc_id", "left_anti").localCheckpoint(eager=True)
 
     pairs = prefix_filter_pairs(b, threshold=threshold)
     keep = near_dup_clusters(b, pairs).where("is_canonical") \
@@ -154,18 +190,7 @@ def ingest_batch(
     out.write.mode("overwrite").parquet(
         os.path.join(corpus_path, f"batch={batch_id}"))
     # sidecars for the survivors (same id -> same path: replay-idempotent)
-    sh = out.select(
-        F.col("doc_id").alias("id"),
-        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh"),
-    ).localCheckpoint(eager=True)
-    sh.write.mode("overwrite").parquet(
-        os.path.join(corpus_path, "_shingles", f"batch={batch_id}"))
-    sh.groupBy("id").agg(F.count(F.lit(1)).alias("n")) \
-        .write.mode("overwrite").parquet(
-        os.path.join(corpus_path, "_sizes", f"batch={batch_id}"))
-    sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")) \
-        .write.mode("overwrite").parquet(
-        os.path.join(corpus_path, "_df", f"batch={batch_id}"))
+    _write_sidecars(out, corpus_path, batch_id)
 
 
 def run_corpus_ingest(

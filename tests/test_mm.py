@@ -296,3 +296,7 @@ def test_bin_sharded_write_read(spark, tmp_path):
     df, m, n = read_bin(spark, shard_dir)
     got = {(r["src"], r["dst"], r["val"]) for r in df.collect()}
     assert got == set(E) and (m, n) == (37, 29)
+    # driver-streamed single-file path (no shared FS needed): same bytes
+    via = str(tmp_path / "via_driver.bin")
+    write_bin(g, via, via_driver=True)
+    assert open(single, "rb").read() == open(via, "rb").read()

@@ -303,6 +303,39 @@ def test_corpus_ingest_stream(spark, tmp_path):
     assert got2 == got
 
 
+def test_corpus_legacy_batches_backfilled(spark, tmp_path):
+    """A corpus with PRE-SIDECAR batches (dirs 0-1, sidecars deleted)
+    plus one sidecar-format batch (2): the next ingest must still
+    reject near-dups of the LEGACY batches, not just of batch 2 —
+    the r4 review found the old fallback went dead once any sidecar
+    existed, silently skipping batches 0-1."""
+    import shutil
+
+    from combblas_spark.streaming.corpus import ingest_batch, read_corpus
+
+    corp = str(tmp_path / "corpus")
+    legacy0 = "the quick brown fox jumps over a lazy dog near the old red barn"
+    legacy1 = "a completely different first document about the web crawling world"
+    fresh2 = "an entirely fresh later document on the distributed data engines"
+    ingest_batch(spark, spark.createDataFrame(
+        [(0, legacy0)], "doc_id long, text string"), 0, corp, threshold=0.5)
+    ingest_batch(spark, spark.createDataFrame(
+        [(1, legacy1)], "doc_id long, text string"), 1, corp, threshold=0.5)
+    # simulate the pre-sidecar format: strip batches 0-1's sidecars
+    for kind in ("_shingles", "_sizes", "_df"):
+        for bid in (0, 1):
+            shutil.rmtree(str(tmp_path / "corpus" / kind / f"batch={bid}"))
+    ingest_batch(spark, spark.createDataFrame(
+        [(2, fresh2)], "doc_id long, text string"), 2, corp, threshold=0.5)
+    # batch 3 carries near-dups of BOTH legacy docs + one genuinely new
+    ingest_batch(spark, spark.createDataFrame(
+        [(30, legacy0 + " extra"), (31, legacy1 + " extra"),
+         (32, "nothing like anything stored before in this little corpus")],
+        "doc_id long, text string"), 3, corp, threshold=0.5)
+    got = {r["doc_id"] for r in read_corpus(spark, corp).collect()}
+    assert got == {0, 1, 2, 32}
+
+
 def test_incremental_sidecar_equivalence(spark):
     """incremental_prefix_pairs (one-sided prefix vs persisted corpus
     tables) returns exactly the pairs of the recompute-everything
