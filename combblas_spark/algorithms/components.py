@@ -213,8 +213,15 @@ def connected_components_as(
                    tree (never star->star, the reference's cycle-free
                    rule in UnconditionalHook2).
       shortcut   : f = f[f]  (pointer halving).
-    Labels converge to the component minimum (hooks always decrease
-    root labels), identical to FastSV's output.
+    The UNCONDITIONAL hook may attach a stagnant star to a LARGER
+    neighbor label (it must — that is what breaks stagnation), so the
+    converged forest's root ids are NOT the component minima. A final
+    LabelCC-style relabel (the reference does the same, CC.h:1384:
+    roots get dense labels after convergence; ours canonicalizes to
+    min member id) maps every tree to min(id) over its members, making
+    the output identical to FastSV's. Review finding r4: without the
+    relabel, edges {0-8,8-7,7-6,6-5,7-9} converged to comp=5 for all
+    six vertices — the minimum label 0 was hooked away and lost.
     """
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -309,4 +316,8 @@ def connected_components_as(
             break
 
     sym.unpersist()
-    return f.select("id", F.col("val").alias("comp"))
+    # LabelCC relabel: canonical component label = min member id per
+    # converged root (one agg + one join, OUTSIDE the loop — same cost
+    # class as the reference's LabelCC pass, CC.h:1384).
+    canon = f.groupBy(F.col("val").alias("_root")).agg(F.min("id").alias("comp"))
+    return f.join(canon, f["val"] == canon["_root"]).select("id", "comp")

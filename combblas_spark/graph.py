@@ -132,8 +132,15 @@ def events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rule (exactly reproducible in ANSI SQL for the DuckDB oracle):
         src = user_id
-        dst = (event_id * 2654435761) % (max(user_id)+1)
+        dst = ((event_id % nv) * (2654435761 % nv)) % nv,  nv = max(user_id)+1
         drop loops, sum duplicate edges into val (double).
+
+    The mod-before-multiply form is mathematically identical to
+    (event_id * 2654435761) % nv but never overflows int64 for
+    nv < 3.03e9 (review finding r4: the naive product wraps in Spark's
+    non-ANSI mode for event_id >= ~3.5e9 while DuckDB raises — silent
+    engine/oracle divergence and negative vertex ids). nv beyond that
+    bound raises rather than risking wraparound.
 
     This is the sandbox stand-in for the Common-Crawl edge extraction
     (BASELINE.json input_hint) on driver-provided data: a deterministic
@@ -141,10 +148,14 @@ def events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exercising the sum-duplicates build) over a dense vertex space.
     """
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    nv = events.agg(F.max("user_id")).collect()[0][0] + 1
+    nv = int(events.agg(F.max("user_id")).collect()[0][0]) + 1
+    if nv > 3_037_000_499:      # floor(sqrt(2^63)): (nv-1)^2 must fit int64
+        raise ValueError(f"events_graph: vertex space {nv} too large for "
+                         "overflow-free modular hashing")
     raw = events.select(
         F.col("user_id").alias("src"),
-        ((F.col("event_id") * F.lit(HASH_C)) % F.lit(int(nv))).alias("dst"),
+        (((F.col("event_id") % F.lit(nv)) * F.lit(HASH_C % nv))
+         % F.lit(nv)).alias("dst"),
     )
     return build_graph(raw, drop_loops=True, sum_duplicates=True)
 
@@ -161,8 +172,8 @@ def events_graph_sql(with_val: bool = True) -> str:
     SELECT src, dst{val}
     FROM (
       SELECT user_id AS src,
-             (event_id * {HASH_C}) % (SELECT max(user_id) + 1 FROM events) AS dst
-      FROM events
+             ((event_id % nv) * ({HASH_C} % nv)) % nv AS dst
+      FROM events, (SELECT max(user_id) + 1 AS nv FROM events)
     ) WHERE src <> dst
     GROUP BY src, dst
     """

@@ -206,14 +206,18 @@ def setminus(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def concatenate(vecs: list[DataFrame]) -> DataFrame:
-    """Stack vectors with id offsets (Concatenate, ParFriends.h:61-159)."""
+    """Stack vectors with id offsets (Concatenate, ParFriends.h:61-159).
+    Empty vectors contribute length 0 (max(id) is NULL — review r4:
+    int(None) used to raise); an empty list is a usage error."""
+    if not vecs:
+        raise ValueError("concatenate: empty vector list")
     out = None
     offset = 0
     for v in vecs:
         n = v.agg(F.max("id")).collect()[0][0]
         shifted = v.select((F.col("id") + F.lit(offset)).alias("id"), F.col("val"))
         out = shifted if out is None else out.unionByName(shifted)
-        offset += int(n) + 1
+        offset += int(n) + 1 if n is not None else 0
     return out
 
 

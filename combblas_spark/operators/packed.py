@@ -83,7 +83,7 @@ def spmv_packed(packed: DataFrame, x: DataFrame) -> DataFrame:
         # of the row plan's per-partition map-side combine. The dense
         # array is bounded by n_vertices (ids are dictionary-encoded).
         acc = np.zeros(0)
-        touched = False
+        hits = np.zeros(0, dtype=np.int64)   # contribution counts per id
         for batch in batches:
             dsts = batch.column(0)
             vals = batch.column(1)
@@ -96,14 +96,21 @@ def spmv_packed(packed: DataFrame, x: DataFrame) -> DataFrame:
             d = dsts.flatten().to_numpy(zero_copy_only=False)
             w = vals.flatten().to_numpy(zero_copy_only=False) * np.repeat(xv, lens)
             part = np.bincount(d, weights=w, minlength=len(acc))
+            cnt = np.bincount(d, minlength=len(hits))
             if len(part) > len(acc):
                 part[: len(acc)] += acc
                 acc = part
+                cnt[: len(hits)] += hits
+                hits = cnt
             else:
                 acc += part
-            touched = True
-        if touched:
-            nz = np.flatnonzero(acc)
+                hits += cnt
+        if len(hits):
+            # emit every TOUCHED id, not every nonzero sum: a partition
+            # whose contributions cancel to exactly 0.0 must still emit
+            # (id, 0.0) — the row plan does, and flatnonzero made the
+            # output partition-dependent (review finding r4)
+            nz = np.flatnonzero(hits)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(nz, type=pa.int64()),
                  pa.array(acc[nz], type=pa.float64())],

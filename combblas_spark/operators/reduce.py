@@ -59,9 +59,12 @@ def count_pred(v: DataFrame, pred: Column) -> int:
 
 def min_element(v: DataFrame) -> tuple[int, float]:
     """Global argmin -> (id, val) (FullyDistVec::MinElement,
-    FullyDistVec.h:262). Deterministic tie-break on id."""
-    row = v.orderBy(F.col("val").asc(), F.col("id").asc()).limit(1).collect()[0]
-    return row["id"], row["val"]
+    FullyDistVec.h:262). Deterministic tie-break on id; raises on an
+    empty vector (review r4: IndexError otherwise)."""
+    rows = v.orderBy(F.col("val").asc(), F.col("id").asc()).limit(1).collect()
+    if not rows:
+        raise ValueError("min_element: empty vector")
+    return rows[0]["id"], rows[0]["val"]
 
 
 def kselect(edges: DataFrame, k: int, dim: str = "col",
@@ -154,18 +157,22 @@ def nnz(df: DataFrame) -> int:
 
 def load_imbalance(df: DataFrame) -> float:
     """max/avg rows per partition — the reference's skew metric
-    (SpParMat::LoadImbalance, SpParMat.cpp:762). North-rule metric."""
-    counts = (
-        df.groupBy(F.spark_partition_id().alias("p")).count()
-        .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
-        .collect()[0]
-    )
-    return float(counts["mx"]) / float(counts["av"]) if counts["av"] else 1.0
+    (SpParMat::LoadImbalance, SpParMat.cpp:762). North-rule metric.
+    Delegates to runtime.superstep so both call sites share ONE
+    definition that counts EMPTY partitions in the average, like the
+    reference's max * p / total over all ranks (review r4: the old
+    groupBy-only form dropped empty partitions, understating skew)."""
+    from combblas_spark.runtime.superstep import (
+        load_imbalance as _li, partition_histogram)
+
+    return _li(partition_histogram(df))
 
 
 def bandwidth(edges: DataFrame) -> int:
-    """Matrix bandwidth max|i-j| (SpParMat::Bandwidth, SpParMat.h:139-140)."""
-    return edges.agg(F.max(F.abs(F.col("src") - F.col("dst"))).alias("b")).collect()[0]["b"]
+    """Matrix bandwidth max|i-j| (SpParMat::Bandwidth, SpParMat.h:139-140).
+    0 for an empty matrix (the agg returns NULL — review r4)."""
+    b = edges.agg(F.max(F.abs(F.col("src") - F.col("dst"))).alias("b")).collect()[0]["b"]
+    return int(b) if b is not None else 0
 
 
 def degree_assortativity(edges: DataFrame) -> DataFrame:

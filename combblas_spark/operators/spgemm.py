@@ -76,6 +76,8 @@ def spgemm_phased(
     """
     from combblas_spark.operators.reduce import kselect
 
+    if phases < 1:
+        raise ValueError(f"spgemm_phased: phases must be >= 1, got {phases}")
     outs = []
     for p in range(phases):
         bp = B.filter(F.pmod(F.xxhash64(F.col("dst")), F.lit(phases)) == p)

@@ -39,18 +39,23 @@ from pyspark.sql import functions as F
 
 
 def partition_histogram(df: DataFrame) -> list[int]:
-    """Rows per partition — the skew/load-imbalance observable."""
-    rows = df.groupBy(F.spark_partition_id().alias("p")).count().collect()
-    return [r["count"] for r in sorted(rows, key=lambda r: r["p"])]
+    """Rows per partition — the skew/load-imbalance observable.
+    Includes EMPTY partitions as zeros (groupBy(spark_partition_id())
+    alone silently drops them; review r4): an all-rows-in-one-of-200-
+    partitions state must read imbalance 200, not 1."""
+    n = df.rdd.getNumPartitions()
+    rows = {r["p"]: r["count"] for r in
+            df.groupBy(F.spark_partition_id().alias("p")).count().collect()}
+    return [rows.get(p, 0) for p in range(n)]
 
 
 def load_imbalance(hist: list[int]) -> float:
-    """max/avg rows per partition (SpParMat::LoadImbalance analogue,
+    """max/avg rows per partition INCLUDING empty partitions — the
+    reference divides by total/p over ALL ranks (SpParMat::LoadImbalance,
     include/CombBLAS/SpParMat.cpp:762). 1.0 = perfectly balanced."""
-    nz = [h for h in hist if h > 0]
-    if not nz:
+    if not hist or not sum(hist):
         return 1.0
-    return max(nz) / (sum(nz) / len(nz))
+    return max(hist) / (sum(hist) / len(hist))
 
 
 @dataclass
@@ -110,12 +115,17 @@ class SuperstepRunner:
                 f"checkpoint dir holds job {m.get('job_name')!r}, not {self.job_name!r}"
             )
         recorded = m.get("config", {})
-        for k, v in self.config.items():
-            if k in recorded and recorded[k] != v:
-                raise ValueError(
-                    f"config lineage mismatch on {k!r}: checkpoint has "
-                    f"{recorded[k]!r}, this run has {v!r}"
-                )
+        # strict dict equality: added/removed/renamed keys are mismatches
+        # too (review r4 — key-intersection-only comparison let a renamed
+        # parameter resume a DIFFERENT computation from old state)
+        if recorded != dict(self.config):
+            diff_keys = sorted(set(recorded) ^ set(self.config)
+                               | {k for k in set(recorded) & set(self.config)
+                                  if recorded[k] != self.config[k]})
+            raise ValueError(
+                f"config lineage mismatch on {diff_keys}: checkpoint has "
+                f"{recorded!r}, this run has {dict(self.config)!r}"
+            )
         state = self.spark.read.parquet(m["state_path"])
         return m["iteration"] + 1, state
 
@@ -128,12 +138,16 @@ class SuperstepRunner:
         input, eagerly localCheckpointed)."""
         now = time.perf_counter()
         self._step_times.append(now - self._t_last)
-        self._t_last = now
         self._last_step = iteration
         if (iteration + 1) % self.every == 0:
-            return self._durable(iteration, state, extra)
+            return self._durable(iteration, state, extra)  # resets _t_last
         from combblas_spark.runtime.plans import superstep_checkpoint
         out = superstep_checkpoint(state, iteration)
+        # reset AFTER the eager materialization so superstep N's
+        # checkpoint cost is billed to superstep N, matching the durable
+        # path (review r4: the old pre-checkpoint reset shifted it to
+        # N+1 on non-durable steps only)
+        self._t_last = time.perf_counter()
         if extra:
             self.metrics.append({"iteration": iteration, **extra})
         return out

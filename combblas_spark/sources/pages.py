@@ -77,11 +77,17 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched twin of reference_extract_text (no per-row Python at
     the Spark API surface; pandas vectorized str ops inside)."""
     s = html.apply(lambda b: b.decode("utf-8"))
-    title = s.str.extract(_TITLE_RE.pattern, flags=re.S, expand=False).fillna("")
+    raw_title = s.str.extract(_TITLE_RE.pattern, flags=re.S, expand=False)
+    has_title = raw_title.notna()     # from the same extract — no second
+    title = raw_title.fillna("")      # regex pass, no pandas group warning
     paras = s.str.findall(_PARA_RE.pattern, flags=re.S)
-    has_title = s.str.contains(_TITLE_RE.pattern, flags=re.S, regex=True)
     joined = paras.str.join("\n")
-    out = title.where(~has_title | (joined == ""), title + "\n" + joined)
+    # branch on the paragraph LIST being empty, not the joined STRING:
+    # title + one empty <p></p> must yield "T\n" ("\n".join(["T", ""]))
+    # like the reference, not bare "T" (review finding r4 — the old
+    # joined=="" condition dropped the trailing newline there)
+    n_paras = paras.str.len()
+    out = title.where(~has_title | (n_paras == 0), title + "\n" + joined)
     out = out.where(has_title, joined)
     return out
 

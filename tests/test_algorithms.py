@@ -589,6 +589,10 @@ def test_cc_awerbuch_shiloach_equivalent(spark):
         [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],  # bridged
         [(i, i + 1) for i in range(40)],                        # deep path
         [(2 * i, 2 * i + 1) for i in range(10)],                # matchings
+        # r4 review repro: the {0,8} star is stagnant and the uncond
+        # hook attaches it to the LARGER root 5 — without the final
+        # LabelCC relabel every vertex converged to comp=5, losing 0
+        [(0, 8), (8, 7), (7, 6), (6, 5), (7, 9)],
     ]
     for triples in cases:
         g = df_edges(spark, triples)

@@ -26,6 +26,20 @@ def test_extractor_byte_identity(spark):
         ref = reference_extract_text(bytes(r["html"]))
         assert r["udf_text"] == ref, f"udf != reference for {r['url']}"
         assert r["stored_text"] == ref
+    # adversarial shapes (r4 review: title + empty <p></p> must keep the
+    # trailing newline "T\n" = "\n".join(["T", ""]))
+    hard = [
+        (0, b"<title>T</title><p></p>"),
+        (1, b"<title>T</title>"),
+        (2, b"<p></p>"),
+        (3, b""),
+        (4, b"<p>a</p><p></p><p>b</p>"),
+        (5, b"<title></title><p>x</p>"),
+    ]
+    hdf = spark.createDataFrame(hard, "url long, html binary")
+    for r in hdf.select("url", "html",
+                        extract_text_udf(F.col("html")).alias("t")).collect():
+        assert r["t"] == reference_extract_text(bytes(r["html"])), r["url"]
 
 
 def test_link_extractor_identity(spark):

@@ -444,6 +444,16 @@ def test_packed_spmv_matches_row_plan(spark):
     pk = {r["id"]: r["val"] for r in spmv_packed(pack_adjacency(g, 8), x).collect()}
     assert set(row) == set(pk)
     assert all(math.isclose(row[k], pk[k], rel_tol=1e-9) for k in row)
+    # exact-cancellation case (review r4): contributions summing to 0.0
+    # must still emit (id, 0.0) like the row plan, at ANY partitioning
+    gz = spark.createDataFrame(
+        [(0, 5, 1.0), (1, 5, -1.0)], "src long, dst long, val double")
+    xz = spark.createDataFrame([(0, 1.0), (1, 1.0)], "id long, val double")
+    rz = {r["id"]: r["val"] for r in spmv(gz, xz).collect()}
+    for nparts in (1, 2):
+        pz = {r["id"]: r["val"] for r in
+              spmv_packed(pack_adjacency(gz.repartition(nparts), 2), xz).collect()}
+        assert pz == rz == {5: 0.0}, (nparts, pz, rz)
 
 
 def test_symmetrize_partitioned_single_exchange(spark):

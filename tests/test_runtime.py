@@ -100,8 +100,11 @@ def test_manifest_metrics_contents(spark, graph, tmp_path):
 
 def test_load_imbalance_metric():
     assert load_imbalance([10, 10, 10]) == 1.0
-    assert load_imbalance([30, 0, 0]) == 1.0  # single non-empty partition
+    # reference semantics (SpParMat.cpp:762 max*p/total over ALL ranks):
+    # everything in 1 of 3 partitions is imbalance 3, not 1 (review r4)
+    assert load_imbalance([30, 0, 0]) == pytest.approx(3.0)
     assert load_imbalance([20, 10]) == pytest.approx(20 / 15)
+    assert load_imbalance([]) == 1.0 and load_imbalance([0, 0]) == 1.0
 
 
 def test_sssp_resume_exact(spark, tmp_path):
