@@ -46,7 +46,11 @@ def betweenness_centrality(
     every half-step. Placement-only: results are identical either way."""
     spark = edges.sparkSession
     shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    e = (edges.select("src", "dst") if directed
+    # directed mode must dedup parallel (src,dst) rows too — the
+    # undirected path gets that from symmetrize_partitioned, and
+    # duplicate rows inflate sigma path counts (review r4)
+    e = (edges.select("src", "dst").dropDuplicates(["src", "dst"])
+         .repartition(shuffle_n, "src") if directed
          else symmetrize_partitioned(edges, "src", shuffle_n).select("src", "dst"))
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     e.count()

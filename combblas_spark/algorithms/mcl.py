@@ -177,11 +177,17 @@ def mcl(
         # iteration — VERDICT r2 item 7).
         cs = kept.groupBy("dst").agg(
             F.sum("val").alias("_s"), F.max("val").alias("_mx"),
-            F.sum(F.col("val") * F.col("val")).alias("_sq"))
+            F.sum(F.col("val") * F.col("val")).alias("_sq"),
+            F.count(F.lit(1)).alias("_n"))
+        # chaos per column = (max - sumsq) * nnz of the NORMALIZED
+        # column (MCL.cpp:407-420 multiplies by nnzPerColumn — review
+        # r4: the _n factor was missing, making chaos ~nnz-fold smaller
+        # than the reference's and tripping chaos_eps early)
         normed = kept.join(cs, "dst").select(
             "src", "dst", (F.col("val") / F.col("_s")).alias("val"),
-            (F.col("_mx") / F.col("_s")
-             - F.col("_sq") / (F.col("_s") * F.col("_s"))).alias("_chaos"))
+            ((F.col("_mx") / F.col("_s")
+              - F.col("_sq") / (F.col("_s") * F.col("_s")))
+             * F.col("_n")).alias("_chaos"))
         obs = Observation()
         A_new = (
             normed.observe(obs, F.max("_chaos").alias("chaos"))
@@ -221,11 +227,8 @@ def write_mcl_clusters(clusters: DataFrame, path: str,
     reference (it gathers each cluster onto its owner process).
     ``clusters``: (id, cluster); ``labels``: (id, label) optional.
     """
-    import glob
-    import os
-    import shutil
-
     from combblas_spark.operators.indexing import zip_with_index
+    from combblas_spark.sources.mm import stream_text_parts
 
     c = clusters.select("id", "cluster")
     if labels is not None:
@@ -250,10 +253,7 @@ def write_mcl_clusters(clusters: DataFrame, path: str,
         .write.mode("overwrite").text(tmp)
     )
     with open(path, "w") as out:
-        for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
-            with open(part) as fh:
-                shutil.copyfileobj(fh, out)
-    shutil.rmtree(tmp)
+        stream_text_parts(tmp, out)
     return n
 
 

@@ -102,7 +102,7 @@ def min_degree_ordering(
     edges: DataFrame,
     seed: int = 42,
     rounds: int | None = None,
-    max_rounds: int = 400,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """Fill-reducing minimum-degree ordering — distributed multiple
     elimination (Applications/Ordering/MD.cpp).
@@ -153,7 +153,18 @@ def min_degree_ordering(
 
     pos = spark.createDataFrame([], "pos long, id long")
     offset = 0
-    n_rounds = max_rounds if rounds is None else rounds
+    if rounds is None:
+        # exhaustion is guaranteed within |V| rounds (every round
+        # eliminates >= 1 Luby winner), so bound by the vertex count —
+        # NOT a fixed cap (review r4: max_rounds=400 silently degraded
+        # dense graphs needing more rounds, e.g. a 500-clique, to the
+        # degree-order tail despite the full-MD-permutation contract).
+        # max_rounds remains an explicit opt-in ceiling below |V|.
+        n_rounds = int(verts.count())
+        if max_rounds is not None:
+            n_rounds = min(n_rounds, max_rounds)
+    else:
+        n_rounds = rounds
     for k in range(n_rounds):
         deg = (
             verts.join(sym, verts["id"] == sym["src"], "left")

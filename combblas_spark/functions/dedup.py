@@ -168,7 +168,13 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     """Near-dup pairs by simhash Hamming distance, candidate-generated by
     band equality on 4 bit-slices (a pair within distance<=3 must agree
     on >=1 of 4 slices — pigeonhole; max_hamming must stay < 4 for the
-    candidate generation to be complete)."""
+    candidate generation to be complete, enforced below)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"simhash_near_dups: max_hamming must be in [0, 3] — the "
+            f"4-slice pigeonhole candidate generation is incomplete at "
+            f"distance >= 4 (got {max_hamming}); use more slices or a "
+            f"different method for larger radii")
     # eager checkpoint, not persist: the band self-join reads sh on both
     # sides, and a checkpoint needs no unpersist bookkeeping on return
     sh = simhash(docs, id_col, text_col, bits).localCheckpoint(eager=True)
@@ -227,6 +233,7 @@ def prefix_filter_pairs(
     shingle_k: int = 3,
     other: DataFrame | None = None,
     key_encoding: str = "hash64",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT word-k-gram Jaccard similarity self-join via prefix
     filtering (the AllPairs/PPJoin candidate condition): returns EVERY
@@ -279,7 +286,13 @@ def prefix_filter_pairs(
         )
 
     # checkpoint: feeds freq, ranking, and the verify rescans
-    sh_a = explode_sh(docs).localCheckpoint(eager=True)
+    # shingles_df: precomputed (id, sh) distinct word-k-gram table for
+    # the docs side (caller keeps ONE exploded table per pipeline stage
+    # instead of this function re-exploding — review r4: ingest_batch
+    # paid the explode three times per micro-batch). Caller is
+    # responsible for it being materialized (checkpointed/persisted).
+    sh_a = (shingles_df if shingles_df is not None
+            else explode_sh(docs).localCheckpoint(eager=True))
     sh_b = explode_sh(other).localCheckpoint(eager=True) if other is not None else sh_a
     sh_all = sh_a if other is None else sh_a.unionByName(sh_b)
     freq = keyed(sh_all).groupBy(key).agg(F.count(F.lit(1)).alias("df"))
@@ -336,6 +349,7 @@ def incremental_prefix_pairs(
     threshold: float = 0.8,
     shingle_k: int = 3,
     key_encoding: str = "hash64",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT batch-vs-corpus Jaccard join against a PERSISTED corpus —
     the O(batch)-work-per-ingest variant of ``prefix_filter_pairs(
@@ -366,7 +380,9 @@ def incremental_prefix_pairs(
     """
     key, keyed, order = _candidate_key_mode(key_encoding)
 
-    sh_a = batch.select(
+    # shingles_df: precomputed, materialized (id, sh) for the batch —
+    # same contract as prefix_filter_pairs(shingles_df=)
+    sh_a = shingles_df if shingles_df is not None else batch.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
     ).localCheckpoint(eager=True)

@@ -42,6 +42,11 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     h = hashlib.md5(payload.hex().encode()).digest()
     w, hgt = 16 + h[0] % 64, 16 + h[1] % 64
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    if arr.size == 0:
+        # zero-byte payload (truncated/placeholder blob): well-defined
+        # zero stats instead of numpy reductions raising on empty
+        # arrays and NaN means (review r4)
+        arr = np.zeros(1, dtype=np.float32)
     feat = np.array([
         arr.mean(), arr.std(), arr.min(), arr.max(),
         float(w), float(hgt), float(len(payload)), float(h[2]),

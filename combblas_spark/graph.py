@@ -18,6 +18,20 @@ from pyspark.sql import functions as F
 HASH_C = 2654435761
 
 
+def hashed_dst(event_id, nv: int):
+    """THE canonical event->dst vertex rule, shared by events_graph and
+    every streaming site (review r4: three hand-copied variants of this
+    expression missed the overflow fix). Mod-before-multiply is
+    mathematically identical to (event_id * HASH_C) % nv but never
+    wraps int64 for nv < 3.03e9; larger vertex spaces raise."""
+    nv = int(nv)
+    if nv > 3_037_000_499:      # floor(sqrt(2^63)): (nv-1)^2 must fit int64
+        raise ValueError(f"hashed_dst: vertex space {nv} too large for "
+                         "overflow-free modular hashing")
+    return ((F.col(event_id) if isinstance(event_id, str) else event_id)
+            % F.lit(nv)) * F.lit(HASH_C % nv) % F.lit(nv)
+
+
 def build_graph(
     raw_edges: DataFrame,
     drop_loops: bool = True,
@@ -149,13 +163,9 @@ def events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     nv = int(events.agg(F.max("user_id")).collect()[0][0]) + 1
-    if nv > 3_037_000_499:      # floor(sqrt(2^63)): (nv-1)^2 must fit int64
-        raise ValueError(f"events_graph: vertex space {nv} too large for "
-                         "overflow-free modular hashing")
     raw = events.select(
         F.col("user_id").alias("src"),
-        (((F.col("event_id") % F.lit(nv)) * F.lit(HASH_C % nv))
-         % F.lit(nv)).alias("dst"),
+        hashed_dst("event_id", nv).alias("dst"),
     )
     return build_graph(raw, drop_loops=True, sum_duplicates=True)
 

@@ -28,6 +28,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def stream_text_parts(tmp_dir: str, out, cleanup: bool = True) -> None:
+    """Stream range-sorted executor part files into an open text file
+    handle in order, then remove the parts directory — the shared tail
+    of every single-file text writer here (write_mm, write_vec,
+    algorithms.mcl.write_mcl_clusters; review r4: was copy-pasted)."""
+    for part in sorted(glob.glob(os.path.join(tmp_dir, "part-*"))):
+        with open(part) as fh:
+            shutil.copyfileobj(fh, out)
+    if cleanup:
+        shutil.rmtree(tmp_dir)
+
+
 def read_mm(spark: SparkSession, path: str) -> tuple[DataFrame, int, int]:
     """Read a Matrix Market coordinate file -> (edges(src,dst,val), nrows, ncols).
 
@@ -133,10 +145,7 @@ def write_mm(edges: DataFrame, path: str, nrows: int | None = None,
         if comment:
             out.write(f"%{comment}\n")
         out.write(f"{m} {n} {nnz}\n")
-        for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
-            with open(part) as fh:
-                shutil.copyfileobj(fh, out)
-    shutil.rmtree(tmp)
+        stream_text_parts(tmp, out)
 
 
 def read_vec(spark: SparkSession, path: str, base: int = 1,
@@ -179,7 +188,4 @@ def write_vec(v: DataFrame, path: str, base: int = 1) -> None:
         .write.mode("overwrite").text(tmp)
     )
     with open(path, "w") as out:
-        for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
-            with open(part) as fh:
-                shutil.copyfileobj(fh, out)
-    shutil.rmtree(tmp)
+        stream_text_parts(tmp, out)

@@ -94,10 +94,13 @@ def _read_sidecar(spark: SparkSession, corpus_path: str, kind: str,
     return spark.read.schema(schema).parquet(*dirs)
 
 
-def _write_sidecars(docs: DataFrame, corpus_path: str, batch_id: int) -> None:
+def _write_sidecars(docs: DataFrame, corpus_path: str, batch_id: int,
+                    shingles_df: DataFrame | None = None) -> None:
     """Persist the three sidecar tables for one (doc_id, text) batch.
-    Deterministic paths + overwrite => replay/backfill idempotent."""
-    sh = docs.select(
+    Deterministic paths + overwrite => replay/backfill idempotent.
+    ``shingles_df``: precomputed (id, sh) for these docs (the ingest
+    path shingles the batch ONCE and filters — review r4)."""
+    sh = shingles_df if shingles_df is not None else docs.select(
         F.col("doc_id").alias("id"),
         F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh"),
     ).localCheckpoint(eager=True)
@@ -160,6 +163,13 @@ def ingest_batch(
     b = dedup_exact(b)
     # the pair joins below reference b on both sides of several plans
     b = b.localCheckpoint(eager=True)
+    # shingle the batch ONCE (review r4: the corpus check, the within-
+    # batch pair join, and the sidecar write each re-exploded it); the
+    # table only SHRINKS downstream, so later stages semi-join-filter it
+    sh_b = b.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh"),
+    ).localCheckpoint(eager=True)
 
     # one-time migration: batches written without sidecars (legacy
     # corpora) get theirs computed now, so the sidecar union below is
@@ -178,11 +188,14 @@ def ingest_batch(
                             "sh string, df long", before_batch=batch_id)
         dft = dfc.groupBy("sh").agg(F.sum("df").alias("df"))
         hits = incremental_prefix_pairs(
-            b, corpus_sh, corpus_sz, df_table=dft, threshold=threshold
+            b, corpus_sh, corpus_sz, df_table=dft, threshold=threshold,
+            shingles_df=sh_b,
         ).select(F.col("id_a").alias("doc_id")).distinct()
         b = b.join(hits, "doc_id", "left_anti").localCheckpoint(eager=True)
+        sh_b = sh_b.join(b.select(F.col("doc_id").alias("id")), "id",
+                         "left_semi").localCheckpoint(eager=True)
 
-    pairs = prefix_filter_pairs(b, threshold=threshold)
+    pairs = prefix_filter_pairs(b, threshold=threshold, shingles_df=sh_b)
     keep = near_dup_clusters(b, pairs).where("is_canonical") \
         .select(F.col("id").alias("doc_id"))
     out = b.join(keep, "doc_id").select("doc_id", "text") \
@@ -190,7 +203,10 @@ def ingest_batch(
     out.write.mode("overwrite").parquet(
         os.path.join(corpus_path, f"batch={batch_id}"))
     # sidecars for the survivors (same id -> same path: replay-idempotent)
-    _write_sidecars(out, corpus_path, batch_id)
+    _write_sidecars(out, corpus_path, batch_id,
+                    shingles_df=sh_b.join(
+                        out.select(F.col("doc_id").alias("id")), "id",
+                        "left_semi"))
 
 
 def run_corpus_ingest(

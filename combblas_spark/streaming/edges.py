@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from combblas_spark.graph import HASH_C
+from combblas_spark.graph import hashed_dst
 
 
 EVENT_SCHEMA = (
@@ -46,7 +46,7 @@ def stream_to_edge_deltas(events: DataFrame, n_vertices: int,
         .dropDuplicatesWithinWatermark(["event_id"])
         .select(
             F.col("user_id").alias("src"),
-            ((F.col("event_id") * F.lit(HASH_C)) % F.lit(int(n_vertices))).alias("dst"),
+            hashed_dst("event_id", n_vertices).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
@@ -273,7 +273,7 @@ def run_edge_merge(
         .dropDuplicatesWithinWatermark(["event_id"])
         .select(
             F.col("user_id").alias("src"),
-            ((F.col("event_id") * F.lit(HASH_C)) % F.lit(int(n_vertices))).alias("dst"),
+            hashed_dst("event_id", n_vertices).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from combblas_spark.graph import HASH_C
+from combblas_spark.graph import hashed_dst
 
 STATS_SCHEMA = "src long, out_degree long, weight_sum double"
 STATE_SCHEMA = "cnt long, ws double"
@@ -57,7 +57,7 @@ def stateful_vertex_stats(events: DataFrame, n_vertices: int) -> DataFrame:
     """
     edges = events.select(
         F.col("user_id").alias("src"),
-        ((F.col("event_id") * F.lit(HASH_C)) % F.lit(int(n_vertices))).alias("dst"),
+        hashed_dst("event_id", n_vertices).alias("dst"),
         F.col("value"),
     ).filter(F.col("src") != F.col("dst"))
     return edges.groupBy("src").applyInPandasWithState(
