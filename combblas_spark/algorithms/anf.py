@@ -201,6 +201,7 @@ def effective_diameter(
     k: int = 16,
     r_bits: int = 24,
     seed: int = 42,
+    broadcast_max_vertices: int = 8_000_000,
 ) -> dict:
     """Smallest h with N(h) >= q * N(infinity), interpolated like the
     WebGraph convention. Runs hops until the sketch sum stops changing
@@ -216,6 +217,10 @@ def effective_diameter(
     verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
     small_vector = n <= 100_000
+    # same regime gate as anf_sketches: beyond the threshold the sketch
+    # state (8*k bytes/vertex) no longer fits a broadcast — fall back to
+    # a shuffle join against the dst-partitioned cached adjacency.
+    can_broadcast = n <= broadcast_max_vertices
 
     state = verts.select("id", *[_init_mask(j, seed, r_bits) for j in range(k)])
     state = state.coalesce(1) if small_vector else state.repartition(shuffle_n, "id")
@@ -228,7 +233,9 @@ def effective_diameter(
 
     mask_cols = [f"m{j}" for j in range(k)]
     for h in range(1, max_hops + 1):
-        mv = F.broadcast(state.select(F.col("id").alias("src"), *mask_cols))
+        mv = state.select(F.col("id").alias("src"), *mask_cols)
+        if can_broadcast:
+            mv = F.broadcast(mv)
         nbr = (
             adj.join(mv, "src")
             .groupBy(F.col("dst").alias("id"))

@@ -77,6 +77,17 @@ def bipartite_maximal_matching(
         live = nxt
         if live.isEmpty():
             break
+    else:
+        if not live.isEmpty():
+            # live edges remaining means the result is a valid matching
+            # but NOT maximal — the function's contract. Each round
+            # matches at least the globally min-priority live edge, and
+            # the hash priorities shrink the live set geometrically
+            # w.h.p., so exhausting 64 rounds is pathological; fail loud
+            # rather than return a silently-non-maximal matching.
+            raise RuntimeError(
+                f"bipartite_maximal_matching: live edges remain after "
+                f"max_iter={max_iter} rounds; raise max_iter")
     live.unpersist()
     return matched
 

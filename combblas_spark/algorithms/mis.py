@@ -80,6 +80,16 @@ def maximal_independent_set(
         cand = superstep_checkpoint(cand.join(dead, "id", "left_anti"), it)
         if metrics is not None:
             metrics.append({"iter": it, "candidates": n_cand})
+    else:
+        if not cand.isEmpty():
+            # returning here would violate the MAXIMALITY contract
+            # silently (the set is independent but candidates remain
+            # unexamined) — non-convergence must be loud (ADVICE-r3
+            # pattern). Luby needs O(log n) rounds w.h.p., so hitting
+            # 60 means something is genuinely wrong.
+            raise RuntimeError(
+                f"maximal_independent_set: candidates remain after "
+                f"max_iter={max_iter} Luby rounds; raise max_iter")
 
     sym.unpersist()
     return mis

@@ -160,11 +160,15 @@ def pagerank(
     # is a broadcast and free). Results are layout-invariant; only the
     # exchange placement moves. Leave None outside experiments.
     regime_key = loop_layout or ("dst" if can_broadcast else "src")
-    if edge_layout == regime_key:
+    if edge_layout == regime_key == "src":
         # caller declared the input already partitioned on the regime
         # key (bucketed table) — keep its layout; the normalize join
         # above is co-partitioned with the degree agg for layout "src",
-        # so the whole setup ran exchange-free.
+        # so the whole setup ran exchange-free. Only "src" survives the
+        # normalize join (it joins on src); a declared "dst" layout is
+        # destroyed by that join, so honoring it here would silently
+        # trade ONE setup repartition for an edge-sized exchange EVERY
+        # superstep of the broadcast regime — fall through instead.
         pass
     elif regime_key == "dst":
         # broadcast regime default (or loop_layout="dst" override):

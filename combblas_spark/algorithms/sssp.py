@@ -100,6 +100,20 @@ def sssp(
         if n_front == 0:
             break
 
+    if n_front > 0:
+        # max_iter exhausted with an active frontier: the returned
+        # vector is the exact ``max_iter``-hop Bellman-Ford relaxation —
+        # a well-defined partial state (it is what runner-based resume
+        # feeds back in), but NOT the shortest-path fixpoint, so say so
+        # loudly instead of returning it silently (ADVICE-r3 pattern).
+        import warnings
+
+        warnings.warn(
+            f"sssp: frontier still has {n_front} improving vertices "
+            f"after max_iter={max_iter} supersteps; distances are the "
+            f"{max_iter}-hop relaxation, not the fixpoint — raise "
+            f"max_iter (graph has longer shortest paths)",
+            RuntimeWarning, stacklevel=2)
     if runner is not None:
         runner.finish(dist)
     e.unpersist()

@@ -1383,6 +1383,43 @@ def test_scc_trim_cap_is_not_an_error(spark):
     assert got == {i: i for i in range(13)}
 
 
+def test_mis_raises_on_cap_exhaustion(spark):
+    """Exhausting Luby rounds with candidates remaining must be loud —
+    a silently-returned set would violate the MAXIMALITY contract."""
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.mis import maximal_independent_set
+
+    g = df_edges(spark, [(0, 1), (1, 2), (2, 3)])
+    with _pytest.raises(RuntimeError, match="candidates remain"):
+        maximal_independent_set(g, max_iter=0)
+
+
+def test_maximal_matching_raises_on_cap_exhaustion(spark):
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.matching import bipartite_maximal_matching
+
+    g = df_edges(spark, [(0, 5), (1, 5), (1, 6)])
+    with _pytest.raises(RuntimeError, match="live edges remain"):
+        bipartite_maximal_matching(g, max_iter=0)
+
+
+def test_sssp_warns_on_cap_exhaustion(spark):
+    """A truncated run returns the exact k-hop relaxation (resume
+    depends on that) but must WARN that it is not the fixpoint."""
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.sssp import sssp
+
+    chain = [(i, i + 1) for i in range(5)]
+    with _pytest.warns(RuntimeWarning, match="max_iter"):
+        d = {r["id"]: r["dist"]
+             for r in sssp(df_edges(spark, chain), root=0,
+                           weighted=False, max_iter=2).collect()}
+    assert d == {0: 0.0, 1: 1.0, 2: 2.0}  # the exact 2-hop relaxation
+
+
 def test_pagerank_zero_teleport_raises(spark):
     import pytest as _pytest
 
