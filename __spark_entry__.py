@@ -787,6 +787,50 @@ SELECT d.doc_id AS id, coalesce(n_windows, 0) AS n_windows,
 FROM documents d LEFT JOIN pd ON pd.id = d.doc_id"""
 
 
+def q_dup_span_removal(spark, sf):
+    """Exact-substring duplication REMOVAL (the apply half of the Lee
+    et al. 2022 pipeline, q_dup_spans being the measurement half):
+    cleaned text with every corpus-duplicated 5-token window cut."""
+    from combblas_spark.functions.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf), k=5).select(
+        "id", "clean_text", "n_removed")
+
+
+def _dup_span_removal_sql(k: int = 5) -> str:
+    """Twin of q_dup_span_removal: same window CTE as _dup_spans_sql,
+    then coverage positions -> anti-join -> ordered string_agg."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return f"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+win AS (
+  SELECT doc_id AS id, i, {gram} AS wd
+  FROM words, unnest(generate_series(1, greatest(len(w) - {k - 1}, 0))) AS t(i)
+  WHERE len(w) >= {k}
+),
+dup AS (SELECT wd FROM win GROUP BY wd HAVING count(*) > 1),
+cov AS (
+  SELECT DISTINCT id, i + j AS tp
+  FROM win JOIN dup USING (wd), unnest(generate_series(0, {k - 1})) AS u(j)
+),
+toks AS (
+  SELECT doc_id AS id, w[tp] AS tok, tp
+  FROM words, unnest(generate_series(1, len(w))) AS t(tp)
+),
+kept AS (
+  SELECT toks.id, tok, toks.tp FROM toks
+  LEFT JOIN cov ON cov.id = toks.id AND cov.tp = toks.tp
+  WHERE cov.id IS NULL
+),
+agg AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY id
+)
+SELECT d.doc_id AS id, coalesce(a.clean_text, '') AS clean_text,
+       len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS n_removed
+FROM documents d LEFT JOIN agg a ON a.id = d.doc_id"""
+
+
 def q_containment(spark, sf):
     """Asymmetric containment near-dups (quote/boilerplate inclusion):
     |S(a) ∩ S(b)| / |S(a)| >= 0.8, id_a the contained doc."""
@@ -2139,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selective_prune": q_selective_prune,
         "incremental_sidecar": q_incremental_sidecar,
         "prefix_jaccard_hash64": q_prefix_jaccard_hash64,
+        "dup_span_removal": q_dup_span_removal,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -2994,6 +3039,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["degree_hist"] = _degree_hist_sql()
     sqls["containment"] = _containment_sql()
     sqls["dup_spans"] = _dup_spans_sql()
+    sqls["dup_span_removal"] = _dup_span_removal_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from combblas_spark.functions.text import fingerprint, shingles, word_tokens
+from combblas_spark.functions.text import fingerprint, shingles, tokens, word_tokens
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -567,6 +567,68 @@ def duplicate_spans(
                        F.coalesce("n_dup_windows", F.lit(0)).cast("double")
                        / F.col("n_windows")).otherwise(F.lit(0.0)), 6
             ).alias("dup_frac"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication REMOVAL — the apply step of the
+    Lee et al. 2022 ExactSubstr pipeline whose measurement half is
+    ``duplicate_spans``: every token covered by any k-token window
+    whose text occurs more than once in the corpus (another document
+    OR another position of the same document) is cut from the text.
+    ALL occurrences are removed (the conservative rule: duplicated
+    boilerplate disappears entirely; keeping one canonical copy per
+    duplicate group is a compose with ``exact_duplicates``, which
+    dedups at document granularity). Returns
+    (id, clean_text, n_removed) for every input document — documents
+    shorter than k tokens have no windows and pass through intact;
+    a fully-duplicated document comes back as the empty string.
+
+    Scale shape: windows posexplode (n_tokens rows/doc, same as
+    duplicate_spans) -> window-text count with map-side combine ->
+    semi-join flags dup windows -> coverage explode bounded by
+    (#dup windows x k) -> anti-join on (id, token position) -> one
+    per-doc aggregation rebuilds the text (array_sort over (pos, tok)
+    structs — doc-sized buffers, the same width as the text column
+    itself). No all-pairs, no Python.
+    """
+    t = F.col(text_col)
+    win = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingles(t, k)).alias("pos", "w"),
+    )
+    dup = (win.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") > 1).select("w"))
+    covered = (
+        win.join(dup, "w", "left_semi")
+        .select("id", F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("tp"))
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(t)).alias("tp", "tok"))
+    kept = toks.join(covered, ["id", "tp"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                        lambda x: x["tok"]),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.size(tokens(t)).alias("_n"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_n") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
         )
     )
 

@@ -511,3 +511,38 @@ def test_duplicate_spans(spark):
     assert out[2]["n_dup_windows"] == 2        # 'one two three four five' x2
     assert out[3]["n_dup_windows"] == 0 and out[3]["dup_frac"] == 0.0
     assert out[0]["n_windows"] == len(rows[0][1].split()) - 4
+
+
+def test_remove_duplicate_spans(spark):
+    """The apply half of ExactSubstr: the copied sentence is cut from
+    BOTH docs (all-copies rule), the self-repeat doc empties, unique
+    docs and sub-window docs pass through byte-identical."""
+    from combblas_spark.functions.dedup import remove_duplicate_spans
+
+    common = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, common + " alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "iota kappa lambda mu nu xi omicron pi " + common),
+        (2, "one two three four five one two three four five"),   # self-repeat
+        (3, "solo unique words that appear nowhere else at all here"),
+        (4, "tiny doc"),                                   # < k tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in remove_duplicate_spans(docs, k=5).collect()}
+
+    # every doc comes back, n_removed consistent with the rebuild
+    assert set(out) == {0, 1, 2, 3, 4}
+    for i, text in rows:
+        kept = len(out[i]["clean_text"].split(" ")) if out[i]["clean_text"] else 0
+        assert kept + out[i]["n_removed"] == len(text.split(" "))
+
+    # the 10 common tokens cut from both docs; private suffix/prefix kept
+    assert out[0]["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[0]["n_removed"] == 10
+    assert out[1]["clean_text"] == "iota kappa lambda mu nu xi omicron pi"
+    assert out[1]["n_removed"] == 10
+    # the internal repeat covers every window -> whole doc removed
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 10
+    # untouched docs reconstruct byte-identically
+    assert out[3]["clean_text"] == rows[3][1] and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == rows[4][1] and out[4]["n_removed"] == 0
