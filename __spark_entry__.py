@@ -1423,6 +1423,26 @@ def q_salsa(spark, sf):
     )
 
 
+# 1/16: a BINARY-EXACT attenuation. With alpha a power of two, every
+# intermediate Katz value at gate scale is an exact multiple of
+# 2^(-4*iters) with < 53 significant bits, so the engine's and the
+# oracle's sums agree bit-for-bit under ANY summation order (the ANF
+# sum_lzb anchor trick). alpha=0.05 was measured to differ in the last
+# 6dp digit on 2/150 vertices from summation-order float error alone.
+KATZ_ALPHA = 0.0625
+
+
+def q_katz(spark, sf):
+    """Katz centrality: attenuated path-count power iteration (the
+    third classic centrality next to pagerank and hits/salsa), 5 fixed
+    iterations over the dst-partitioned cached edges."""
+    from combblas_spark.algorithms.hits import katz
+
+    g = events_graph(spark, sf)
+    return katz(g, alpha=KATZ_ALPHA, n_iter=HITS_ITERS).select(
+        "id", F.round("katz", 6).alias("katz"))
+
+
 def q_k_core(spark, sf):
     """k-core peel (k=15) on the thinned events graph — iterated
     Reduce(Row)+PruneRowsCols until fixed point."""
@@ -1870,6 +1890,29 @@ def _salsa_sql(iters: int = HITS_ITERS) -> str:
     )
 
 
+def _katz_sql(iters: int = HITS_ITERS, alpha: float = KATZ_ALPHA) -> str:
+    """DuckDB twin of algorithms.hits.katz: unrolled attenuated power
+    iterations x_t = 1 + alpha * A^T x_{t-1} from x_0 = 1."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        # ::DOUBLE everywhere: bare 1.0/0.05 are DECIMAL in DuckDB —
+        # exact decimal arithmetic would diverge from the engine's IEEE
+        # doubles in the 6th place AND format with trailing zeros.
+        "x0 AS (SELECT id, 1.0::DOUBLE AS v FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"x{t} AS MATERIALIZED (SELECT v.id, "
+            f"1.0::DOUBLE + {alpha!r}::DOUBLE * coalesce(s.v, 0.0::DOUBLE) AS v FROM verts v "
+            f"LEFT JOIN (SELECT e.dst AS id, sum(x.v) AS v FROM edges e "
+            f"JOIN x{t-1} x ON x.id = e.src GROUP BY e.dst) s ON s.id = v.id)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, ROUND(v, 6) AS katz FROM x{iters}")
+
+
 def _ktips_sql(l: int = 6) -> str:
     """Twin of q_ktips: unrolled walk rounds over the deterministic
     event-id tree (same state machine as algorithms/ktips.py — walk
@@ -2184,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_sidecar": q_incremental_sidecar,
         "prefix_jaccard_hash64": q_prefix_jaccard_hash64,
         "dup_span_removal": q_dup_span_removal,
+        "katz": q_katz,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3001,6 +3045,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["anf"] = _anf_sql()
     sqls["hits"] = _hits_sql()
     sqls["salsa"] = _salsa_sql()
+    sqls["katz"] = _katz_sql()
     sqls["scc"] = _scc_sql()
     sqls["bowtie"] = _bowtie_sql()
     sqls["random_walks"] = _walks_sql()

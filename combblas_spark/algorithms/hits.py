@@ -120,6 +120,69 @@ def hits(
     return out
 
 
+def katz(
+    edges: DataFrame,
+    alpha: float = 0.05,
+    n_iter: int = 5,
+    broadcast_max_vertices: int = 8_000_000,
+    small_vector_threshold: int = 100_000,
+) -> DataFrame:
+    """Katz centrality (Katz 1953) — the third classic link-analysis
+    power iteration next to PageRank and HITS/SALSA: influence decays
+    by ``alpha`` per hop along IN-links,
+
+        x_t(v) = 1 + alpha * sum_{u -> v} x_{t-1}(u),    x_0 = 1,
+
+    i.e. after t iterations x(v) = sum_{k<=t} alpha^k #paths_k(->v).
+    Converges for alpha < 1/lambda_max(A); fixed iteration count keeps
+    the DuckDB oracle an exact unroll. Returns (id, katz).
+
+    Scale design: the single-direction half of the hits() recipe — ONE
+    dst-partitioned cached edge copy (the only aggregation dimension
+    here), the x vector broadcast into the join while it fits, inflow
+    groupBy(dst) satisfied by the cache partitioning -> zero edge-sized
+    exchange per iteration in the broadcast regime; the dense-vector
+    rebuild is a vector-sized left join per step (co-partitioned in the
+    big-vector regime, same as pagerank's stitch)."""
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select("src", "dst").repartition(shuffle_n, "dst") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    can_broadcast = n <= broadcast_max_vertices
+    small_vector = n <= small_vector_threshold
+
+    x = verts.select("id", F.lit(1.0).alias("v"))
+    x = x.coalesce(1) if small_vector else x.repartition(shuffle_n, "id")
+    x = x.localCheckpoint(eager=True)
+    for it in range(n_iter):
+        xv = x.select(F.col("id").alias("src"), F.col("v").alias("_x"))
+        if can_broadcast:
+            xv = F.broadcast(xv)
+        inflow = (
+            e.join(xv, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("_x").alias("_in"))
+        )
+        stitched = F.broadcast(inflow) if small_vector else inflow
+        x = superstep_checkpoint(
+            verts.join(stitched, "id", "left").select(
+                "id",
+                (F.lit(1.0)
+                 + F.lit(alpha) * F.coalesce(F.col("_in"), F.lit(0.0))).alias("v"),
+            ),
+            it,
+        )
+
+    out = x.select("id", F.col("v").alias("katz")).localCheckpoint(eager=True)
+    verts.unpersist()
+    e.unpersist()
+    return out
+
+
 def salsa(
     edges: DataFrame,
     n_iter: int = 5,

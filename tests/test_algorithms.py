@@ -964,6 +964,31 @@ def test_hits_vs_numpy(spark):
         assert abs(out[v][1] - a[idx[v]]) < 1e-9
 
 
+def test_katz_vs_numpy(spark):
+    """Katz centrality matches the dense numpy recurrence
+    x_t = 1 + alpha A^T x_{t-1} exactly (alpha = 1/16 is binary-exact,
+    so the comparison is equality, not approx); a sink-only vertex
+    scores 1 + alpha * inflow, a source-only vertex stays at the
+    no-in-edges fixpoint value."""
+    from combblas_spark.algorithms.hits import katz
+
+    E = _rand_directed_edges(11, n=12, m=40) + [(50, 0), (1, 51)]
+    out = {r["id"]: r["katz"]
+           for r in katz(df_edges(spark, E), alpha=0.0625, n_iter=5).collect()}
+    nodes = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in E:
+        A[idx[s], idx[d]] = 1.0
+    x = np.ones(len(nodes))
+    for _ in range(5):
+        x = 1.0 + 0.0625 * (A.T @ x)
+    for v in nodes:
+        assert out[v] == x[idx[v]], (v, out[v], x[idx[v]])
+    assert out[50] == 1.0  # source-only: no in-links ever
+    assert out[51] > 1.0   # sink reached from vertex 1
+
+
 def test_salsa_vs_numpy(spark):
     """SALSA: stochastic (degree-normalized) HITS — 5 un-normalized
     Lempel-Moran iterations (a = Wr^T h, h = Wc a: each contribution
