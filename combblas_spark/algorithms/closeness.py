@@ -86,7 +86,12 @@ def closeness_centrality(
             .otherwise(F.lit(0.0)).alias("closeness"),
         )
     )
-    out = verts.join(scores, "id", "left").select(
+    # one row per COMPUTED root only: with a roots subset, zero-filling
+    # the rest of the vertex set would make "never computed" look like a
+    # real 0.0 score; an off-graph root still gets its (0, 0) row.
+    base = (verts if roots is None
+            else fr0.select(F.col("root").alias("id")).dropDuplicates(["id"]))
+    out = base.join(scores, "id", "left").select(
         "id",
         F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
         F.coalesce("closeness", F.lit(0.0)).alias("closeness"),

@@ -60,6 +60,7 @@ def k_core(
 
     alive = _shape(verts).localCheckpoint(eager=True)
     prev_n = None
+    converged = n0 == 0
     for r in range(max_rounds):
         av = alive.select(F.col("id"))
         bc = F.broadcast(av) if can_broadcast else av
@@ -81,10 +82,18 @@ def k_core(
             metrics.append({"round": r, "alive": n_alive})
         alive = new_alive
         if n_alive == 0 or n_alive == prev_n:
+            converged = True
             break
         prev_n = n_alive
 
     sym.unpersist()
+    if not converged:
+        # peel depth can exceed any fixed cap (a path of 2L+1 vertices
+        # needs L rounds at k=2); a silent return would be a SUPERSET of
+        # the k-core — same maximality contract as mis.py/matching.py
+        raise RuntimeError(
+            f"k_core did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (each round is one degree-agg job)")
     return alive
 
 
@@ -125,6 +134,7 @@ def core_numbers(
     prev_s = int(core.agg(F.sum("core")).collect()[0][0] or 0)
 
     can_broadcast = core.count() <= broadcast_max_vertices
+    converged = prev_s == 0
     for t in range(max_iters):
         cv = core.select(F.col("id").alias("src"), F.col("core").alias("_c"))
         if can_broadcast:
@@ -145,10 +155,16 @@ def core_numbers(
         if metrics is not None:
             metrics.append({"iter": t, "sum_core": s})
         if s == prev_s:
+            converged = True
             break
         prev_s = s
 
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"core_numbers did not converge within max_iters={max_iters}; "
+            "raise max_iters (h-index iteration is monotone, so more "
+            "rounds always make progress)")
     # c0 is a count (long) but h-index iterations produce int ranks —
     # pin the output dtype so it doesn't depend on the iteration count
     return core.select("id", F.col("core").cast("long").alias("core"))

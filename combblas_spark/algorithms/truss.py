@@ -43,8 +43,10 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
     if k <= 2:
         return e
     n_e = e.count()
+    converged = n_e == 0
     for r in range(max_rounds):
         if n_e == 0:
+            converged = True
             break
         sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
             e.select(F.col("v").alias("a"), F.col("u").alias("b")))
@@ -62,6 +64,14 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
         n_s = survivors.count()
         e = survivors
         if n_s == n_e:
+            converged = True
             break
         n_e = n_s
+    if not converged and n_e != 0:  # n_e == 0 on the last round IS the fixpoint
+        # same maximality contract as k_core: peel depth is unbounded
+        # by any fixed cap, and a non-converged return is a SUPERSET of
+        # the k-truss, silently wrong
+        raise RuntimeError(
+            f"k_truss did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (each round is one wedge-join job)")
     return e

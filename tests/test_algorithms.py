@@ -1622,3 +1622,45 @@ def test_blocked_spgemm(spark):
            for r in block_merge([blocks[:2], blocks[2:4], blocks[4:]]).collect()}
     want = {(r["src"], r["dst"], r["val"]) for r in spgemm(g, g).collect()}
     assert got == want and want
+
+
+def test_peel_caps_raise_not_silent_superset(spark):
+    """A peel loop that exhausts its round cap must raise, never return
+    the (non-converged) SUPERSET: a path needs ~len/2 k-core rounds and
+    a triangle chain one truss round per link."""
+    from combblas_spark.algorithms.kcore import core_numbers, k_core
+    from combblas_spark.algorithms.truss import k_truss
+
+    path = [(i, i + 1) for i in range(30)]  # k=2 peel depth = 15
+    e = df_edges(spark, path)
+    with pytest.raises(RuntimeError, match="k_core did not converge"):
+        k_core(e, 2, max_rounds=3)
+    assert {r["id"] for r in k_core(e, 2, max_rounds=40).collect()} == set()
+
+    # double fan with one weak corner: round 0 drops (0,1)+(10,0), the
+    # confirmation round is round 1 — max_rounds=1 exhausts mid-peel
+    fan = [(i, i + 1) for i in range(4)] + [(10, 11)]
+    fan += [(10, i) for i in range(5)] + [(11, i) for i in range(1, 5)]
+    et = df_edges(spark, fan)
+    with pytest.raises(RuntimeError, match="k_truss did not converge"):
+        k_truss(et, 4, max_rounds=1)
+    got4 = {(r["u"], r["v"]) for r in k_truss(et, 4, max_rounds=20).collect()}
+    assert got4 == _py_ktruss(fan, 4) and got4
+
+    with pytest.raises(RuntimeError, match="core_numbers did not converge"):
+        core_numbers(e, max_iters=1)
+
+
+def test_closeness_roots_subset_rows_only(spark):
+    """With an explicit roots list the output has exactly one row per
+    requested root (no zero-filled never-computed vertices), and an
+    off-graph root gets a (0, 0) row instead of vanishing."""
+    from combblas_spark.algorithms.closeness import closeness_centrality
+
+    E = [(0, 1), (1, 2), (2, 3)]
+    out = closeness_centrality(df_edges(spark, E), roots=[1, 99])
+    rows = {r["id"]: (r["harmonic"], r["closeness"]) for r in out.collect()}
+    assert set(rows) == {1, 99}
+    assert abs(rows[1][0] - 1.5) < 1e-9       # d(2)=1, d(3)=2
+    assert abs(rows[1][1] - 2 / 3) < 1e-9     # reached 2 / sumd 3
+    assert rows[99] == (0.0, 0.0)
