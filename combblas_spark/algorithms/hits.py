@@ -50,6 +50,8 @@ def hits(
     ``n_iter`` synchronous iterations, each L2-normalized (vertices with
     no in-edges have auth 0; no out-edges -> hub 0). Fixed iteration
     count so the DuckDB oracle can unroll the identical recurrence."""
+    if n_iter < 1:
+        raise ValueError("hits: n_iter must be >= 1 (no authority vector exists before the first half-step)")
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -214,6 +216,8 @@ def salsa(
     JOINED ONCE in setup and baked into the cached copies, so the loop
     is exactly the HITS plan with a per-edge constant weight.
     """
+    if n_iter < 1:
+        raise ValueError("salsa: n_iter must be >= 1 (no authority vector exists before the first half-step)")
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
 

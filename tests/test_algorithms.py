@@ -962,6 +962,12 @@ def test_hits_vs_numpy(spark):
     for v in nodes:
         assert abs(out[v][0] - h[idx[v]]) < 1e-9
         assert abs(out[v][1] - a[idx[v]]) < 1e-9
+    # n_iter=0 has no authority vector — must refuse, not crash on None
+    from combblas_spark.algorithms.hits import salsa
+    with pytest.raises(ValueError, match="n_iter must be >= 1"):
+        hits(df_edges(spark, E), n_iter=0)
+    with pytest.raises(ValueError, match="n_iter must be >= 1"):
+        salsa(df_edges(spark, E), n_iter=0)
 
 
 def test_katz_vs_numpy(spark):
