@@ -2228,6 +2228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard_hash64": q_prefix_jaccard_hash64,
         "dup_span_removal": q_dup_span_removal,
         "katz": q_katz,
+        "cocitation": q_cocitation,
+        "bib_coupling": q_bib_coupling,
+        "decontaminate": q_decontaminate,
+        "modularity": q_modularity,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -2255,12 +2259,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spmv_plus_times": q_spmv_plus_times,
         "spmv_select2nd_min": q_spmv_select2nd_min,
         "salted_spmv": q_salted_spmv,
+        # --- 4. tail: green in the r3 window (positions 51+), plus
+        # twice-green r1/r2 basics displaced by this session's four new
+        # rows (cocitation/bib_coupling/decontaminate/modularity)
         "out_degrees": q_out_degrees,
         "total_degree_ewise": q_total_degree_ewise,
         "transpose_rowsums": q_transpose_rowsums,
         "pointer_jump": q_pointer_jump,
-        # --- 4. tail: green in the r3 window (positions 51+), plus
-        # kselect_top2 (twice-green r1/r2, displaced by the hash64 row)
         "kselect_top2": q_kselect_top2,
         "kth_value": q_kth_value,
         "vector_assign": q_vector_assign,
@@ -2670,7 +2675,9 @@ def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> s
     )
 
 
-def _labelprop_sql(rounds: int = LP_ROUNDS) -> str:
+def _labelprop_ctes(rounds: int = LP_ROUNDS) -> list:
+    """Shared unrolled-labelprop CTE chain (final labels in l{rounds});
+    used by _labelprop_sql and _modularity_sql."""
     ctes = [
         f"edges AS ({EDGES})",
         "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
@@ -2691,6 +2698,11 @@ def _labelprop_sql(rounds: int = LP_ROUNDS) -> str:
             f"l{r} AS (SELECT v.id, coalesce(b.label, p.label) AS label "
             f"FROM verts v JOIN {p} p ON p.id = v.id LEFT JOIN b{r} b ON b.id = v.id)"
         )
+    return ctes
+
+
+def _labelprop_sql(rounds: int = LP_ROUNDS) -> str:
+    ctes = _labelprop_ctes(rounds)
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
 
 
@@ -3089,6 +3101,10 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["coreness"] = _coreness_sql()
     sqls["host_graph"] = _host_graph_sql()
     sqls["trustrank"] = _trustrank_sql()
+    sqls["cocitation"] = _cocitation_sql()
+    sqls["bib_coupling"] = _bib_coupling_sql()
+    sqls["decontaminate"] = _decontaminate_sql()
+    sqls["modularity"] = _modularity_sql()
     return sqls
 
 
@@ -3853,3 +3869,187 @@ def _embedding_neardups_lsh_sql(threshold: float = 0.2, n_tables: int = 4,
                           * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
           FROM pairs p JOIN v a ON a.id = p.id_a JOIN v b ON b.id = p.id_b)
         WHERE cos >= {threshold}"""
+
+
+# ------------------------------------------- round-4 continuation-3 additions
+
+COCIT_MIN_WEIGHT = 2
+COUPLING_MAX_INDEG = 20   # super-cited-target suppression (hub indegs
+                          # in the RMAT-300 page graph reach 92)
+DECON_K = 3               # decontamination word-shingle width
+DECON_MIN_OVERLAP = 2
+
+
+def _page_edges(spark) -> DataFrame:
+    """(src, dst) URL-string page link graph from the seeded pages
+    fixture — the natural co-citation substrate (the events graph is
+    degree-uniform at gate scale, so its co-citation is all-or-nothing;
+    the RMAT page graph has the hub skew the operators exist for)."""
+    from combblas_spark.sources.pages import extract_link_edges, generate_pages
+
+    pages = generate_pages(spark, n_pages=PAGES_N)
+    return extract_link_edges(pages).select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst"))
+
+
+def q_cocitation(spark, sf):
+    """Co-citation similarity (Small 1973): page pairs cited together
+    by >= 2 distinct pages — the off-diagonal upper triangle of A^T A
+    on the boolean pattern, min-weight pruned after the partial+final
+    aggregate. Out-degree is bounded by the fixture (4 links/page), so
+    no citer cap is needed here; the cap path is exercised by
+    bib_coupling and the unit tests."""
+    from combblas_spark.algorithms.linkanalysis import cocitation
+
+    return cocitation(_page_edges(spark), min_weight=COCIT_MIN_WEIGHT)
+
+
+def q_bib_coupling(spark, sf):
+    """Bibliographic coupling (Kessler 1963): page pairs citing >= 2
+    common targets, super-cited targets (distinct indeg > 20)
+    suppressed BEFORE the quadratic pair expansion — the off-diagonal
+    upper triangle of A A^T with pre-join degree capping."""
+    from combblas_spark.algorithms.linkanalysis import bibliographic_coupling
+
+    return bibliographic_coupling(_page_edges(spark),
+                                  min_weight=COCIT_MIN_WEIGHT,
+                                  max_degree=COUPLING_MAX_INDEG)
+
+
+def _page_edge_set(n_pages: int = PAGES_N, n_sites: int = 10,
+                   out_links: int = 4, seed: int = 42) -> set:
+    """Distinct (src_url, dst_url) page links re-derived from the
+    seeded RMAT rule in numpy — independent of the Spark pipeline under
+    test (same independence argument as _host_graph_sql)."""
+    import numpy as np
+
+    from combblas_spark.sources.pages import _url
+    from combblas_spark.sources.rmat import rmat_pandas
+
+    scale = max(1, (n_pages - 1).bit_length())
+    eids = np.arange(n_pages * out_links, dtype=np.int64)
+    _, dsts = rmat_pandas(eids, scale, seed)
+    dsts = (dsts % n_pages).reshape(n_pages, out_links)
+    edges = set()
+    for i in range(n_pages):
+        for j in dsts[i]:
+            j = int(j)
+            if j != i:  # generator drops self page-links
+                edges.add((_url(i, n_sites), _url(j, n_sites)))
+    return edges
+
+
+def _pair_counts_values_sql(key_idx: int, item_idx: int,
+                            min_weight: int, max_degree) -> str:
+    """Expected co-citation / coupling output as a VALUES literal from
+    the numpy-derived page edge set (URL-string vertex identities;
+    id_a < id_b is byte-order on ASCII URLs in both engines)."""
+    from collections import Counter, defaultdict
+
+    groups: dict = defaultdict(set)
+    for e in _page_edge_set():
+        groups[e[key_idx]].add(e[item_idx])
+    cnt: Counter = Counter()
+    for items in groups.values():
+        if max_degree is not None and len(items) > max_degree:
+            continue
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                cnt[(s[x], s[y])] += 1
+    rows = ", ".join(
+        f"('{a}','{b}',{c})"
+        for (a, b), c in sorted(cnt.items()) if c >= min_weight
+    )
+    return (
+        "SELECT id_a, id_b, CAST(weight AS BIGINT) AS weight "
+        f"FROM (VALUES {rows}) AS t(id_a, id_b, weight)"
+    )
+
+
+def _cocitation_sql() -> str:
+    return _pair_counts_values_sql(0, 1, COCIT_MIN_WEIGHT, None)
+
+
+def _bib_coupling_sql() -> str:
+    return _pair_counts_values_sql(1, 0, COCIT_MIN_WEIGHT, COUPLING_MAX_INDEG)
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: corpus docs (doc_id % 17 != 0)
+    sharing >= 2 distinct word-3-grams with the held-out benchmark
+    slice (doc_id % 17 == 0) are flagged. The benchmark collapses to
+    its distinct shingle set before the join (broadcast-sized next to
+    any real corpus) — never a corpus self-join."""
+    from combblas_spark.functions.dedup import decontaminate
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    return decontaminate(corpus, bench, shingle_k=DECON_K,
+                         min_overlap=DECON_MIN_OVERLAP)
+
+
+def _decontaminate_sql() -> str:
+    """Twin of q_decontaminate: same shd shingle construction as
+    _PREFIX_BASE (distinct word-3-grams per doc)."""
+    return f"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shd AS (
+  SELECT DISTINCT doc_id AS id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+  WHERE len(w) >= 3
+),
+bsh AS (SELECT DISTINCT sh FROM shd WHERE id % 17 = 0),
+hits AS (
+  SELECT s.id, count(*) AS n_hits
+  FROM shd s JOIN bsh USING (sh)
+  WHERE s.id % 17 <> 0
+  GROUP BY s.id
+)
+SELECT d.doc_id AS id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) >= {DECON_MIN_OVERLAP} AS contaminated
+FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+WHERE d.doc_id % 17 <> 0"""
+
+
+def q_modularity(spark, sf):
+    """Newman modularity Q of the 2-round label-propagation partition
+    on the undirected events graph — ONE row with the rounded score
+    plus the exact integer moments (m, intra_edges, deg_sq_sum) it is
+    assembled from."""
+    from combblas_spark.algorithms.labelprop import modularity
+
+    g = events_graph(spark, sf)
+    labels = label_propagation(g, n_rounds=LP_ROUNDS)
+    return modularity(g, labels)
+
+
+def _modularity_sql(rounds: int = LP_ROUNDS) -> str:
+    """Twin of q_modularity: the shared unrolled-labelprop CTE chain,
+    then Q = intra/m - deg_sq/(4*m*m) with the same double-expression
+    shape (left-assoc 4.0*m*m) as the Spark Columns."""
+    ctes = _labelprop_ctes(rounds)
+    ctes.append(f"lab AS (SELECT id, label FROM l{rounds})")
+    ctes.append("mm AS (SELECT CAST(count(*) / 2 AS BIGINT) AS m FROM sym)")
+    ctes.append(
+        """intra AS (
+  SELECT CAST(count(*) / 2 AS BIGINT) AS intra_edges
+  FROM sym s JOIN lab a ON a.id = s.src JOIN lab b ON b.id = s.dst
+  WHERE a.label IS NOT NULL AND a.label = b.label)"""
+    )
+    ctes.append(
+        """degsq AS (
+  SELECT CAST(coalesce(sum(d * d), 0) AS BIGINT) AS deg_sq_sum
+  FROM (SELECT a.label, count(*) AS d
+        FROM sym s JOIN lab a ON a.id = s.src
+        WHERE a.label IS NOT NULL GROUP BY a.label))"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+SELECT CASE WHEN m > 0 THEN round(
+         CAST(intra_edges AS DOUBLE) / m
+         - CAST(deg_sq_sum AS DOUBLE) / (4.0 * m * m), 6) END AS modularity,
+       m, intra_edges, deg_sq_sum
+FROM mm CROSS JOIN intra CROSS JOIN degsq"""
+    )

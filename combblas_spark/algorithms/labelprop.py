@@ -155,3 +155,67 @@ def label_propagation(
         runner.finish(labels)
     sym.unpersist()
     return labels.select("id", "label")
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a vertex partition on the undirected
+    simple graph (Newman & Girvan 2004): Q = sum_c [ e_c/m -
+    (d_c/2m)^2 ] where m = undirected edge count, e_c = intra-community
+    edges and d_c = total degree of community c. The standard quality
+    score for label-propagation / MCL communities on a web graph.
+
+    ``labels``: (id, label). Unlabeled (null) vertices form no
+    community: their edges are never intra, their degrees don't enter
+    the d_c^2 term (matches the seeded-labelprop convention where
+    unreached vertices stay null).
+
+    Returns ONE row (modularity, m, intra_edges, deg_sq_sum):
+    modularity is rounded to 6dp; the other three are the EXACT
+    integer moments Q = intra/m - deg_sq/(4m^2) is assembled from, so
+    callers (and the DuckDB oracle) can re-derive Q bit-for-bit.
+
+    Scale: two hash aggregates over the symmetrized edge list (degree
+    by community, intra-edge count by community) and one scalar
+    combine — no self-join, no window; labels join the edge list on
+    its endpoint keys (sort-merge or broadcast per AQE). deg_sq_sum
+    <= 4m^2 stays inside int64 up to m ~ 1.5e9 undirected edges; past
+    that scale compute the d_c^2 term in double (the exact integer
+    moment stops mattering there).
+    """
+    fwd = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+        .distinct()
+    )
+    lab = labels.select(F.col("id"), F.col("label").alias("_lab"))
+    both = (
+        sym.join(lab.withColumnRenamed("id", "src")
+                    .withColumnRenamed("_lab", "_ls"), "src")
+        .join(lab.withColumnRenamed("id", "dst")
+                 .withColumnRenamed("_lab", "_ld"), "dst")
+    )
+    # directed-view counts: each undirected edge appears twice in sym
+    tot = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("m"))
+    intra = both.where(
+        F.col("_ls").isNotNull() & (F.col("_ls") == F.col("_ld"))
+    ).agg((F.count(F.lit(1)) / 2).cast("long").alias("intra_edges"))
+    degs = (
+        sym.join(lab.withColumnRenamed("id", "src"), "src")
+        .where(F.col("_lab").isNotNull())
+        .groupBy("_lab").agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.sum(F.col("_d") * F.col("_d")).alias("deg_sq_sum"))
+    )
+    out = tot.crossJoin(intra).crossJoin(degs).select(
+        F.round(
+            F.when(
+                F.col("m") > 0,
+                F.col("intra_edges").cast("double") / F.col("m")
+                - F.col("deg_sq_sum").cast("double")
+                / (F.lit(4.0) * F.col("m") * F.col("m")),
+            ),
+            6,
+        ).alias("modularity"),
+        "m", "intra_edges", F.coalesce("deg_sq_sum", F.lit(0)).alias("deg_sq_sum"),
+    )
+    return out

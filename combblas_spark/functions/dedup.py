@@ -674,3 +674,57 @@ def ngram_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+# ----------------------------------------------------------- decontamination
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Dolma-style
+    n-gram overlap filter): flag every corpus document that shares at
+    least ``min_overlap`` distinct word-``shingle_k``-grams with the
+    benchmark/eval set, so training data can be scrubbed of test-set
+    leakage. Returns one row per corpus document:
+    (id, n_hits, contaminated) where n_hits counts the document's
+    distinct shingles that appear ANYWHERE in the benchmark.
+
+    Scale design: the corpus is NEVER self-joined and never compared
+    pairwise against benchmark docs — the benchmark collapses to its
+    distinct-shingle SET first (eval suites are tiny next to a 100 TB
+    corpus, so that set broadcast-joins), then one equi-join on the
+    shingle key + a per-doc count aggregate. Cost is O(corpus shingle
+    volume), the same single pass a quality filter costs. With a very
+    large benchmark side the same plan degrades gracefully to a
+    shuffle hash join on the shingle key.
+    """
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(
+                shingles(F.col(text_col), shingle_k))).alias("sh"))
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
+    )
+    hits = (
+        corpus_sh.join(bench_sh, "sh")
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

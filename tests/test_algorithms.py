@@ -1670,3 +1670,105 @@ def test_closeness_roots_subset_rows_only(spark):
     assert abs(rows[1][0] - 1.5) < 1e-9       # d(2)=1, d(3)=2
     assert abs(rows[1][1] - 2 / 3) < 1e-9     # reached 2 / sumd 3
     assert rows[99] == (0.0, 0.0)
+
+
+# ------------------------------------------- co-citation / coupling
+
+def _pair_oracle(edges, key_idx, item_idx, min_weight, max_degree):
+    from collections import Counter, defaultdict
+
+    groups = defaultdict(set)
+    for e in edges:
+        if e[0] != e[1]:
+            groups[e[key_idx]].add(e[item_idx])
+    cnt = Counter()
+    for items in groups.values():
+        if max_degree is not None and len(items) > max_degree:
+            continue
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                cnt[(s[x], s[y])] += 1
+    return {p: c for p, c in cnt.items() if c >= min_weight}
+
+
+def test_cocitation_known(spark):
+    from combblas_spark.algorithms.linkanalysis import (
+        bibliographic_coupling, cocitation)
+
+    # citer 0 -> {2,3,4}, citer 1 -> {2,3}; parallel edge + loop ignored
+    E = [(0, 2), (1, 2), (0, 3), (1, 3), (0, 4), (0, 2), (2, 2)]
+    got = {(r["id_a"], r["id_b"]): r["weight"]
+           for r in cocitation(df_edges(spark, E), min_weight=1).collect()}
+    assert got == {(2, 3): 2, (2, 4): 1, (3, 4): 1}
+    got2 = {(r["id_a"], r["id_b"]): r["weight"]
+            for r in cocitation(df_edges(spark, E), min_weight=2).collect()}
+    assert got2 == {(2, 3): 2}
+    # hub cap: citer 0 (outdeg 3) suppressed before pairing
+    capped = {(r["id_a"], r["id_b"]): r["weight"]
+              for r in cocitation(df_edges(spark, E), min_weight=1,
+                                  max_degree=2).collect()}
+    assert capped == {(2, 3): 1}
+
+    # coupling is co-citation on the transpose
+    ET = [(d, s) for s, d in E]
+    coup = {(r["id_a"], r["id_b"]): r["weight"]
+            for r in bibliographic_coupling(
+                df_edges(spark, ET), min_weight=1).collect()}
+    assert coup == got
+
+    with pytest.raises(ValueError, match="min_weight"):
+        cocitation(df_edges(spark, E), min_weight=0)
+    with pytest.raises(ValueError, match="max_degree"):
+        cocitation(df_edges(spark, E), min_weight=1, max_degree=1)
+
+
+def test_cocitation_rmat_vs_oracle(spark):
+    from combblas_spark.algorithms.linkanalysis import (
+        bibliographic_coupling, cocitation)
+
+    raw = rmat_edges(spark, scale=6, edgefactor=4, seed=13)
+    E = [(r["src"], r["dst"]) for r in raw.select("src", "dst").collect()]
+    for mw, md in ((1, None), (2, None), (2, 5)):
+        got = {(r["id_a"], r["id_b"]): r["weight"]
+               for r in cocitation(raw, min_weight=mw, max_degree=md).collect()}
+        assert got == _pair_oracle(E, 0, 1, mw, md)
+        gotc = {(r["id_a"], r["id_b"]): r["weight"]
+                for r in bibliographic_coupling(
+                    raw, min_weight=mw, max_degree=md).collect()}
+        assert gotc == _pair_oracle(E, 1, 0, mw, md)
+
+
+# ----------------------------------------------------------------- modularity
+
+def test_modularity_known(spark):
+    from combblas_spark.algorithms.labelprop import modularity
+
+    # two triangles + bridge; perfect 2-community split
+    E = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    lab = spark.createDataFrame(
+        [(i, 0) for i in (0, 1, 2)] + [(i, 1) for i in (3, 4, 5)],
+        "id long, label long")
+    r = modularity(df_edges(spark, E), lab).collect()[0]
+    # m=7, intra=6, d_A=d_B=7 -> Q = 6/7 - 98/196 = 0.357143 (6dp)
+    assert (r["m"], r["intra_edges"], r["deg_sq_sum"]) == (7, 6, 98)
+    assert r["modularity"] == round(6 / 7 - 98 / 196, 6)
+
+    # null-labeled vertices: no community, edges never intra, degree out
+    lab2 = spark.createDataFrame(
+        [(i, 0) for i in (0, 1, 2)] + [(i, None) for i in (3, 4, 5)],
+        "id long, label long")
+    r2 = modularity(df_edges(spark, E), lab2).collect()[0]
+    assert (r2["m"], r2["intra_edges"], r2["deg_sq_sum"]) == (7, 3, 49)
+    assert r2["modularity"] == round(3 / 7 - 49 / 196, 6)
+
+    # loops + parallel edges ignored; single community Q = 0
+    E3 = [(0, 1), (1, 0), (0, 0)]
+    lab3 = spark.createDataFrame([(0, 9), (1, 9)], "id long, label long")
+    r3 = modularity(df_edges(spark, E3), lab3).collect()[0]
+    assert (r3["m"], r3["intra_edges"], r3["deg_sq_sum"]) == (1, 1, 4)
+    assert r3["modularity"] == 0.0
+
+    # empty graph -> m=0, NULL Q (not a crash, not a bogus 0)
+    r4 = modularity(df_edges(spark, [(7, 7)]), lab3).collect()[0]
+    assert r4["m"] == 0 and r4["modularity"] is None

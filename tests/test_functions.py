@@ -546,3 +546,36 @@ def test_remove_duplicate_spans(spark):
     # untouched docs reconstruct byte-identically
     assert out[3]["clean_text"] == rows[3][1] and out[3]["n_removed"] == 0
     assert out[4]["clean_text"] == rows[4][1] and out[4]["n_removed"] == 0
+
+
+def test_decontaminate(spark):
+    from combblas_spark.functions.dedup import decontaminate
+
+    bench = spark.createDataFrame([(100, "a b c d e")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a b c d x"),         # shares "a b c","b c d"  -> 2 hits
+         (2, "x y z a b c"),       # shares "a b c"          -> 1 hit
+         (3, "p q r s t u"),       # nothing shared          -> 0 hits
+         (4, "xy")],               # < k words: no shingles  -> 0 hits
+        "doc_id long, text string")
+    out = {r["id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(corpus, bench, min_overlap=2).collect()}
+    assert out == {1: (2, True), 2: (1, False), 3: (0, False), 4: (0, False)}
+
+    out1 = {r["id"]: r["contaminated"]
+            for r in decontaminate(corpus, bench, min_overlap=1).collect()}
+    assert out1 == {1: True, 2: True, 3: False, 4: False}
+
+    # repeated shingles in ONE benchmark doc count once; a corpus doc
+    # repeating a hit shingle still counts it once (distinct semantics)
+    bench2 = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b c d")], "doc_id long, text string")
+    corpus2 = spark.createDataFrame(
+        [(9, "a b c a b c a b c")], "doc_id long, text string")
+    r = decontaminate(corpus2, bench2, min_overlap=1).collect()[0]
+    # corpus doc 9 distinct shingles: {a b c, b c a, c a b} -> hits on
+    # {a b c, b c a, c a b} all present in bench2 doc 0's distinct set
+    assert (r["n_hits"], r["contaminated"]) == (3, True)
+
+    with pytest.raises(ValueError, match="min_overlap"):
+        decontaminate(corpus, bench, min_overlap=0)
