@@ -2232,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bib_coupling": q_bib_coupling,
         "decontaminate": q_decontaminate,
         "modularity": q_modularity,
+        "pii_scrub": q_pii_scrub,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3105,6 +3106,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["bib_coupling"] = _bib_coupling_sql()
     sqls["decontaminate"] = _decontaminate_sql()
     sqls["modularity"] = _modularity_sql()
+    sqls["pii_scrub"] = _pii_scrub_sql()
     return sqls
 
 
@@ -4052,4 +4054,76 @@ SELECT CASE WHEN m > 0 THEN round(
          - CAST(deg_sq_sum AS DOUBLE) / (4.0 * m * m), 6) END AS modularity,
        m, intra_edges, deg_sq_sum
 FROM mm CROSS JOIN intra CROSS JOIN degsq"""
+    )
+
+
+# ------------------------------------------- round-4 continuation-4 additions
+
+def _pii_docs(spark, sf):
+    """Documents with deterministically injected PII (the fixture text
+    is clean): id-keyed suffixes exercise every pattern class plus the
+    staged-order case (an email whose host LOOKS like a dotted quad
+    must count once, as an email). Same rule inlined in the oracle."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(i % 5 == 0,
+                   F.concat(F.lit(" mail u"), i, F.lit("@ex.org ok")))
+             .otherwise(F.lit("")),
+            F.when(i % 7 == 0,
+                   F.concat(F.lit(" ip 10."), i % 200, F.lit(".0.1 up")))
+             .otherwise(F.lit("")),
+            F.when(i % 11 == 0, F.lit(" id 123-45-6789 tail"))
+             .otherwise(F.lit("")),
+            F.when(i % 13 == 0, F.lit(" call 555-867-5309 now"))
+             .otherwise(F.lit("")),
+            F.when(i % 17 == 0, F.lit(" via x9@1.2.3.4q.com end"))
+             .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf):
+    """PII detection + redaction (C4/Dolma-style scrub): per-doc counts
+    of emails / IPv4 / SSN-shaped / phone-shaped matches and the
+    placeholder-redacted text. Single codegen projection, no shuffle —
+    the 100 TB cost is exactly one corpus scan."""
+    from combblas_spark.functions.pii import pii_scrub
+
+    return pii_scrub(_pii_docs(spark, sf))
+
+
+def _pii_scrub_sql() -> str:
+    from combblas_spark.functions.pii import PII_PATTERNS
+
+    inject = """t0 AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org ok' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1 up' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789 tail' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309 now' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' via x9@1.2.3.4q.com end' ELSE '' END
+    AS t
+  FROM documents)"""
+    ctes = [inject]
+    kept = []
+    for n, (name, pat, rep) in enumerate(PII_PATTERNS, 1):
+        cols = ", ".join(f"n_{k}" for k in kept)
+        cols = cols + ", " if cols else ""
+        ctes.append(
+            f"s{n} AS (SELECT doc_id, {cols}"
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{rep}', 'g') AS t FROM s{n-1})"
+            .replace("FROM s0", "FROM t0")
+        )
+        kept.append(name)
+    total = " + ".join(f"n_{k}" for k in kept)
+    final = ", ".join(f"n_{k}" for k in kept)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id AS id, {final}, {total} AS n_pii, t AS clean_text"
+        f" FROM s{len(PII_PATTERNS)}"
     )

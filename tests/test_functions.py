@@ -579,3 +579,32 @@ def test_decontaminate(spark):
 
     with pytest.raises(ValueError, match="min_overlap"):
         decontaminate(corpus, bench, min_overlap=0)
+
+
+def test_pii_scrub(spark):
+    from combblas_spark.functions.pii import pii_scrub
+
+    rows = [
+        (0, "reach me at jo.doe+spam@mail.example.org or 192.168.0.1"),
+        (1, "ssn 123-45-6789 phone 555-867-5309 done"),
+        (2, "email host looks like a quad: a@1.2.3.4x.net tail"),
+        (3, "no pii here at all"),
+        (4, "v1.2.3.4000 is a version, 12-34-5678 is not an ssn"),
+        (5, "two mails a@b.co c@d.io and ips 8.8.8.8 1.1.1.1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in pii_scrub(docs).collect()}
+
+    assert (out[0]["n_email"], out[0]["n_ipv4"]) == (1, 1)
+    assert out[0]["clean_text"] == "reach me at <EMAIL> or <IP>"
+    assert (out[1]["n_ssn"], out[1]["n_phone"]) == (1, 1)
+    assert out[1]["clean_text"] == "ssn <SSN> phone <PHONE> done"
+    # staged order: the dotted quad INSIDE an email host is redacted by
+    # the email stage and never double-counted as an IP
+    assert (out[2]["n_email"], out[2]["n_ipv4"]) == (1, 0)
+    assert out[2]["clean_text"] == "email host looks like a quad: <EMAIL> tail"
+    assert out[3]["n_pii"] == 0 and out[3]["clean_text"] == rows[3][1]
+    # \b guards: 4-digit octet and 2-3-4 dashed groups don't match
+    assert out[4]["n_pii"] == 0 and out[4]["clean_text"] == rows[4][1]
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_pii"]) == (2, 2, 4)
+    assert out[5]["clean_text"] == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>"
