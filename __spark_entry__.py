@@ -2233,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "modularity": q_modularity,
         "pii_scrub": q_pii_scrub,
+        "tf_cosine": q_tf_cosine,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3107,6 +3108,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["decontaminate"] = _decontaminate_sql()
     sqls["modularity"] = _modularity_sql()
     sqls["pii_scrub"] = _pii_scrub_sql()
+    sqls["tf_cosine"] = _tf_cosine_sql()
     return sqls
 
 
@@ -4127,3 +4129,35 @@ def _pii_scrub_sql() -> str:
         + f"\nSELECT doc_id AS id, {final}, {total} AS n_pii, t AS clean_text"
         f" FROM s{len(PII_PATTERNS)}"
     )
+
+
+TFCOS_MIN = 0.75
+
+
+def q_tf_cosine(spark, sf):
+    """Sparse TF-vector cosine similarity join (inverted-index
+    term-at-a-time, the A^T A shape on the doc x token matrix) over the
+    doc_id % 5 = 0 slice — integer dot/norm moments make the rounded
+    cosine bit-portable. The df hub-cap path (token-space stopword
+    suppression) is exercised by the unit tests; the fixture vocabulary
+    is too dense for a meaningful cap here."""
+    from combblas_spark.functions.similarity import tf_cosine_pairs
+
+    docs = _docs(spark, sf).where(F.col("doc_id") % 5 == 0)
+    return tf_cosine_pairs(docs, min_cos=TFCOS_MIN)
+
+
+def _tf_cosine_sql() -> str:
+    return f"""WITH tf AS (
+  SELECT doc_id AS id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+        FROM documents WHERE doc_id % 5 = 0)
+  GROUP BY doc_id, tok),
+norms AS (SELECT id, sum(tf*tf) AS n2 FROM tf GROUP BY id),
+dots AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.tf * b.tf) AS dot
+         FROM tf a JOIN tf b ON a.tok = b.tok AND a.id < b.id
+         GROUP BY a.id, b.id)
+SELECT id_a, id_b, dot,
+       round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cos
+FROM dots JOIN norms na ON na.id = dots.id_a JOIN norms nb ON nb.id = dots.id_b
+WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) >= {TFCOS_MIN}"""

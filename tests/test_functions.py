@@ -608,3 +608,29 @@ def test_pii_scrub(spark):
     assert out[4]["n_pii"] == 0 and out[4]["clean_text"] == rows[4][1]
     assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_pii"]) == (2, 2, 4)
     assert out[5]["clean_text"] == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>"
+
+
+def test_tf_cosine_pairs(spark):
+    from combblas_spark.functions.similarity import tf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b b"), (3, "c c"), (4, "a c")],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): (r["dot"], r["cos"])
+           for r in tf_cosine_pairs(docs, min_cos=0.5).collect()}
+    assert got == {
+        (1, 2): (4, 0.8),                      # (2,1)·(1,2) / (√5·√5)
+        (1, 4): (2, round(2 / 10 ** 0.5, 6)),
+        (3, 4): (2, round(2 / 8 ** 0.5, 6)),
+    }
+
+    # df cap: token 'a' (df=3) is a stopword-hub — dropped BEFORE the
+    # self-join; norms recompute over kept tokens so cos stays <= 1
+    capped = {(r["id_a"], r["id_b"]): r["cos"]
+              for r in tf_cosine_pairs(docs, min_cos=0.9, max_df=2).collect()}
+    assert capped == {(1, 2): 1.0, (3, 4): 1.0}
+
+    with pytest.raises(ValueError, match="min_cos"):
+        tf_cosine_pairs(docs, min_cos=0.0)
+    with pytest.raises(ValueError, match="max_df"):
+        tf_cosine_pairs(docs, max_df=1)
