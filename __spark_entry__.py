@@ -2234,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "pii_scrub": q_pii_scrub,
         "tf_cosine": q_tf_cosine,
+        "url_canonical": q_url_canonical,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3109,6 +3110,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["modularity"] = _modularity_sql()
     sqls["pii_scrub"] = _pii_scrub_sql()
     sqls["tf_cosine"] = _tf_cosine_sql()
+    sqls["url_canonical"] = _url_canonical_sql()
     return sqls
 
 
@@ -4161,3 +4163,57 @@ SELECT id_a, id_b, dot,
        round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cos
 FROM dots JOIN norms na ON na.id = dots.id_a JOIN norms nb ON nb.id = dots.id_b
 WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) >= {TFCOS_MIN}"""
+
+
+def q_url_canonical(spark, sf):
+    """URL canonicalization + duplicate grouping over deterministically
+    messed-up spellings of the page-fixture URL rule: variant i%6 adds
+    a fragment / utm param / explicit :443 / uppercased scheme+host /
+    trailing slash (or nothing). Returns the per-URL canonical mapping
+    PLUS the group stats columns joined back on — one projection + one
+    hash aggregate, no Python."""
+    from combblas_spark.functions.urls import canonicalize_url, url_dup_groups
+
+    i = F.col("id")
+    b = i % 50  # 6 page_ids share each base -> real variant groups
+    base = F.concat(F.lit("https://site"), b % 10, F.lit(".example/p/"), b)
+    raw = spark.range(PAGES_N).select(
+        i.alias("page_id"),
+        F.when(i % 6 == 1, F.concat(base, F.lit("#sec2")))
+         .when(i % 6 == 2, F.concat(base, F.lit("?utm_source=feed")))
+         .when(i % 6 == 3, F.concat(
+             F.lit("https://site"), b % 10, F.lit(".example:443/p/"), b))
+         .when(i % 6 == 4, F.concat(
+             F.lit("HTTPS://Site"), b % 10, F.lit(".Example/p/"), b))
+         .when(i % 6 == 5, F.concat(base, F.lit("/")))
+         .otherwise(base).alias("url"),
+    )
+    groups = url_dup_groups(raw)
+    return (
+        raw.select("page_id", "url", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .join(groups, "canonical_url")
+        .select("page_id", "url", "canonical_url", "n_variants", "rep_url")
+    )
+
+
+def _url_canonical_sql() -> str:
+    """Independent DuckDB twin: same raw-variant rule from range(), the
+    canonical rule expressed directly (the fixture variants never stack
+    transformations, so each CASE arm maps straight to its base form)."""
+    return f"""WITH raw AS (
+  SELECT i AS page_id,
+    CASE i % 6
+      WHEN 1 THEN 'https://site' || (i % 50 % 10) || '.example/p/' || (i % 50) || '#sec2'
+      WHEN 2 THEN 'https://site' || (i % 50 % 10) || '.example/p/' || (i % 50) || '?utm_source=feed'
+      WHEN 3 THEN 'https://site' || (i % 50 % 10) || '.example:443/p/' || (i % 50)
+      WHEN 4 THEN 'HTTPS://Site' || (i % 50 % 10) || '.Example/p/' || (i % 50)
+      WHEN 5 THEN 'https://site' || (i % 50 % 10) || '.example/p/' || (i % 50) || '/'
+      ELSE 'https://site' || (i % 50 % 10) || '.example/p/' || (i % 50)
+    END AS url,
+    'https://site' || (i % 50 % 10) || '.example/p/' || (i % 50) AS canonical_url
+  FROM range({PAGES_N}) t(i)),
+groups AS (
+  SELECT canonical_url, count(DISTINCT url) AS n_variants, min(url) AS rep_url
+  FROM raw GROUP BY canonical_url)
+SELECT page_id, url, r.canonical_url, n_variants, rep_url
+FROM raw r JOIN groups g ON g.canonical_url = r.canonical_url"""

@@ -1,0 +1,68 @@
+"""URL canonicalization and duplicate-URL grouping.
+
+The first dedup pass every web pipeline runs BEFORE any content-level
+dedup: collapse URL variants (fragment, tracking params, default port,
+case of scheme/host, trailing slashes) to one canonical form, so the
+same page fetched under five spellings is stored and processed once.
+At Common-Crawl scale this is the cheapest dedup there is — a pure
+codegen projection plus one hash aggregate keyed on the canonical
+string; no joins, no Python.
+
+Canonical rule (applied in order):
+  1. strip the fragment (``#...``),
+  2. lowercase the scheme and authority (host[:port]) — the path and
+     query keep their case (paths ARE case-sensitive),
+  3. drop a default port (``:80`` for http, ``:443`` for https),
+  4. remove ``utm_*`` tracking query parameters,
+  5. strip trailing slashes.
+
+Dialect note: every regex is Java-regex + RE2 compatible and every
+replacement is a CONSTANT — capture-group replacements are deliberately
+avoided because the syntax diverges (``$1`` in Java vs ``\\1`` in RE2),
+which would silently desync the DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://authority prefix (everything before the first /, ? or #
+# after the scheme separator)
+_PREFIX_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of ``url`` per the module rule; pure Column ops."""
+    u = F.regexp_replace(url, "#.*$", "")                      # 1. fragment
+    prefix = F.lower(F.regexp_extract(u, _PREFIX_RE, 0))       # 2. case
+    rest = F.substring(u, F.length(prefix) + F.lit(1), F.lit(2_147_483_647))
+    prefix = (
+        F.when(prefix.startswith("https://") & prefix.endswith(":443"),
+               F.substring(prefix, F.lit(1), F.length(prefix) - 4))
+        .when(prefix.startswith("http://") & prefix.endswith(":80"),
+              F.substring(prefix, F.lit(1), F.length(prefix) - 3))
+        .otherwise(prefix)                                     # 3. port
+    )
+    u = F.concat(prefix, rest)
+    # 4. utm_* params: mid-list (&utm_x=v), then leading-with-successor
+    # (?utm_x=v& -> ?), then lone (?utm_x=v$) — constant replacements
+    u = F.regexp_replace(u, "&utm_[A-Za-z0-9_]*=[^&#]*", "")
+    u = F.regexp_replace(u, "[?]utm_[A-Za-z0-9_]*=[^&#]*&", "?")
+    u = F.regexp_replace(u, "[?]utm_[A-Za-z0-9_]*=[^&#]*$", "")
+    return F.regexp_replace(u, "/+$", "")                      # 5. slashes
+
+
+def url_dup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Group URL variants by canonical form: one row per canonical URL
+    with n_variants (distinct raw spellings) and rep_url (the
+    lexicographically smallest raw spelling — a deterministic fetch
+    representative). One projection + one hash aggregate; the map-side
+    combine absorbs same-partition variants before the shuffle."""
+    return (
+        df.select(F.col(url_col).alias("_u"),
+                  canonicalize_url(F.col(url_col)).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count_distinct("_u").alias("n_variants"),
+             F.min("_u").alias("rep_url"))
+    )

@@ -634,3 +634,41 @@ def test_tf_cosine_pairs(spark):
         tf_cosine_pairs(docs, min_cos=0.0)
     with pytest.raises(ValueError, match="max_df"):
         tf_cosine_pairs(docs, max_df=1)
+
+
+def test_canonicalize_url(spark):
+    from combblas_spark.functions.urls import canonicalize_url, url_dup_groups
+
+    cases = [
+        # (raw, canonical)
+        ("https://A.Example/Path/X", "https://a.example/Path/X"),  # path case kept
+        ("https://a.example:443/p/1", "https://a.example/p/1"),
+        ("http://a.example:80/p/1", "http://a.example/p/1"),
+        ("https://a.example:8443/p/1", "https://a.example:8443/p/1"),  # non-default kept
+        ("http://a.example:443/p/1", "http://a.example:443/p/1"),      # wrong-scheme port kept
+        ("https://a.example/p/1#frag", "https://a.example/p/1"),
+        ("https://a.example/p/1?utm_source=x", "https://a.example/p/1"),
+        ("https://a.example/p?utm_a=1&utm_b=2", "https://a.example/p"),
+        ("https://a.example/p?utm_a=1&q=2", "https://a.example/p?q=2"),
+        ("https://a.example/p?q=2&utm_a=1", "https://a.example/p?q=2"),
+        ("https://a.example/p?q=2&utm_a=1&r=3", "https://a.example/p?q=2&r=3"),
+        ("https://a.example/p/1///", "https://a.example/p/1"),
+        ("HTTPS://A.EXAMPLE/", "https://a.example"),
+        ("https://a.example/p?butm_x=1", "https://a.example/p?butm_x=1"),  # not utm_
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in cases]
+
+    # grouping: three spellings of one page, one of another
+    dup = spark.createDataFrame(
+        [("https://a.example/p/1",), ("HTTPS://a.example/p/1/",),
+         ("https://a.example/p/1#x",), ("https://a.example/p/2",)],
+        "url string")
+    g = {r["canonical_url"]: (r["n_variants"], r["rep_url"])
+         for r in url_dup_groups(dup).collect()}
+    assert g == {
+        "https://a.example/p/1": (3, "HTTPS://a.example/p/1/"),
+        "https://a.example/p/2": (1, "https://a.example/p/2"),
+    }
