@@ -2235,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "tf_cosine": q_tf_cosine,
         "url_canonical": q_url_canonical,
+        "scc_dag": q_scc_dag,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3111,6 +3112,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["pii_scrub"] = _pii_scrub_sql()
     sqls["tf_cosine"] = _tf_cosine_sql()
     sqls["url_canonical"] = _url_canonical_sql()
+    sqls["scc_dag"] = _scc_dag_sql()
     return sqls
 
 
@@ -4217,3 +4219,65 @@ groups AS (
   FROM raw GROUP BY canonical_url)
 SELECT page_id, url, r.canonical_url, n_variants, rep_url
 FROM raw r JOIN groups g ON g.canonical_url = r.canonical_url"""
+
+
+SCC_DAG_MOD, SCC_DAG_KEEP = 100, 5
+
+
+def q_scc_dag(spark, sf):
+    """Condensation-DAG layering of the thinned events graph: collapse
+    SCCs (Galerkin R A R^T on the 0/1 membership), then longest-path
+    topological levels via the (max,+1) Bellman recurrence — per-SCC
+    rows (scc, level, n_members); isolated components sit at level 0."""
+    from combblas_spark.algorithms.scc import (
+        condensation, condensation_levels, strongly_connected_components)
+
+    g = events_graph(spark, sf)
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.col("src"), F.col("dst"))), 1, 8), 16, 10).cast("long")
+    g = g.filter(h % SCC_DAG_MOD < SCC_DAG_KEEP)  # harsher thin than _thin_edges: the 20% graph is one giant SCC (level structure would be trivial)
+    scc = strongly_connected_components(g)
+    lev = condensation_levels(condensation(g, scc))
+    sizes = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        sizes.join(lev, "scc", "left")
+        .select("scc", F.coalesce("level", F.lit(0)).alias("level"),
+                "n_members")
+    )
+
+
+def _scc_dag_pred() -> str:
+    return (
+        "('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {SCC_DAG_MOD} < {SCC_DAG_KEEP}"
+    )
+
+
+def _scc_dag_sql() -> str:
+    """Twin: same closure-derived SCC labels as _scc_sql, condensation
+    edges, then levels = max path depth per node over the recursive
+    (node, depth) closure of the DAG (terminates: depth < #components;
+    UNION dedups the pair space)."""
+    return f"""WITH RECURSIVE edges AS (SELECT * FROM ({EDGES}) WHERE {_scc_dag_pred()}),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM de
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN de e ON e.src = r.b
+),
+mutual AS (SELECT r1.a AS id, r1.b AS other FROM reach r1
+           JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+lab AS (SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc
+        FROM verts v LEFT JOIN mutual m ON m.id = v.id GROUP BY v.id),
+cde AS (SELECT DISTINCT la.scc AS s, lb.scc AS t
+        FROM de JOIN lab la ON la.id = de.src JOIN lab lb ON lb.id = de.dst
+        WHERE la.scc <> lb.scc),
+paths(n, d) AS (
+  SELECT scc AS n, 0 AS d FROM (SELECT DISTINCT scc FROM lab)
+  UNION
+  SELECT c.t, p.d + 1 FROM paths p JOIN cde c ON c.s = p.n
+),
+lv AS (SELECT n AS scc, max(d) AS level FROM paths GROUP BY n),
+sizes AS (SELECT scc, count(*) AS n_members FROM lab GROUP BY scc)
+SELECT s.scc, coalesce(l.level, 0) AS level, n_members
+FROM sizes s LEFT JOIN lv l ON l.scc = s.scc"""

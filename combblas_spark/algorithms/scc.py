@@ -296,3 +296,83 @@ def bow_tie(
     scc.unpersist()
     e_dir.unpersist()
     return out
+
+
+def condensation(edges: DataFrame, scc: DataFrame | None = None) -> DataFrame:
+    """Condensation DAG of the directed graph: one vertex per SCC, one
+    edge (src_scc, dst_scc, weight) per ordered pair of distinct
+    components with at least one original edge between them; weight =
+    number of distinct original (src, dst) edges collapsed onto it.
+
+    The acyclic quotient is what crawl-structure analyses run on after
+    bow_tie: it is typically orders of magnitude smaller than the page
+    graph (Broder 2000 measured ~25% of vertices in the giant SCC
+    alone). Cost: two scc-label joins on the edge endpoints + one hash
+    aggregate — the Galerkin R A R^T triple product of
+    operators/spgemm.py specialised to the 0/1 SCC-membership R.
+    """
+    if scc is None:
+        scc = strongly_connected_components(edges)
+    de = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    return (
+        de.join(scc.select(F.col("id").alias("src"),
+                           F.col("scc").alias("src_scc")), "src")
+        .join(scc.select(F.col("id").alias("dst"),
+                         F.col("scc").alias("dst_scc")), "dst")
+        .where(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def condensation_levels(cedges: DataFrame, max_rounds: int = 1024) -> DataFrame:
+    """Longest-path topological level of every condensation vertex:
+    level(c) = 0 for sources, else 1 + max(level(pred)). Returns
+    (scc, level) over src_scc UNION dst_scc.
+
+    The level is the canonical DAG layering (a topological order key +
+    the crawl-depth proxy: how many component hops separate a page
+    cluster from the crawl's source layer). Iteration is the max-plus
+    Bellman recurrence — level_{t+1}(v) = max(level_t(v), 1 + max over
+    preds level_t(u)) — which converges in DAG-depth rounds; every
+    round is one src-keyed join + one dst-keyed hash agg, the same
+    superstep shape as SSSP (this IS SSSP under the (max, +1) semiring
+    on the negated-cost view).
+
+    Raises RuntimeError on ``max_rounds`` exhaustion: on a true DAG the
+    depth is < #vertices, so non-convergence means the input has a
+    cycle (not a condensation) and a silent cap would emit wrong
+    levels.
+    """
+    ce = cedges.select("src_scc", "dst_scc").distinct().persist()
+    lev = (
+        ce.select(F.col("src_scc").alias("scc"))
+        .unionByName(ce.select(F.col("dst_scc").alias("scc")))
+        .distinct()
+        .select("scc", F.lit(0).alias("level"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        cand = (
+            ce.join(lev.withColumnRenamed("scc", "src_scc"), "src_scc")
+            .groupBy(F.col("dst_scc").alias("scc"))
+            .agg((F.max("level") + 1).alias("_nl"))
+        )
+        nxt = (
+            lev.join(cand, "scc", "left")
+            .select("scc", F.greatest("level", F.coalesce("_nl", F.lit(0)))
+                    .alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(lev.withColumnRenamed("level", "_old"), "scc")
+            .where(F.col("level") != F.col("_old")).limit(1).count()
+        )
+        lev = nxt
+        if changed == 0:
+            ce.unpersist()
+            return lev
+    ce.unpersist()
+    raise RuntimeError(
+        f"condensation_levels did not converge in {max_rounds} rounds — "
+        "input contains a cycle (not a DAG) or raise max_rounds")

@@ -1772,3 +1772,26 @@ def test_modularity_known(spark):
     # empty graph -> m=0, NULL Q (not a crash, not a bogus 0)
     r4 = modularity(df_edges(spark, [(7, 7)]), lab3).collect()[0]
     assert r4["m"] == 0 and r4["modularity"] is None
+
+
+def test_condensation_and_levels(spark):
+    from combblas_spark.algorithms.scc import (
+        condensation, condensation_levels, strongly_connected_components)
+
+    # {0,1} <-> cycle, {2,3} <-> cycle, chain into singletons 4 -> 5;
+    # parallel inter-SCC edges (1->2, 0->2) collapse with weight 2
+    E = [(0, 1), (1, 0), (2, 3), (3, 2), (1, 2), (0, 2), (3, 4), (4, 5),
+         (6, 7)]
+    e = df_edges(spark, E)
+    scc = strongly_connected_components(e)
+    ce = condensation(e, scc)
+    got = {(r["src_scc"], r["dst_scc"]): r["weight"] for r in ce.collect()}
+    assert got == {(0, 2): 2, (2, 4): 1, (4, 5): 1, (6, 7): 1}
+
+    lev = {r["scc"]: r["level"] for r in condensation_levels(ce).collect()}
+    assert lev == {0: 0, 2: 1, 4: 2, 5: 3, 6: 0, 7: 1}
+
+    # a cycle is not a condensation: must refuse, never emit stale levels
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src_scc long, dst_scc long")
+    with pytest.raises(RuntimeError, match="cycle"):
+        condensation_levels(cyc, max_rounds=8)
