@@ -2236,6 +2236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_cosine": q_tf_cosine,
         "url_canonical": q_url_canonical,
         "scc_dag": q_scc_dag,
+        "weighted_sample": q_weighted_sample,
+        "host_cap": q_host_cap,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3113,6 +3115,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["tf_cosine"] = _tf_cosine_sql()
     sqls["url_canonical"] = _url_canonical_sql()
     sqls["scc_dag"] = _scc_dag_sql()
+    sqls["weighted_sample"] = _weighted_sample_sql()
+    sqls["host_cap"] = _host_cap_sql()
     return sqls
 
 
@@ -4281,3 +4285,54 @@ lv AS (SELECT n AS scc, max(d) AS level FROM paths GROUP BY n),
 sizes AS (SELECT scc, count(*) AS n_members FROM lab GROUP BY scc)
 SELECT s.scc, coalesce(l.level, 0) AS level, n_members
 FROM sizes s LEFT JOIN lv l ON l.scc = s.scc"""
+
+
+WSAMPLE_DIV = 80.0   # weight = n_tokens / 80, clamped to [0,1]
+HOSTCAP_K = 10
+HOSTCAP_GROUPS = 7
+
+
+def q_weighted_sample(spark, sf):
+    """Quality-proportional importance sampling (DCLM/FineWeb-style
+    resampling): each document keeps with probability n_tokens/80
+    (clamped), decided by a deterministic md5 counter hash — stable
+    under corpus growth, identical across engines, and still a pure
+    scan-level filter."""
+    from combblas_spark.functions.sampling import weighted_sample
+    from combblas_spark.functions.text import token_count
+
+    d = _docs(spark, sf)
+    w = token_count(F.col("text")) / WSAMPLE_DIV
+    return weighted_sample(d, w, key_col="doc_id").select(
+        "doc_id", F.round(F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)), 6)
+        .alias("weight"))
+
+
+def _weighted_sample_sql() -> str:
+    return f"""SELECT doc_id,
+  round(least(greatest(CAST(len(string_split(text, ' ')) AS DOUBLE) / {WSAMPLE_DIV}, 0.0), 1.0), 6) AS weight
+FROM documents
+WHERE CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+  < least(greatest(CAST(len(string_split(text, ' ')) AS DOUBLE) / {WSAMPLE_DIV}, 0.0), 1.0) * 4294967296.0"""
+
+
+def q_host_cap(spark, sf):
+    """Per-host quota (C4-style head-domain suppression): at most
+    {HOSTCAP_K} docs per synthetic host bucket, survivors = the k
+    smallest by (md5 hash, id) so the subset is uniform-at-random yet
+    partition-invariant and replayable."""
+    from combblas_spark.functions.sampling import per_group_cap
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(F.lit("host"), F.col("doc_id") % HOSTCAP_GROUPS).alias("host"))
+    return per_group_cap(d, "host", HOSTCAP_K, key_col="doc_id")
+
+
+def _host_cap_sql() -> str:
+    return f"""SELECT doc_id, 'host' || CAST(doc_id % {HOSTCAP_GROUPS} AS VARCHAR) AS host
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id % {HOSTCAP_GROUPS}
+  ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
+) <= {HOSTCAP_K}"""

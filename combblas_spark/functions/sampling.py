@@ -62,3 +62,55 @@ def stratified_sample(
         expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
     cutoff = cutoff if expr is None else expr.otherwise(cutoff)
     return df.where(sample_hash(F.col(key_col), salt) < cutoff)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Importance sampling: keep each row with probability equal to its
+    own ``weight`` column (clamped to [0, 1]) — e.g. keep documents in
+    proportion to a quality score (the DCLM/FineWeb resampling move).
+    Decision = hash(key) < weight * 2^32, so it inherits every
+    determinism property of deterministic_sample: reproducible across
+    engines/partitionings and stable under corpus growth. Still a pure
+    scan-level filter — the weight expression rides along in the same
+    projection, no shuffle."""
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.where(
+        sample_hash(F.col(key_col), salt).cast("double") < w * float(_BUCKETS))
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group quota: keep at most ``k`` rows per group
+    (the C4-style head-domain suppression — without it the biggest
+    hosts dominate the corpus). Survivors are the k smallest by
+    (hash(key), key) — a uniform random-but-reproducible choice, NOT
+    first-k-in-scan-order, so the kept subset is partition-invariant
+    and stable across runs.
+
+    Scale: one window rank per group. For the pathological single
+    giant group a window is still a single-partition sort of that
+    group; at the 100 TB design point hosts are many and Zipf-ish, so
+    the rank parallelizes across groups — the same skew profile as
+    every groupBy here. (A two-phase hash-agg top-k would avoid the
+    sort but loses the exact rank tie-break the oracle checks.)"""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    h = sample_hash(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -672,3 +672,53 @@ def test_canonicalize_url(spark):
         "https://a.example/p/1": (3, "HTTPS://a.example/p/1/"),
         "https://a.example/p/2": (1, "https://a.example/p/2"),
     }
+
+
+def test_weighted_sample(spark):
+    from combblas_spark.functions.sampling import sample_hash, weighted_sample
+
+    df = spark.createDataFrame([(i, (i % 11) / 10.0) for i in range(400)],
+                               "id long, w double")
+    kept = {r["id"] for r in
+            weighted_sample(df, F.col("w"), key_col="id").collect()}
+    hashes = {r["id"]: r["h"] for r in
+              df.select("id", sample_hash(F.col("id"), "wsample").alias("h")).collect()}
+    expect = {i for i in range(400)
+              if hashes[i] < min(max((i % 11) / 10.0, 0.0), 1.0) * 2 ** 32}
+    assert kept == expect
+    assert all(i in kept for i in range(400) if i % 11 == 10)  # w=1 always kept
+    assert not any(i in kept for i in range(400) if i % 11 == 0)  # w=0 never
+    # out-of-range weights clamp instead of misbehaving
+    df2 = spark.createDataFrame([(1, 7.0), (2, -3.0)], "id long, w double")
+    got = {r["id"] for r in weighted_sample(df2, F.col("w"), key_col="id").collect()}
+    assert got == {1}
+
+    # growth stability: the same id keeps its decision in a larger corpus
+    big = spark.createDataFrame([(i, (i % 11) / 10.0) for i in range(800)],
+                                "id long, w double")
+    kept_big = {r["id"] for r in
+                weighted_sample(big, F.col("w"), key_col="id").collect()}
+    assert {i for i in kept_big if i < 400} == kept
+
+
+def test_per_group_cap(spark):
+    from combblas_spark.functions.sampling import per_group_cap, sample_hash
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(90)],
+                               "id long, host long")
+    out = per_group_cap(df, "host", 5, key_col="id")
+    rows = [(r["id"], r["host"]) for r in out.collect()]
+    assert len(rows) == 15 and len({g for _, g in rows}) == 3
+    # survivors are exactly the 5 smallest by (hash, id) within each host
+    hashes = {r["id"]: r["h"] for r in
+              df.select("id", sample_hash(F.col("id"), "cap").alias("h")).collect()}
+    for g in range(3):
+        members = sorted((hashes[i], i) for i in range(90) if i % 3 == g)
+        assert {i for i, gg in rows if gg == g} == {i for _, i in members[:5]}
+    # groups under the cap pass through whole; partition invariance
+    tiny = per_group_cap(df.where(F.col("id") < 4), "host", 5, key_col="id")
+    assert tiny.count() == 4
+    repart = per_group_cap(df.repartition(13), "host", 5, key_col="id")
+    assert {(r["id"], r["host"]) for r in repart.collect()} == set(rows)
+    with pytest.raises(ValueError, match="k must be"):
+        per_group_cap(df, "host", 0, key_col="id")
