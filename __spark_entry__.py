@@ -2238,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_dag": q_scc_dag,
         "weighted_sample": q_weighted_sample,
         "host_cap": q_host_cap,
+        "boilerplate": q_boilerplate,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3117,6 +3118,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["scc_dag"] = _scc_dag_sql()
     sqls["weighted_sample"] = _weighted_sample_sql()
     sqls["host_cap"] = _host_cap_sql()
+    sqls["boilerplate"] = _boilerplate_sql()
     return sqls
 
 
@@ -4336,3 +4338,53 @@ QUALIFY row_number() OVER (
   PARTITION BY doc_id % {HOSTCAP_GROUPS}
   ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
 ) <= {HOSTCAP_K}"""
+
+
+BOILER_MIN_DOCS = 3
+
+
+def q_boilerplate(spark, sf):
+    """Site-level boilerplate line removal (CCNet/RefinedWeb line
+    dedup): synthetic per-host nav/footer lines wrapped around each
+    fixture text must be stripped (they repeat across >= 3 docs of the
+    host) while the body line survives unless the body itself repeats
+    within the host. One explode + one hash agg + one anti-join; no
+    corpus self-join."""
+    from combblas_spark.functions.text import remove_boilerplate_lines
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(F.lit("host"), F.col("doc_id") % HOSTCAP_GROUPS).alias("host"),
+        F.concat(
+            F.lit("nav home about\n"),
+            F.col("text"),
+            F.lit("\ncopyright host"), F.col("doc_id") % HOSTCAP_GROUPS,
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(d, group_col="host",
+                                    min_docs=BOILER_MIN_DOCS)
+
+
+def _boilerplate_sql() -> str:
+    return f"""WITH d AS (
+  SELECT doc_id AS id, doc_id % {HOSTCAP_GROUPS} AS g,
+         'nav home about' || chr(10) || text || chr(10)
+           || 'copyright host' || CAST(doc_id % {HOSTCAP_GROUPS} AS VARCHAR) AS t
+  FROM documents),
+lines AS (
+  SELECT id, g, i AS pos, l[i] AS line
+  FROM (SELECT id, g, string_split(t, chr(10)) AS l FROM d),
+       unnest(generate_series(1, len(l))) AS u(i)),
+boiler AS (
+  SELECT g, line FROM lines GROUP BY g, line
+  HAVING count(DISTINCT id) >= {BOILER_MIN_DOCS}),
+kept AS (
+  SELECT l.* FROM lines l ANTI JOIN boiler b ON b.g = l.g AND b.line = l.line),
+rebuilt AS (
+  SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS nkept
+  FROM kept GROUP BY id),
+totals AS (SELECT id, count(*) AS ntot FROM lines GROUP BY id)
+SELECT t.id, coalesce(r.clean_text, '') AS clean_text,
+       t.ntot - coalesce(r.nkept, 0) AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON r.id = t.id"""

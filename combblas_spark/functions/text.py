@@ -230,3 +230,66 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_guess", lang_id(t))
         .withColumn("fingerprint", fingerprint(t))
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Site-level boilerplate removal (the CCNet / RefinedWeb line-dedup
+    pass): a LINE that occurs in >= ``min_docs`` distinct documents of
+    the same group (typically the host — nav bars, cookie banners,
+    copyright footers) is boilerplate; strip it from every document and
+    rebuild the text. ``group_col=None`` treats the whole corpus as one
+    group. Returns (id, clean_text, n_removed) for every input doc —
+    a fully-boilerplate document comes back as '' rather than vanishing.
+
+    Scale design: explode to (group, line) rows once; line frequency is
+    ONE hash aggregate (count distinct docs per line, map-side combined
+    on the narrow (group, line-hash) key); the boilerplate decision
+    joins back on the same key, so everything stays co-partitioned —
+    no self-join, no window over the corpus. Reassembly sorts WITHIN
+    each document only (sort_array of (pos, line) structs inside the
+    per-doc aggregate, never a global sort).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    gcols = [group_col] if group_col else []
+    lines = docs.select(
+        F.col(id_col).alias("id"), *gcols,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    freq = (
+        lines.groupBy(*gcols, "line")
+        .agg(F.count_distinct("id").alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select(*gcols, "line")
+    )
+    kept = lines.join(freq, [*gcols, "line"], "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("_nkept"),
+        )
+    )
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("_ntot"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(totals, "id")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_ntot") - F.coalesce("_nkept", F.lit(0))).alias("n_removed"),
+        )
+    )

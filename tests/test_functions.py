@@ -722,3 +722,38 @@ def test_per_group_cap(spark):
     assert {(r["id"], r["host"]) for r in repart.collect()} == set(rows)
     with pytest.raises(ValueError, match="k must be"):
         per_group_cap(df, "host", 0, key_col="id")
+
+
+def test_remove_boilerplate_lines(spark):
+    from combblas_spark.functions.text import remove_boilerplate_lines
+
+    rows = [
+        # host A: 'nav' on all three docs, 'promo' on two, bodies unique
+        (0, "a", "nav\nbody zero\npromo"),
+        (1, "a", "nav\nbody one\npromo"),
+        (2, "a", "nav\nbody two"),
+        # host B: same 'nav' line but only ONE doc there -> kept (the
+        # decision is per group); doc 4 is pure boilerplate within B
+        (3, "b", "nav\nfooter\nbody three"),
+        (4, "b", "footer"),
+        (5, "b", "footer\nfooter\nbody five"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {r["id"]: (r["clean_text"], r["n_removed"])
+           for r in remove_boilerplate_lines(
+               docs, group_col="host", min_docs=2).collect()}
+    assert out[0] == ("body zero", 2)
+    assert out[1] == ("body one", 2)
+    assert out[2] == ("body two", 1)
+    assert out[3] == ("nav\nbody three", 1)      # 'nav' unique within B
+    assert out[4] == ("", 1)                     # fully boilerplate, kept as ''
+    # repeated line inside ONE doc still counts that doc once for the
+    # frequency, but removal strips every occurrence
+    assert out[5] == ("body five", 2)
+
+    # corpus-wide mode (group_col=None): 'nav' now spans hosts -> 4 docs
+    allg = {r["id"]: r["clean_text"]
+            for r in remove_boilerplate_lines(docs, min_docs=4).collect()}
+    assert allg[3] == "footer\nbody three"
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(docs, min_docs=1)
