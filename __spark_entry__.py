@@ -2239,6 +2239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "host_cap": q_host_cap,
         "boilerplate": q_boilerplate,
+        "edge_embeddedness": q_edge_embeddedness,
+        "rich_club": q_rich_club,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3119,6 +3121,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["weighted_sample"] = _weighted_sample_sql()
     sqls["host_cap"] = _host_cap_sql()
     sqls["boilerplate"] = _boilerplate_sql()
+    sqls["edge_embeddedness"] = _edge_embeddedness_sql()
+    sqls["rich_club"] = _rich_club_sql()
     return sqls
 
 
@@ -4388,3 +4392,61 @@ totals AS (SELECT id, count(*) AS ntot FROM lines GROUP BY id)
 SELECT t.id, coalesce(r.clean_text, '') AS clean_text,
        t.ntot - coalesce(r.nkept, 0) AS n_removed
 FROM totals t LEFT JOIN rebuilt r ON r.id = t.id"""
+
+
+RICH_K = 24
+
+_EMB_BASE = f"""edges AS (SELECT * FROM ({{edges}}) WHERE {{pred}}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+L AS (SELECT src, dst FROM sym WHERE src < dst),
+deg AS (SELECT id, count(*) AS d
+        FROM (SELECT src AS id FROM L UNION ALL SELECT dst FROM L)
+        GROUP BY id)"""
+
+
+def q_edge_embeddedness(spark, sf):
+    """Per-edge embeddedness on the thinned events graph: common
+    neighbors (triangles through the edge), endpoint degrees, and the
+    neighborhood Jaccard — integer moments + one rounded ratio."""
+    from combblas_spark.algorithms.linkanalysis import edge_embeddedness
+
+    return edge_embeddedness(_thin_edges(events_graph(spark, sf)))
+
+
+def _edge_embeddedness_sql() -> str:
+    base = _EMB_BASE.format(edges=EDGES, pred=_THIN_PRED)
+    return f"""WITH {base},
+cmn AS (
+  SELECT e.src AS u, e.dst AS v, count(*) AS n_common
+  FROM L e JOIN sym a ON a.src = e.src JOIN sym b ON b.src = e.dst AND b.dst = a.dst
+  GROUP BY e.src, e.dst)
+SELECT e.src AS u, e.dst AS v, coalesce(c.n_common, 0) AS n_common,
+       du.d AS deg_u, dv.d AS deg_v,
+       round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+             / (du.d + dv.d - coalesce(c.n_common, 0)), 6) AS jaccard
+FROM L e
+LEFT JOIN cmn c ON c.u = e.src AND c.v = e.dst
+JOIN deg du ON du.id = e.src
+JOIN deg dv ON dv.id = e.dst"""
+
+
+def q_rich_club(spark, sf):
+    """Rich-club coefficient at k={RICH_K} (the ~p80 degree of the
+    thinned graph): edge density among the high-degree club — one row
+    of integer moments + the rounded phi."""
+    from combblas_spark.algorithms.linkanalysis import rich_club
+
+    return rich_club(_thin_edges(events_graph(spark, sf)), k=RICH_K)
+
+
+def _rich_club_sql() -> str:
+    base = _EMB_BASE.format(edges=EDGES, pred=_THIN_PRED)
+    return f"""WITH {base},
+rich AS (SELECT id FROM deg WHERE d > {RICH_K}),
+er AS (SELECT count(*) AS e_rich FROM L
+       WHERE src IN (SELECT id FROM rich) AND dst IN (SELECT id FROM rich)),
+nr AS (SELECT count(*) AS n_rich FROM rich)
+SELECT {RICH_K} AS k, n_rich, e_rich,
+       round(CASE WHEN n_rich >= 2
+         THEN 2.0 * e_rich / (CAST(n_rich AS DOUBLE) * (n_rich - 1)) END, 6) AS phi
+FROM nr CROSS JOIN er"""

@@ -77,3 +77,104 @@ def bibliographic_coupling(edges: DataFrame, min_weight: int = 2,
     ``max_degree`` here caps a target's distinct in-degree — a page
     cited by everyone couples everyone."""
     return _pair_counts(edges, "dst", "src", min_weight, max_degree)
+
+
+def edge_embeddedness(edges: DataFrame) -> DataFrame:
+    """Per-edge embeddedness (Granovetter tie strength / the classic
+    link-prediction feature): for every undirected edge (u, v), u < v,
+    the number of common neighbors (= triangles through the edge) plus
+    the endpoint degrees and the neighborhood Jaccard
+    n_common / (deg_u + deg_v - n_common). n_common, deg_u, deg_v are
+    exact integers; only the final ratio is rounded (6dp) — the same
+    integer-moments portability contract as the other similarity ops.
+
+    Scale: one triangle enumeration (the masked-SpGEMM wedge join from
+    algorithms.triangles, fan-out bounded at the low-id vertex) + three
+    narrow unions + one hash agg; degrees are one more agg. No all-pairs
+    stage — only existing edges are scored.
+    """
+    from combblas_spark.algorithms.triangles import lower_triangle
+
+    L = lower_triangle(edges).persist()
+    ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(L.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+              ["a", "c"], "left_semi")
+    )
+    # triangle (a,b,c), a<b<c, raises the count of its three edges
+    per_edge = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .unionByName(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .groupBy("u", "v").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    deg = (
+        L.select(F.col("src").alias("id"))
+        .unionByName(L.select(F.col("dst").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("_d"))
+    )
+    out = (
+        L.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(per_edge, ["u", "v"], "left")
+        .join(deg.select(F.col("id").alias("u"), F.col("_d").alias("deg_u")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("_d").alias("deg_v")), "v")
+        .select(
+            "u", "v",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            "deg_u", "deg_v",
+            F.round(
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (F.col("deg_u") + F.col("deg_v")
+                   - F.coalesce("n_common", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    L.unpersist()
+    return out
+
+
+def rich_club(edges: DataFrame, k: int) -> DataFrame:
+    """Rich-club coefficient (Zhou & Mondragón 2004): over the vertices
+    with degree > k in the undirected simple graph, phi(k) =
+    2 * E_k / (N_k * (N_k - 1)) where E_k = edges among them. Returns
+    ONE row (k, n_rich, e_rich, phi) — integer moments + the rounded
+    ratio, so the oracle re-derives phi bit-for-bit. N_k < 2 yields a
+    NULL phi (undefined), never a division crash.
+
+    Scale: degree agg + two semi-joins + two counts; the rich set is a
+    tiny fraction of a power-law graph, so the semi-join broadcasts.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    from combblas_spark.algorithms.triangles import lower_triangle
+
+    L = lower_triangle(edges).persist()
+    deg = (
+        L.select(F.col("src").alias("id"))
+        .unionByName(L.select(F.col("dst").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("_d"))
+    )
+    rich = deg.where(F.col("_d") > k).select("id")
+    e_rich = (
+        L.join(rich.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(rich.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .agg(F.count(F.lit(1)).alias("e_rich"))
+    )
+    n_rich = rich.agg(F.count(F.lit(1)).alias("n_rich"))
+    out = n_rich.crossJoin(e_rich).select(
+        F.lit(k).alias("k"), "n_rich", "e_rich",
+        F.round(
+            F.when(
+                F.col("n_rich") >= 2,
+                F.lit(2.0) * F.col("e_rich")
+                / (F.col("n_rich").cast("double") * (F.col("n_rich") - 1)),
+            ),
+            6,
+        ).alias("phi"),
+    )
+    L.unpersist()
+    return out

@@ -1795,3 +1795,36 @@ def test_condensation_and_levels(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], "src_scc long, dst_scc long")
     with pytest.raises(RuntimeError, match="cycle"):
         condensation_levels(cyc, max_rounds=8)
+
+
+def test_edge_embeddedness_known(spark):
+    from combblas_spark.algorithms.linkanalysis import edge_embeddedness
+
+    # square + one diagonal + an isolated edge; direction/duplicates
+    # must not matter (undirected canonicalization)
+    E = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (2, 0), (4, 5)]
+    got = {(r["u"], r["v"]): (r["n_common"], r["deg_u"], r["deg_v"], r["jaccard"])
+           for r in edge_embeddedness(df_edges(spark, E)).collect()}
+    assert got == {
+        (0, 1): (1, 3, 2, 0.25),
+        (1, 2): (1, 2, 3, 0.25),
+        (2, 3): (1, 3, 2, 0.25),
+        (0, 3): (1, 3, 2, 0.25),
+        (0, 2): (2, 3, 3, 0.5),
+        (4, 5): (0, 1, 1, 0.0),
+    }
+
+
+def test_rich_club_known(spark):
+    from combblas_spark.algorithms.linkanalysis import rich_club
+
+    E = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 5)]
+    e = df_edges(spark, E)
+    r = rich_club(e, k=2).collect()[0]
+    assert (r["k"], r["n_rich"], r["e_rich"], r["phi"]) == (2, 2, 1, 1.0)
+    r0 = rich_club(e, k=0).collect()[0]
+    assert (r0["n_rich"], r0["e_rich"], r0["phi"]) == (6, 6, 0.4)
+    r9 = rich_club(e, k=9).collect()[0]
+    assert r9["n_rich"] == 0 and r9["phi"] is None
+    with pytest.raises(ValueError, match="k must be"):
+        rich_club(e, k=-1)
