@@ -2241,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "edge_embeddedness": q_edge_embeddedness,
         "rich_club": q_rich_club,
+        "sessionize": q_sessionize,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3123,6 +3124,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["boilerplate"] = _boilerplate_sql()
     sqls["edge_embeddedness"] = _edge_embeddedness_sql()
     sqls["rich_club"] = _rich_club_sql()
+    sqls["sessionize"] = _sessionize_sql()
     return sqls
 
 
@@ -4450,3 +4452,34 @@ SELECT {RICH_K} AS k, n_rich, e_rich,
        round(CASE WHEN n_rich >= 2
          THEN 2.0 * e_rich / (CAST(n_rich AS DOUBLE) * (n_rich - 1)) END, 6) AS phi
 FROM nr CROSS JOIN er"""
+
+
+SESSION_GAP_S = 600
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization of the events stream (batch twin of
+    session_window): per-user sessions split at >10-minute gaps, one
+    shuffle on the user key + one reused per-partition sort for both
+    windows. Gap math in integer microseconds — engine-exact."""
+    from combblas_spark.functions.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return sessionize(ev, gap_seconds=SESSION_GAP_S)
+
+
+def _sessionize_sql() -> str:
+    gap_us = SESSION_GAP_S * 1_000_000
+    return f"""WITH f AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id AS eid, value AS val,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+s AS (SELECT *, sum(new) OVER (PARTITION BY user_id ORDER BY us, eid
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+       min(eid) AS min_event_id, max(us) - min(us) AS duration_us,
+       round(sum(val), 6) AS sum_value
+FROM s GROUP BY user_id, sid"""

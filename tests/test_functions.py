@@ -757,3 +757,37 @@ def test_remove_boilerplate_lines(spark):
     assert allg[3] == "footer\nbody three"
     with pytest.raises(ValueError, match="min_docs"):
         remove_boilerplate_lines(docs, min_docs=1)
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    from combblas_spark.functions.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: two sessions split by a 700s gap (gap=600)
+        (0, at(0), 1, 1.5), (1, at(100), 1, 2.0), (2, at(800), 1, 4.0),
+        # exactly-gap boundary: 600s gap does NOT split (strict >)
+        (3, at(0), 2, 1.0), (4, at(600), 2, 1.0),
+        # single-event user
+        (5, at(42), 3, 9.25),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {(r["user_id"], r["session_start_us"]):
+           (r["n_events"], r["min_event_id"], r["duration_us"], r["sum_value"])
+           for r in sessionize(ev, gap_seconds=600).collect()}
+    us0 = int(t0.timestamp()) * 1_000_000
+    assert got == {
+        (1, us0): (2, 0, 100_000_000, 3.5),
+        (1, us0 + 800_000_000): (1, 2, 0, 4.0),
+        (2, us0): (2, 3, 600_000_000, 2.0),
+        (3, us0 + 42_000_000): (1, 5, 0, 9.25),
+    }
+    with pytest.raises(ValueError, match="gap_seconds"):
+        sessionize(ev, gap_seconds=0)
