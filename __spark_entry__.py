@@ -1980,15 +1980,11 @@ def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM a{rounds}"
 
 
-def _coreness_sql(iters: int = CORENESS_ITERS) -> str:
-    """DuckDB twin of algorithms.kcore.core_numbers: h-index iteration
-    from the degree vector, unrolled past convergence."""
-    ctes = [
-        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
-        "sym AS MATERIALIZED (SELECT src, dst FROM "
-        "(SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) WHERE src <> dst)",
-        "c0 AS (SELECT dst AS id, count(*) AS core FROM sym GROUP BY dst)",
-    ]
+def _corechain_ctes(iters: int) -> list[str]:
+    """The h-index-iteration CTE chain c0..c{iters} over a CTE named
+    ``sym`` (loop-free symmetric edge list) — shared by _coreness_sql
+    and _vertex_features_sql so the unroll rule lives in ONE place."""
+    ctes = ["c0 AS (SELECT dst AS id, count(*) AS core FROM sym GROUP BY dst)"]
     for t in range(1, iters + 1):
         ctes.append(
             f"""c{t} AS MATERIALIZED (
@@ -1998,6 +1994,18 @@ def _coreness_sql(iters: int = CORENESS_ITERS) -> str:
             FROM sym s JOIN c{t-1} c ON c.id = s.src)
           WHERE cc >= r GROUP BY dst)"""
         )
+    return ctes
+
+
+def _coreness_sql(iters: int = CORENESS_ITERS) -> str:
+    """DuckDB twin of algorithms.kcore.core_numbers: h-index iteration
+    from the degree vector, unrolled past convergence."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) WHERE src <> dst)",
+        *_corechain_ctes(iters),
+    ]
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, CAST(core AS BIGINT) AS core FROM c{iters}"
@@ -2242,6 +2250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_embeddedness": q_edge_embeddedness,
         "rich_club": q_rich_club,
         "sessionize": q_sessionize,
+        "vertex_features": q_vertex_features,
+        "component_sizes": q_component_sizes,
+        "paragraph_dedup": q_paragraph_dedup,
+        "degree_delta": q_degree_delta,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3125,6 +3137,10 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["edge_embeddedness"] = _edge_embeddedness_sql()
     sqls["rich_club"] = _rich_club_sql()
     sqls["sessionize"] = _sessionize_sql()
+    sqls["vertex_features"] = _vertex_features_sql()
+    sqls["component_sizes"] = _component_sizes_sql()
+    sqls["paragraph_dedup"] = _paragraph_dedup_sql()
+    sqls["degree_delta"] = _degree_delta_sql()
     return sqls
 
 
@@ -4483,3 +4499,193 @@ SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
        min(eid) AS min_event_id, max(us) - min(us) AS duration_us,
        round(sum(val), 6) AS sum_value
 FROM s GROUP BY user_id, sid"""
+
+
+# ------------------------------------------------------------------ round 4b
+# per-vertex feature extraction, component structure, paragraph dedup,
+# snapshot drift (algorithms/features.py, functions/text.py, graph.py)
+
+def q_vertex_features(spark, sf):
+    """Graph-feature-table capstone (algorithms/features.py): one wide
+    row per vertex of the thinned events graph — directed degrees,
+    undirected degree, triangles, wedges, local clustering, coreness,
+    component id + size. Every constituent is an already-verified
+    operator; this materializes their id-keyed join (the shape a GNN /
+    spam-classifier training set consumes)."""
+    from combblas_spark.algorithms.features import vertex_features
+
+    return vertex_features(_thin_edges(events_graph(spark, sf)))
+
+
+def _vertex_features_sql(iters: int = CORENESS_ITERS) -> str:
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        """verts AS (SELECT DISTINCT id FROM
+           (SELECT src AS id FROM de UNION ALL SELECT dst FROM de))""",
+        "sym AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM de UNION SELECT dst, src FROM de) WHERE src <> dst)",
+        "outd AS (SELECT src AS id, count(*) AS out_deg FROM de GROUP BY src)",
+        "ind AS (SELECT dst AS id, count(*) AS in_deg FROM de GROUP BY dst)",
+        "L AS (SELECT src, dst FROM sym WHERE src < dst)",
+        """ud AS (SELECT id, count(*) AS deg FROM
+           (SELECT src AS id FROM L UNION ALL SELECT dst FROM L) GROUP BY id)""",
+        """tri3 AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+           FROM L ab JOIN L bc ON ab.dst = bc.src
+           JOIN L ac ON ac.src = ab.src AND ac.dst = bc.dst)""",
+        """tv AS (SELECT id, count(*) AS tri FROM (
+           SELECT a AS id FROM tri3
+           UNION ALL SELECT b FROM tri3
+           UNION ALL SELECT c FROM tri3) GROUP BY id)""",
+        *_corechain_ctes(iters),
+        """reach(id, r) AS (
+           SELECT id, id FROM verts
+           UNION
+           SELECT re.id, s.dst FROM reach re JOIN sym s ON s.src = re.r)""",
+        "comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)",
+        "cs AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp)",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(ctes)
+        + f"""
+SELECT v.id, coalesce(o.out_deg, 0) AS out_deg, coalesce(i.in_deg, 0) AS in_deg,
+       coalesce(u.deg, 0) AS deg, coalesce(t.tri, 0) AS tri,
+       CAST(coalesce(u.deg, 0) * (coalesce(u.deg, 0) - 1) / 2 AS BIGINT) AS wedges,
+       CASE WHEN coalesce(u.deg, 0) > 1
+            THEN round(CAST(coalesce(t.tri, 0) AS DOUBLE)
+                       / (u.deg * (u.deg - 1) / 2), 6) END AS local_cc,
+       CAST(coalesce(k.core, 0) AS BIGINT) AS core, c.comp, cs.comp_size
+FROM verts v
+LEFT JOIN outd o ON o.id = v.id
+LEFT JOIN ind i ON i.id = v.id
+LEFT JOIN ud u ON u.id = v.id
+LEFT JOIN tv t ON t.id = v.id
+LEFT JOIN c{iters} k ON k.id = v.id
+JOIN comp c ON c.id = v.id
+JOIN cs ON cs.comp = c.comp"""
+    )
+
+
+CSIZE_MOD, CSIZE_KEEP = 100, 1  # undirected connectivity survives the 5%
+                                # scc_dag thin at sf0.01 — 1% yields the
+                                # giant + dust histogram worth testing
+
+
+def q_component_sizes(spark, sf):
+    """Connected-component size histogram on the 1%-thinned events
+    graph (undirected connectivity is far more robust than strong
+    connectivity — even the 5% scc_dag graph is one undirected
+    component at sf0.01): (size, n_components) exact integers, the
+    Broder-style crawl-structure summary (one giant + dust)."""
+    from combblas_spark.algorithms.features import component_sizes
+
+    g = events_graph(spark, sf)
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.col("src"), F.col("dst"))), 1, 8), 16, 10).cast("long")
+    return component_sizes(g.filter(h % CSIZE_MOD < CSIZE_KEEP))
+
+
+def _csize_pred() -> str:
+    return (
+        "('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {CSIZE_MOD} < {CSIZE_KEEP}"
+    )
+
+
+def _component_sizes_sql() -> str:
+    return f"""WITH RECURSIVE edges AS (SELECT * FROM ({EDGES}) WHERE {_csize_pred()}),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT re.id, s.dst FROM reach re JOIN sym s ON s.src = re.r),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+cs AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp)
+SELECT sz AS size, count(*) AS n_components FROM cs GROUP BY sz"""
+
+
+def q_paragraph_dedup(spark, sf):
+    """Corpus-wide keep-first paragraph dedup (functions/text.py
+    dedup_paragraphs — the Dolma paragraph pass): a syndicated intro
+    shared by ALL docs and a quote block shared by each mod-7 class are
+    wrapped around every fixture text; each must survive exactly once,
+    at its smallest (doc_id, pos). One explode + one min-struct hash
+    agg + one co-partitioned join; no window, no self-join."""
+    from combblas_spark.functions.text import dedup_paragraphs
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.lit("breaking syndicated wire intro\n"),
+            F.col("text"),
+            F.lit("\nquote block "), F.col("doc_id") % 7,
+        ).alias("text"),
+    )
+    return dedup_paragraphs(d)
+
+
+def _paragraph_dedup_sql() -> str:
+    return """WITH d AS (
+  SELECT doc_id AS id,
+         'breaking syndicated wire intro' || chr(10) || text || chr(10)
+           || 'quote block ' || CAST(doc_id % 7 AS VARCHAR) AS t
+  FROM documents),
+paras AS (
+  SELECT id, i AS pos, l[i] AS para
+  FROM (SELECT id, string_split(t, chr(10)) AS l FROM d),
+       unnest(generate_series(1, len(l))) AS u(i)),
+kept AS (
+  SELECT id, pos, para FROM (
+    SELECT id, pos, para,
+           row_number() OVER (PARTITION BY para ORDER BY id, pos) AS rn
+    FROM paras) WHERE rn = 1),
+rebuilt AS (
+  SELECT id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS nkept
+  FROM kept GROUP BY id),
+totals AS (SELECT id, count(*) AS ntot FROM paras GROUP BY id)
+SELECT t.id, coalesce(r.clean_text, '') AS clean_text,
+       t.ntot - coalesce(r.nkept, 0) AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON r.id = t.id"""
+
+
+def q_degree_delta(spark, sf):
+    """Crawl-snapshot degree drift: out-degrees of the events graph
+    built from HALF the events (event_id parity = the deterministic
+    'first crawl') vs the full graph, per vertex — the snapshot-diff
+    primitive for monitoring link-graph growth between crawls. The
+    vertex-id rule (nv from the FULL table) is shared so snapshot ids
+    line up; both builds are the standard dedup-groupBy."""
+    from combblas_spark.graph import build_graph, hashed_dst
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    nv = int(ev.agg(F.max("user_id")).collect()[0][0]) + 1
+
+    def g(df):
+        raw = df.select(F.col("user_id").alias("src"),
+                        hashed_dst("event_id", nv).alias("dst"))
+        return build_graph(raw, drop_loops=True, sum_duplicates=True)
+
+    old = g(ev.where(F.col("event_id") % 2 == 0))
+    new = g(ev)
+    do = old.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg_old"))
+    dn = new.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg_new"))
+    return dn.join(do, "id", "left").select(
+        "id",
+        F.coalesce("deg_old", F.lit(0)).alias("deg_old"),
+        "deg_new",
+        (F.col("deg_new") - F.coalesce("deg_old", F.lit(0))).alias("delta"),
+    )
+
+
+def _degree_delta_sql() -> str:
+    old_e = events_graph_sql(with_val=False, pred="event_id % 2 = 0")
+    new_e = events_graph_sql(with_val=False)
+    return f"""WITH old_e AS ({old_e}), new_e AS ({new_e}),
+do_ AS (SELECT src AS id, count(*) AS deg_old FROM old_e GROUP BY src),
+dn AS (SELECT src AS id, count(*) AS deg_new FROM new_e GROUP BY src)
+SELECT dn.id, coalesce(do_.deg_old, 0) AS deg_old, dn.deg_new,
+       dn.deg_new - coalesce(do_.deg_old, 0) AS delta
+FROM dn LEFT JOIN do_ ON do_.id = dn.id"""

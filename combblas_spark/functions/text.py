@@ -232,6 +232,69 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide KEEP-FIRST paragraph dedup (the Dolma/CCNet
+    paragraph-level pass, the complement of remove_boilerplate_lines):
+    every distinct paragraph survives exactly ONCE — at its first
+    occurrence in corpus order, first = smallest (doc id, position) —
+    and every later occurrence (across documents AND repeats inside the
+    same document) is stripped. Unlike boilerplate removal, the content
+    itself is preserved somewhere; only redundancy is removed, which is
+    what a training pipeline wants for body text (boilerplate removal
+    is for nav/footer chrome, keep-first dedup is for syndicated/quoted
+    content).
+
+    Returns (id, clean_text, n_removed) for every input doc; a doc
+    whose every paragraph appeared earlier comes back as ''.
+
+    Scale design: explode to (paragraph, id, pos) once; the winner per
+    paragraph is ONE hash aggregate (min of the (id, pos) struct —
+    map-side combined, no window, no sort); survivors join back on the
+    same paragraph key, co-partitioned with the aggregate. Reassembly
+    sorts WITHIN each doc only (sort_array in the per-doc aggregate).
+    The keep-first rule is deterministic and partition-invariant, so
+    the kept subset is stable across runs and engines.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    first = paras.groupBy("para").agg(F.min(F.struct("id", "pos")).alias("_w"))
+    kept = (
+        paras.join(first, "para")
+        .where((F.col("id") == F.col("_w.id")) & (F.col("pos") == F.col("_w.pos")))
+    )
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("_nkept"),
+        )
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("_ntot"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(totals, "id")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_ntot") - F.coalesce("_nkept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
 def remove_boilerplate_lines(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -170,20 +170,23 @@ def events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_graph(raw, drop_loops=True, sum_duplicates=True)
 
 
-def events_graph_sql(with_val: bool = True) -> str:
+def events_graph_sql(with_val: bool = True, pred: str = "") -> str:
     """The DuckDB-side twin of events_graph() as a CTE body.
 
     Returns SQL text for a derived table named nothing (caller wraps it
     in ``WITH edges AS (...)``). Kept in one place so every oracle uses
-    the identical rule.
+    the identical rule. ``pred`` optionally filters the EVENTS rows
+    (e.g. "event_id % 2 = 0" for a snapshot subgraph); nv is always
+    computed over the FULL table so snapshot vertex ids line up.
     """
     val = ", CAST(count(*) AS DOUBLE) AS val" if with_val else ""
+    where = f"WHERE {pred}" if pred else ""
     return f"""
     SELECT src, dst{val}
     FROM (
       SELECT user_id AS src,
              ((event_id % nv) * ({HASH_C} % nv)) % nv AS dst
-      FROM events, (SELECT max(user_id) + 1 AS nv FROM events)
+      FROM events, (SELECT max(user_id) + 1 AS nv FROM events) {where}
     ) WHERE src <> dst
     GROUP BY src, dst
     """

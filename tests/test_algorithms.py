@@ -1828,3 +1828,36 @@ def test_rich_club_known(spark):
     assert r9["n_rich"] == 0 and r9["phi"] is None
     with pytest.raises(ValueError, match="k must be"):
         rich_club(e, k=-1)
+
+
+def test_component_sizes_known(spark):
+    from combblas_spark.algorithms.features import component_sizes
+
+    # triangle {0,1,2} + edge {3,4} + edge {5,6} -> sizes {3:1, 2:2}
+    E = [(0, 1), (1, 2), (2, 0), (3, 4), (5, 6)]
+    got = {(r["size"], r["n_components"])
+           for r in component_sizes(df_edges(spark, E)).collect()}
+    assert got == {(3, 1), (2, 2)}
+
+
+def test_vertex_features_known(spark):
+    from combblas_spark.algorithms.features import vertex_features
+
+    # directed: 0->1, 1->2, 2->0 (triangle), 0->2 (chord dup of und 0-2),
+    # 3->4 (pendant pair); duplicates/reverse must not double-count
+    E = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 4)]
+    rows = {r["id"]: r for r in vertex_features(df_edges(spark, E)).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    r0 = rows[0]
+    # out: 0->1, 0->2 ; in: 2->0 ; und deg 2; triangle 1; wedge 1; cc=1
+    assert (r0["out_deg"], r0["in_deg"], r0["deg"], r0["tri"],
+            r0["wedges"], r0["local_cc"]) == (2, 1, 2, 1, 1, 1.0)
+    assert (r0["core"], r0["comp"], r0["comp_size"]) == (2, 0, 3)
+    r3 = rows[3]
+    assert (r3["out_deg"], r3["in_deg"], r3["deg"], r3["tri"]) == (1, 0, 1, 0)
+    assert r3["local_cc"] is None and r3["wedges"] == 0
+    assert (r3["core"], r3["comp"], r3["comp_size"]) == (1, 3, 2)
+    # integer-moment identity: local_cc == round(tri/wedges, 6) wherever defined
+    for r in rows.values():
+        if r["wedges"] > 0:
+            assert r["local_cc"] == round(r["tri"] / r["wedges"], 6)

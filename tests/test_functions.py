@@ -791,3 +791,46 @@ def test_sessionize(spark):
     }
     with pytest.raises(ValueError, match="gap_seconds"):
         sessionize(ev, gap_seconds=0)
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    from combblas_spark.functions.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared intro\nunique one\nquoted block"),
+            (2, "shared intro\nunique two\nquoted block"),
+            (3, "quoted block\nshared intro"),
+            (4, "unique one"),          # dup of doc 1's paragraph
+            (5, "fresh\nfresh"),        # intra-doc repeat: keep first only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (r["clean_text"], r["n_removed"])
+           for r in dedup_paragraphs(docs).collect()}
+    # doc 1 is first everywhere -> keeps everything
+    assert got[1] == ("shared intro\nunique one\nquoted block", 0)
+    # doc 2 keeps only its unique middle line
+    assert got[2] == ("unique two", 2)
+    # doc 3 loses both (both seen in doc 1)
+    assert got[3] == ("", 2)
+    # doc 4's only paragraph already appeared in doc 1
+    assert got[4] == ("", 1)
+    # intra-doc repeat deduped to one occurrence
+    assert got[5] == ("fresh", 1)
+
+
+def test_dedup_paragraphs_partition_invariance(spark):
+    from combblas_spark.functions.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(i, f"common header\nbody {i % 3}") for i in range(1, 30)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dedup_paragraphs(docs).collect()))
+    b = sorted(map(tuple, dedup_paragraphs(docs.repartition(7)).collect()))
+    assert a == b
+    # exactly one survivor per distinct paragraph: 1 header + 3 bodies kept
+    total_kept = sum(
+        len([l for l in t.split("\n") if l]) for _, t, _ in a)
+    assert total_kept == 4
