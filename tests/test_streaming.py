@@ -410,3 +410,36 @@ def test_corpus_ingest_fresh_checkpoint_appends(spark, tmp_path):
     got = {r["doc_id"] for r in read_corpus(spark, corp).collect()}
     assert got == {0, 8}, got          # 7 deduped against standing corpus
     assert max_batch_id(corp) == 1     # appended, batch=0 intact
+
+
+def test_streaming_sessions_equal_batch(spark, tmp_path):
+    from combblas_spark.functions.sessions import sessionize
+    from combblas_spark.streaming.sessions import run_streaming_sessions
+
+    src_dir = str(tmp_path / "sess_in")
+    gap = 100  # seconds; event gaps below are 30 or 200 — never == gap
+
+    def ev(spark, rows):
+        t0 = dt.datetime(2025, 1, 1)
+        return spark.createDataFrame(
+            [(eid, t0 + dt.timedelta(seconds=s), uid, "click", 1.0, "{}")
+             for eid, s, uid in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    batch1 = [(1, 0, 7), (2, 30, 7), (3, 60, 7),      # user 7 session A
+              (10, 0, 9)]                              # user 9 session A
+    batch2 = [(4, 300, 7), (5, 330, 7),               # user 7 session B
+              (11, 260, 9)]                            # user 9 session B
+    ev(spark, batch1).write.mode("append").parquet(src_dir)
+    ev(spark, batch2).write.mode("append").parquet(src_dir)
+
+    q = run_streaming_sessions(spark, src_dir, "sess_tbl", gap_seconds=gap)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.table("sess_tbl").collect()))
+    want = sorted(map(tuple, sessionize(
+        ev(spark, batch1 + batch2), gap_seconds=gap).collect()))
+    assert got == want
+    assert len(got) == 4  # 2 users x 2 sessions
