@@ -2204,7 +2204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          r3 recurrence fix; bfs_random_parent/single_child/split_merge/
          ktips/incremental_sidecar are new; pagerank_personalized/
          trustrank re-enter because the teleport guard touched their
-         setup; scc re-enters for its convergence guards),
+         setup; scc re-enters for its convergence guards; the round-4b
+         block vertex_features/component_sizes/paragraph_dedup/
+         degree_delta is new),
       3. heavy / algorithmically central rotation (green r1/r2, rotated
          out of the r3 window — graph algorithms, SpGEMM family,
          permutations, I/O),
@@ -2254,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": q_component_sizes,
         "paragraph_dedup": q_paragraph_dedup,
         "degree_delta": q_degree_delta,
+        "pagerank_incremental": q_pagerank_incremental,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -2379,36 +2382,59 @@ sh AS (
 )"""
 
 
-def _pagerank_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
-    # AS MATERIALIZED: each iteration references edges/outdeg/srcs again;
-    # without it DuckDB re-inlines the parquet scan per reference and can
-    # exhaust file handles at 10 iterations.
+def _pr_chain_ctes(iters: int, alpha: float, edges_sql: str,
+                   prefix: str = "", warm_from: str | None = None) -> list[str]:
+    """Namespaced PageRank unroll over an arbitrary edge rule: the CTE
+    chain {p}edges/{p}verts/.../{p}r{iters}. ``warm_from`` names a prior
+    chain's rank CTE (id, pr) used as the warm start (coalesce missing
+    vertices to uniform, renormalize to sum 1 — the exact twin of
+    pagerank(initial_ranks=)); intermediate ranks stay FULL doubles,
+    rounding happens only in the caller's final SELECT.
+
+    AS MATERIALIZED: each iteration references edges/outdeg/srcs again;
+    without it DuckDB re-inlines the parquet scan per reference and can
+    exhaust file handles at 10 iterations."""
+    p = prefix
     ctes = [
-        f"edges AS MATERIALIZED ({EDGES})",
-        "verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
-        "nn AS MATERIALIZED (SELECT count(*) AS n FROM verts)",
-        "outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)",
-        "srcs AS MATERIALIZED (SELECT DISTINCT src FROM edges)",
-        "r0 AS (SELECT v.id, 1.0 / nn.n AS pr FROM verts v CROSS JOIN nn)",
+        f"{p}edges AS MATERIALIZED ({edges_sql})",
+        f"{p}verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM {p}edges UNION ALL SELECT dst FROM {p}edges))",
+        f"{p}nn AS MATERIALIZED (SELECT count(*) AS n FROM {p}verts)",
+        f"{p}outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM {p}edges GROUP BY src)",
+        f"{p}srcs AS MATERIALIZED (SELECT DISTINCT src FROM {p}edges)",
     ]
-    for k in range(1, iters + 1):
-        p = f"r{k-1}"
+    if warm_from is None:
         ctes.append(
-            f"d{k} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM {p} "
-            f"WHERE id NOT IN (SELECT src FROM srcs))"
+            f"{p}r0 AS (SELECT v.id, 1.0 / {p}nn.n AS pr FROM {p}verts v CROSS JOIN {p}nn)")
+    else:
+        ctes += [
+            f"""{p}w AS (SELECT v.id, coalesce(o.pr, 1.0 / {p}nn.n) AS pr
+  FROM {p}verts v CROSS JOIN {p}nn LEFT JOIN {warm_from} o ON o.id = v.id)""",
+            f"{p}wt AS (SELECT sum(pr) AS t FROM {p}w)",
+            f"{p}r0 AS (SELECT w.id, w.pr / {p}wt.t AS pr FROM {p}w w CROSS JOIN {p}wt)",
+        ]
+    for k in range(1, iters + 1):
+        prev = f"{p}r{k-1}"
+        ctes.append(
+            f"{p}d{k} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM {prev} "
+            f"WHERE id NOT IN (SELECT src FROM {p}srcs))"
         )
         ctes.append(
-            f"""r{k} AS (
+            f"""{p}r{k} AS (
   SELECT v.id,
-         (1.0 - {alpha}) / nn.n + {alpha} * (coalesce(inf.s, 0.0) + d{k}.dm / nn.n) AS pr
-  FROM verts v CROSS JOIN nn CROSS JOIN d{k}
+         (1.0 - {alpha}) / {p}nn.n + {alpha} * (coalesce(inf.s, 0.0) + {p}d{k}.dm / {p}nn.n) AS pr
+  FROM {p}verts v CROSS JOIN {p}nn CROSS JOIN {p}d{k}
   LEFT JOIN (
     SELECT e.dst AS id, sum((1.0 / o.deg) * r.pr) AS s
-    FROM edges e JOIN {p} r ON e.src = r.id JOIN outdeg o ON o.id = e.src
+    FROM {p}edges e JOIN {prev} r ON e.src = r.id JOIN {p}outdeg o ON o.id = e.src
     GROUP BY e.dst
   ) inf ON inf.id = v.id
 )"""
         )
+    return ctes
+
+
+def _pagerank_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
+    ctes = _pr_chain_ctes(iters, alpha, EDGES)
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(pr, 6) AS \"rank\" FROM r{iters}"
@@ -3141,6 +3167,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["component_sizes"] = _component_sizes_sql()
     sqls["paragraph_dedup"] = _paragraph_dedup_sql()
     sqls["degree_delta"] = _degree_delta_sql()
+    sqls["pagerank_incremental"] = _pagerank_incremental_sql()
     return sqls
 
 
@@ -4689,3 +4716,43 @@ dn AS (SELECT src AS id, count(*) AS deg_new FROM new_e GROUP BY src)
 SELECT dn.id, coalesce(do_.deg_old, 0) AS deg_old, dn.deg_new,
        dn.deg_new - coalesce(do_.deg_old, 0) AS delta
 FROM dn LEFT JOIN do_ ON do_.id = dn.id"""
+
+
+PR_INC_OLD, PR_INC_NEW = 6, 3
+
+
+def q_pagerank_incremental(spark, sf):
+    """Incremental PageRank over a crawl delta (the snapshot companion
+    of degree_delta, exercising pagerank's ``initial_ranks`` warm
+    start): rank the parity-snapshot graph for {PR_INC_OLD} iterations,
+    then warm-start the FULL graph from those ranks for only
+    {PR_INC_NEW} more — the production crawl-refresh pattern where
+    re-ranking from scratch at 10^12 docs is the cost you're avoiding.
+    New vertices seed uniformly; the seed renormalizes to sum 1 inside
+    pagerank(). Fixed iteration counts keep the DuckDB oracle an exact
+    two-chain unroll."""
+    from combblas_spark.graph import build_graph, hashed_dst
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    nv = int(ev.agg(F.max("user_id")).collect()[0][0]) + 1
+    raw_old = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("user_id").alias("src"), hashed_dst("event_id", nv).alias("dst"))
+    g_old = build_graph(raw_old, drop_loops=True, sum_duplicates=True)
+    ranks_old = pagerank(g_old, alpha=ALPHA, n_iter=PR_INC_OLD)
+    g_new = events_graph(spark, sf)
+    r = pagerank(g_new, alpha=ALPHA, n_iter=PR_INC_NEW,
+                 initial_ranks=ranks_old)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_incremental_sql() -> str:
+    old_e = events_graph_sql(with_val=False, pred="event_id % 2 = 0")
+    ctes = (
+        _pr_chain_ctes(PR_INC_OLD, ALPHA, old_e, prefix="o_")
+        + _pr_chain_ctes(PR_INC_NEW, ALPHA, events_graph_sql(with_val=False),
+                         prefix="n_", warm_from=f"o_r{PR_INC_OLD}")
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(pr, 6) AS \"rank\" FROM n_r{PR_INC_NEW}"
+    )

@@ -1861,3 +1861,36 @@ def test_vertex_features_known(spark):
     for r in rows.values():
         if r["wedges"] > 0:
             assert r["local_cc"] == round(r["tri"] / r["wedges"], 6)
+
+
+def test_pagerank_warm_start_continues_power_iteration(spark):
+    """initial_ranks=r_k for m more iterations must equal r_{k+m} from
+    scratch (the renormalization of an already-sum-1 vector is a no-op
+    up to float ulps) — the incremental crawl-refresh contract."""
+    from combblas_spark.algorithms.pagerank import pagerank
+
+    E = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (0, 2), (4, 0)]
+    g = df_edges(spark, E)
+    r5 = pagerank(g, n_iter=5)
+    warm = pagerank(g, n_iter=3, initial_ranks=r5)
+    cold = pagerank(g, n_iter=8)
+    w = {r["id"]: r["rank"] for r in warm.collect()}
+    c = {r["id"]: r["rank"] for r in cold.collect()}
+    assert set(w) == set(c)
+    for i in w:
+        assert abs(w[i] - c[i]) < 1e-12
+
+
+def test_pagerank_warm_start_new_vertices_seed_uniform(spark):
+    """Vertices absent from initial_ranks get 1/n before the
+    renormalize — the grown-graph case must not NULL out."""
+    from combblas_spark.algorithms.pagerank import pagerank
+
+    old = df_edges(spark, [(0, 1), (1, 0)])
+    grown = df_edges(spark, [(0, 1), (1, 0), (1, 2), (2, 0)])
+    r_old = pagerank(old, n_iter=4)
+    r = pagerank(grown, n_iter=2, initial_ranks=r_old)
+    rows = {x["id"]: x["rank"] for x in r.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(v is not None and v > 0 for v in rows.values())
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
