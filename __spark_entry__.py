@@ -4549,7 +4549,7 @@ def _vertex_features_sql(iters: int = CORENESS_ITERS) -> str:
         f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
         "de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
         """verts AS (SELECT DISTINCT id FROM
-           (SELECT src AS id FROM de UNION ALL SELECT dst FROM de))""",
+           (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))""",
         "sym AS MATERIALIZED (SELECT src, dst FROM "
         "(SELECT src, dst FROM de UNION SELECT dst, src FROM de) WHERE src <> dst)",
         "outd AS (SELECT src AS id, count(*) AS out_deg FROM de GROUP BY src)",
@@ -4683,18 +4683,8 @@ def q_degree_delta(spark, sf):
     primitive for monitoring link-graph growth between crawls. The
     vertex-id rule (nv from the FULL table) is shared so snapshot ids
     line up; both builds are the standard dedup-groupBy."""
-    from combblas_spark.graph import build_graph, hashed_dst
-
-    ev = spark.read.parquet(f"{sf}/events.parquet")
-    nv = int(ev.agg(F.max("user_id")).collect()[0][0]) + 1
-
-    def g(df):
-        raw = df.select(F.col("user_id").alias("src"),
-                        hashed_dst("event_id", nv).alias("dst"))
-        return build_graph(raw, drop_loops=True, sum_duplicates=True)
-
-    old = g(ev.where(F.col("event_id") % 2 == 0))
-    new = g(ev)
+    old = events_graph(spark, sf, pred=F.col("event_id") % 2 == 0)
+    new = events_graph(spark, sf)
     do = old.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg_old"))
     dn = new.groupBy(F.col("src").alias("id")).agg(
@@ -4724,20 +4714,14 @@ PR_INC_OLD, PR_INC_NEW = 6, 3
 def q_pagerank_incremental(spark, sf):
     """Incremental PageRank over a crawl delta (the snapshot companion
     of degree_delta, exercising pagerank's ``initial_ranks`` warm
-    start): rank the parity-snapshot graph for {PR_INC_OLD} iterations,
-    then warm-start the FULL graph from those ranks for only
-    {PR_INC_NEW} more — the production crawl-refresh pattern where
-    re-ranking from scratch at 10^12 docs is the cost you're avoiding.
-    New vertices seed uniformly; the seed renormalizes to sum 1 inside
-    pagerank(). Fixed iteration counts keep the DuckDB oracle an exact
-    two-chain unroll."""
-    from combblas_spark.graph import build_graph, hashed_dst
-
-    ev = spark.read.parquet(f"{sf}/events.parquet")
-    nv = int(ev.agg(F.max("user_id")).collect()[0][0]) + 1
-    raw_old = ev.where(F.col("event_id") % 2 == 0).select(
-        F.col("user_id").alias("src"), hashed_dst("event_id", nv).alias("dst"))
-    g_old = build_graph(raw_old, drop_loops=True, sum_duplicates=True)
+    start): rank the parity-snapshot graph for 6 iterations, then
+    warm-start the FULL graph from those ranks for only 3 more — the
+    production crawl-refresh pattern where re-ranking from scratch at
+    10^12 docs is the cost you're avoiding. New vertices seed
+    uniformly; the seed renormalizes to sum 1 inside pagerank(). Fixed
+    iteration counts keep the DuckDB oracle an exact two-chain
+    unroll."""
+    g_old = events_graph(spark, sf, pred=F.col("event_id") % 2 == 0)
     ranks_old = pagerank(g_old, alpha=ALPHA, n_iter=PR_INC_OLD)
     g_new = events_graph(spark, sf)
     r = pagerank(g_new, alpha=ALPHA, n_iter=PR_INC_NEW,

@@ -69,31 +69,36 @@ def vertex_features(edges: DataFrame) -> DataFrame:
       comp                  -- component label (min member id)
       comp_size             -- size of that component
 
-    The vertex set is every endpoint of ``edges``. All columns except
-    local_cc are exact integers (see module docstring).
+    The vertex set is every endpoint of ``edges`` — including a vertex
+    whose only edges are self-loops (it gets a deg-0 row; loops count
+    toward NO degree, the simple-graph convention shared by every
+    constituent). All columns except local_cc are exact integers (see
+    module docstring).
     """
-    de = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     verts = (
-        de.select(F.col("src").alias("id"))
-        .unionByName(de.select(F.col("dst").alias("id")))
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
+    de = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     out_deg = de.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg"))
     in_deg = de.groupBy(F.col("dst").alias("id")).agg(
         F.count(F.lit(1)).alias("in_deg"))
-    L = lower_triangle(edges)
+    # ONE symmetrize+distinct shuffle shared by und_deg and the triangle
+    # enumeration (triangles_per_vertex would otherwise rebuild it)
+    L = lower_triangle(edges).persist()
     und_deg = (
         L.select(F.col("src").alias("id"))
         .unionByName(L.select(F.col("dst").alias("id")))
         .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
     )
-    tri = triangles_per_vertex(edges).select("id", "tri")
+    tri = triangles_per_vertex(edges, lt=L).select("id", "tri")
     core = core_numbers(edges).select("id", "core")
     comp = connected_components(edges).select("id", "comp")
     csize = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("comp_size"))
     wedges = (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
-    return (
+    out = (
         verts
         .join(out_deg, "id", "left")
         .join(in_deg, "id", "left")
@@ -118,3 +123,8 @@ def vertex_features(edges: DataFrame) -> DataFrame:
             "comp_size",
         )
     )
+    # materialize (it's a feature-table build, not a lazy view) so the
+    # shared lower-triangle cache can be released before returning
+    out = out.localCheckpoint(eager=True)
+    L.unpersist()
+    return out

@@ -63,13 +63,18 @@ def triangle_count(edges: DataFrame, order_by_degree: bool = False) -> int:
     return n
 
 
-def triangles_per_vertex(edges: DataFrame, order_by_degree: bool = False) -> DataFrame:
+def triangles_per_vertex(edges: DataFrame, order_by_degree: bool = False,
+                         lt: DataFrame | None = None) -> DataFrame:
     """(id, tri) — number of triangles incident to each vertex.
 
     L persisted for the same triple-reference reason as triangle_count;
     the result is materialized (eager localCheckpoint) so the cache can
-    be released before returning."""
-    L = lower_triangle(edges, order_by_degree).persist()
+    be released before returning. ``lt`` lets a caller that already
+    holds the persisted lower triangle (e.g. vertex_features) pass it
+    in, skipping the second symmetrize+distinct shuffle; ownership stays
+    with the caller (not unpersisted here)."""
+    caller_owns = lt is not None
+    L = lt if caller_owns else lower_triangle(edges, order_by_degree).persist()
     ab = L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = (
@@ -85,5 +90,6 @@ def triangles_per_vertex(edges: DataFrame, order_by_degree: bool = False) -> Dat
         .agg(F.count(F.lit(1)).alias("tri"))
     )
     per_v = per_v.localCheckpoint(eager=True)
-    L.unpersist()
+    if not caller_owns:
+        L.unpersist()
     return per_v

@@ -250,7 +250,9 @@ def dedup_paragraphs(
     content).
 
     Returns (id, clean_text, n_removed) for every input doc; a doc
-    whose every paragraph appeared earlier comes back as ''.
+    whose every paragraph appeared earlier comes back as '', and a doc
+    with NULL text comes back as ('', 0). ``sep`` is treated as a
+    LITERAL separator (regex metacharacters escaped before the split).
 
     Scale design: explode to (paragraph, id, pos) once; the winner per
     paragraph is ONE hash aggregate (min of the (id, pos) struct —
@@ -260,9 +262,11 @@ def dedup_paragraphs(
     The keep-first rule is deterministic and partition-invariant, so
     the kept subset is stable across runs and engines.
     """
+    import re as _re
+
     paras = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "para"),
     )
     first = paras.groupBy("para").agg(F.min(F.struct("id", "pos")).alias("_w"))
     kept = (
@@ -283,14 +287,17 @@ def dedup_paragraphs(
         )
     )
     totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("_ntot"))
+    # left joins so NULL-text docs (which explode to zero rows) still
+    # come back as ('', 0) per the contract
     return (
         docs.select(F.col(id_col).alias("id"))
-        .join(totals, "id")
+        .join(totals, "id", "left")
         .join(rebuilt, "id", "left")
         .select(
             "id",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.col("_ntot") - F.coalesce("_nkept", F.lit(0))).alias("n_removed"),
+            (F.coalesce("_ntot", F.lit(0))
+             - F.coalesce("_nkept", F.lit(0))).alias("n_removed"),
         )
     )
 

@@ -141,13 +141,18 @@ def relabel_to_dense_ids(edges_by_label: DataFrame, label_cols=("src_url", "dst_
     return e, dict_df
 
 
-def events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_graph(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
     """Canonical deterministic link graph derived from the events table.
 
     Rule (exactly reproducible in ANSI SQL for the DuckDB oracle):
         src = user_id
         dst = ((event_id % nv) * (2654435761 % nv)) % nv,  nv = max(user_id)+1
         drop loops, sum duplicate edges into val (double).
+
+    ``pred`` (a Column over the events schema) optionally restricts the
+    event rows — the snapshot-subgraph hook (Python twin of
+    events_graph_sql(pred=)); nv is ALWAYS computed over the full table
+    so snapshot vertex ids line up across snapshots.
 
     The mod-before-multiply form is mathematically identical to
     (event_id * 2654435761) % nv but never overflows int64 for
@@ -163,6 +168,8 @@ def events_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     nv = int(events.agg(F.max("user_id")).collect()[0][0]) + 1
+    if pred is not None:
+        events = events.where(pred)
     raw = events.select(
         F.col("user_id").alias("src"),
         hashed_dst("event_id", nv).alias("dst"),

@@ -1894,3 +1894,17 @@ def test_pagerank_warm_start_new_vertices_seed_uniform(spark):
     assert set(rows) == {0, 1, 2}
     assert all(v is not None and v > 0 for v in rows.values())
     assert abs(sum(rows.values()) - 1.0) < 1e-9
+
+
+def test_vertex_features_loop_only_vertex(spark):
+    """A vertex whose only edge is a self-loop is still an endpoint:
+    it must get a (deg 0, its own singleton component) feature row."""
+    from combblas_spark.algorithms.features import vertex_features
+
+    rows = {r["id"]: r for r in vertex_features(
+        df_edges(spark, [(0, 1), (5, 5)])).collect()}
+    assert set(rows) == {0, 1, 5}
+    r5 = rows[5]
+    assert (r5["out_deg"], r5["in_deg"], r5["deg"], r5["tri"]) == (0, 0, 0, 0)
+    assert (r5["comp"], r5["comp_size"]) == (5, 1)
+    assert r5["local_cc"] is None

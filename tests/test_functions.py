@@ -834,3 +834,17 @@ def test_dedup_paragraphs_partition_invariance(spark):
     total_kept = sum(
         len([l for l in t.split("\n") if l]) for _, t, _ in a)
     assert total_kept == 4
+
+
+def test_dedup_paragraphs_null_text_and_literal_sep(spark):
+    from combblas_spark.functions.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "a|b"), (2, "b|c"), (3, None)], "doc_id long, text string")
+    got = {r["id"]: (r["clean_text"], r["n_removed"])
+           for r in dedup_paragraphs(docs, sep="|").collect()}
+    # '|' must be a LITERAL separator, not an empty-alternation regex
+    assert got[1] == ("a|b", 0)
+    assert got[2] == ("c", 1)
+    # NULL text still yields a row per the contract
+    assert got[3] == ("", 0)

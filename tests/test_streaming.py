@@ -417,7 +417,7 @@ def test_streaming_sessions_equal_batch(spark, tmp_path):
     from combblas_spark.streaming.sessions import run_streaming_sessions
 
     src_dir = str(tmp_path / "sess_in")
-    gap = 100  # seconds; event gaps below are 30 or 200 — never == gap
+    gap = 100  # seconds; inter-event gaps below are 30, 240, 260 — never == gap
 
     def ev(spark, rows):
         t0 = dt.datetime(2025, 1, 1)
