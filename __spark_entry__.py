@@ -2257,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "degree_delta": q_degree_delta,
         "pagerank_incremental": q_pagerank_incremental,
+        "cc_incremental": q_cc_incremental,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3168,6 +3169,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["paragraph_dedup"] = _paragraph_dedup_sql()
     sqls["degree_delta"] = _degree_delta_sql()
     sqls["pagerank_incremental"] = _pagerank_incremental_sql()
+    sqls["cc_incremental"] = sqls["connected_components"]
     return sqls
 
 
@@ -4740,3 +4742,17 @@ def _pagerank_incremental_sql() -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(pr, 6) AS \"rank\" FROM n_r{PR_INC_NEW}"
     )
+
+
+def q_cc_incremental(spark, sf):
+    """Incremental connected components over a grow-only crawl delta:
+    FastSV warm-started (initial_labels=) from the parity-snapshot
+    labeling. The result is EXACTLY the cold min-label components of
+    the full graph (warm start changes convergence speed, never the
+    fixpoint — components.py documents why grow-only deltas preserve
+    the FastSV invariant), so the oracle is the standard recursive
+    reach closure."""
+    old = connected_components(
+        events_graph(spark, sf, pred=F.col("event_id") % 2 == 0))
+    g = events_graph(spark, sf)
+    return connected_components(g, initial_labels=old).select("id", "comp")

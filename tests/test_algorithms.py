@@ -1908,3 +1908,20 @@ def test_vertex_features_loop_only_vertex(spark):
     assert (r5["out_deg"], r5["in_deg"], r5["deg"], r5["tri"]) == (0, 0, 0, 0)
     assert (r5["comp"], r5["comp_size"]) == (5, 1)
     assert r5["local_cc"] is None
+
+
+def test_cc_incremental_warm_equals_cold(spark):
+    """Grow-only delta: FastSV warm-started from the old labeling must
+    reach the identical min-label fixpoint as a cold run."""
+    from combblas_spark.algorithms.components import connected_components
+
+    old = df_edges(spark, [(0, 1), (2, 3), (5, 6)])
+    # delta merges {0,1} with {2,3} and adds a brand-new vertex 9
+    grown = df_edges(spark, [(0, 1), (2, 3), (5, 6), (1, 2), (6, 9)])
+    labels_old = connected_components(old)
+    warm = {(r["id"], r["comp"]) for r in
+            connected_components(grown, initial_labels=labels_old).collect()}
+    cold = {(r["id"], r["comp"]) for r in
+            connected_components(grown).collect()}
+    assert warm == cold
+    assert (9, 5) in warm  # new vertex joined the {5,6} component
