@@ -197,6 +197,19 @@ def main() -> None:
     assert all(m not in plan for m in
                ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonRDD")), plan
     print("selective_prune: anti-join + flag joins, PYTHON-FREE (asserted)")
+
+    print("=== 10. keep-first paragraph dedup: min-struct hash agg, NO "
+          "window, no Python ===")
+    from combblas_spark.functions.text import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pd_plan = dedup_paragraphs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in pd_plan, pd_plan        # winner is an aggregate, not a rank
+    assert "Cartesian" not in pd_plan and "BroadcastNestedLoop" not in pd_plan, pd_plan
+    assert all(m not in pd_plan for m in
+               ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonRDD")), pd_plan
+    print("dedup_paragraphs: explode + min-struct hash agg + joins, "
+          "window-free, PYTHON-FREE (asserted)")
     spark.stop()
 
 
