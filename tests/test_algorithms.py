@@ -1925,3 +1925,13 @@ def test_cc_incremental_warm_equals_cold(spark):
             connected_components(grown).collect()}
     assert warm == cold
     assert (9, 5) in warm  # new vertex joined the {5,6} component
+
+
+def test_vertex_features_partition_invariance(spark):
+    from combblas_spark.algorithms.features import vertex_features
+
+    E = [(i, (i * 7 + 3) % 23) for i in range(60)] + [(2, 9), (9, 2), (4, 4)]
+    e = df_edges(spark, E)
+    a = sorted(map(tuple, vertex_features(e).collect()))
+    b = sorted(map(tuple, vertex_features(e.repartition(13)).collect()))
+    assert a == b

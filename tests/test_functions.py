@@ -848,3 +848,27 @@ def test_dedup_paragraphs_null_text_and_literal_sep(spark):
     assert got[2] == ("c", 1)
     # NULL text still yields a row per the contract
     assert got[3] == ("", 0)
+
+
+def test_dedup_paragraphs_idempotent(spark):
+    """A second keep-first pass over already-deduped texts removes
+    nothing: every surviving paragraph occurrence is already the global
+    first (empty docs collapse to a single '' paragraph whose sole
+    survivor is the smallest doc id — also stable on re-run)."""
+    from combblas_spark.functions.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "y\nz"), (3, "x\nz\nw"), (4, "w")],
+        "doc_id long, text string",
+    )
+    once = dedup_paragraphs(docs)
+    again = dedup_paragraphs(
+        once.select(F.col("id").alias("doc_id"), F.col("clean_text").alias("text")))
+    a = {r["id"]: (r["clean_text"], r["n_removed"]) for r in again.collect()}
+    o = {r["id"]: r["clean_text"] for r in once.collect()}
+    # every non-empty doc is unchanged with zero removals (fully-emptied
+    # docs become '' paragraphs, which legitimately re-dedup among
+    # themselves, so they are excluded from the invariant)
+    for i, t in o.items():
+        if t:
+            assert a[i] == (t, 0)
