@@ -1098,7 +1098,9 @@ ANF_SEED = 42
 HITS_ITERS = 5
 KCORE_K = 15
 KCORE_ROUNDS = 14     # oracle unroll; engine converges in 11 at sf0.01
-CORENESS_ITERS = 13   # oracle unroll; engine converges in 10 at sf0.01
+CORENESS_ITERS = 28   # oracle unroll; engine converges in 10 at sf0.01 and
+                      # 25 at sf0.1 (measured via DuckDB fixpoint loop) —
+                      # unrolled past BOTH so the twin is scale-honest
 THIN_MOD, THIN_KEEP = 10, 2
 
 
