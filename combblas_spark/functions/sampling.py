@@ -83,6 +83,85 @@ def weighted_sample(
         sample_hash(F.col(key_col), salt).cast("double") < w * float(_BUCKETS))
 
 
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    buckets: int = 256,
+    smoothing: float = 1.0,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): score every
+    document by how much its hashed-unigram distribution looks like the
+    TARGET slice (rows where ``is_target``) vs the whole corpus:
+
+        weight(d) = mean over token occurrences t in d of
+                    ln( p_target(bucket(t)) / p_corpus(bucket(t)) )
+
+    with add-``smoothing`` estimates over ``buckets`` hash buckets.
+    Returns (id, n_tokens, logratio); empty/token-free docs get
+    logratio 0.0. Rank by logratio (or feed exp(logratio) through
+    weighted_sample) to select corpus data that matches a high-quality
+    target domain.
+
+    Determinism/scale: tokens are the shared word_tokens rule
+    (functions/text.py — lowercase alphanumeric runs), the bucket hash
+    is the md5 counter-hash idiom (SQL-replayable), and the bucket
+    tables are ``buckets`` rows — broadcast into the per-token join, so
+    the whole operator is two token-level aggregations plus one
+    broadcast join; nothing quadratic, no windows.
+    """
+    from combblas_spark.functions.text import word_tokens
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if smoothing <= 0:
+        # zero smoothing divides by zero on an empty target slice and
+        # sends never-seen-in-target buckets to ln(0) = -inf
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    toks = docs.select(
+        F.col(doc_col).alias("id"),
+        is_target.alias("_t"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    ).select(
+        "id", "_t",
+        (sample_hash(F.col("tok"), salt) % buckets).alias("b"),
+    )
+    stats = toks.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = stats.agg(
+        F.sum("cr").alias("_nr"), F.sum("ct").alias("_nt"))
+    s = float(smoothing)
+    lm = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.log(
+                ((F.col("ct") + s) / (F.col("_nt") + s * buckets))
+                / ((F.col("cr") + s) / (F.col("_nr") + s * buckets))
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(lm), "b")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.round(F.avg("_lr"), 6).alias("logratio"))
+    )
+    return (
+        docs.select(F.col(doc_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("logratio", F.lit(0.0)).alias("logratio"),
+        )
+    )
+
+
 def per_group_cap(
     df: DataFrame,
     group_col: str,

@@ -1935,3 +1935,143 @@ def test_vertex_features_partition_invariance(spark):
     a = sorted(map(tuple, vertex_features(e).collect()))
     b = sorted(map(tuple, vertex_features(e.repartition(13)).collect()))
     assert a == b
+
+
+# ----------------------------------------------------------------- MST
+
+def _kruskal(edges):
+    """Matroid-greedy MSF under the (w, u, v) total order — the unique
+    forest Boruvka must also produce under the same tie-break."""
+    canon = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        u, v = (s, d) if s < d else (d, s)
+        if (u, v) not in canon or w < canon[(u, v)]:
+            canon[(u, v)] = w
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for (u, v), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.add((u, v, w))
+    return out
+
+
+def test_mst_known(spark):
+    from combblas_spark.algorithms.mst import boruvka_msf
+
+    # two components + a weight tie broken by (w, u, v) + a parallel
+    # edge collapsing to its lighter copy
+    E = [
+        (0, 1, 1.0), (1, 2, 2.0), (0, 2, 2.0),   # tie 2.0: (0,2) beats (1,2)
+        (2, 0, 5.0),                              # heavier parallel copy
+        (3, 4, 7.0),                              # second component
+    ]
+    got = {(r["u"], r["v"], r["w"])
+           for r in boruvka_msf(df_edges(spark, E)).collect()}
+    assert got == {(0, 1, 1.0), (0, 2, 2.0), (3, 4, 7.0)}
+
+
+def test_mst_matches_kruskal_on_rmat(spark):
+    from combblas_spark.algorithms.mst import boruvka_msf
+    from combblas_spark.graph import build_graph
+    import pyspark.sql.functions as F
+
+    raw = rmat_edges(spark, scale=7, edgefactor=4, seed=17)
+    g = build_graph(raw.withColumn("val", ((F.col("src") * 7 + F.col("dst") * 13) % 10 + 1).cast("double")),
+                    drop_loops=True, sum_duplicates=False)
+    triples = [(r["src"], r["dst"], r["val"]) for r in g.collect()]
+    want = _kruskal(triples)
+    got = {(r["u"], r["v"], r["w"]) for r in boruvka_msf(g).collect()}
+    assert got == want
+    # spanning-forest size: |V| - #components
+    from combblas_spark.algorithms.components import connected_components
+    ncomp = connected_components(g).select("comp").distinct().count()
+    nv = len({x for s, d, _ in triples for x in (s, d)})
+    assert len(got) == nv - ncomp
+
+
+def test_mst_partition_invariance(spark):
+    from combblas_spark.algorithms.mst import boruvka_msf
+
+    E = [(i, (i * 5 + 2) % 19, float((i * 3) % 7 + 1)) for i in range(40)]
+    e = df_edges(spark, E)
+    a = sorted(map(tuple, boruvka_msf(e).collect()))
+    b = sorted(map(tuple, boruvka_msf(e.repartition(13)).collect()))
+    assert a == b
+
+
+def test_mst_raises_on_round_cap(spark):
+    import pytest as _pytest
+    from combblas_spark.algorithms.mst import boruvka_msf
+
+    # two mutual-min pairs that only merge in round 2; max_rounds=1
+    # must fail loudly, not return a partial forest
+    e = df_edges(spark, [(0, 1, 1.0), (2, 3, 1.0), (1, 2, 5.0), (3, 0, 5.0)])
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        boruvka_msf(e, max_rounds=1)
+
+
+# ----------------------------------------------------------------- coloring
+
+def test_coloring_proper_total_deterministic(spark):
+    from combblas_spark.algorithms.coloring import jp_coloring
+    from combblas_spark.graph import build_graph
+
+    raw = rmat_edges(spark, scale=7, edgefactor=4, seed=23)
+    g = build_graph(raw, drop_loops=True, sum_duplicates=True)
+    col = jp_coloring(g, seed=42)
+    colors = {r["id"]: r["color"] for r in col.collect()}
+    verts = {x for r in g.select("src", "dst").collect() for x in (r["src"], r["dst"])}
+    assert set(colors) == verts  # total
+    for r in g.select("src", "dst").collect():  # proper
+        if r["src"] != r["dst"]:
+            assert colors[r["src"]] != colors[r["dst"]]
+    again = {r["id"]: r["color"]
+             for r in jp_coloring(g.repartition(13), seed=42).collect()}
+    assert again == colors  # partition-invariant
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        jp_coloring(g, seed=42, max_rounds=1)
+
+
+# ----------------------------------------------------------------- adamic-adar
+
+def test_adamic_adar_known(spark):
+    import math
+
+    from combblas_spark.algorithms.linkpred import adamic_adar
+
+    # star center 0 over {1,2,3} plus edge 1-2: candidate pairs through
+    # center 0 are (1,2),(1,3),(2,3); (1,2) is an existing edge -> out;
+    # wedges through 1 and 2 (deg 2 each) add to (0-side pairs only)
+    E = [(0, 1), (0, 2), (0, 3), (1, 2)]
+    got = {(r["a"], r["b"]): (r["cn"], r["aa"])
+           for r in adamic_adar(df_edges(spark, E), min_common=1,
+                                max_center_degree=None).collect()}
+    w3, w2 = 1 / math.log(3), 1 / math.log(2)
+    assert set(got) == {(1, 3), (2, 3)}
+    assert got[(1, 3)][0] == 1 and abs(got[(1, 3)][1] - round(w3, 6)) < 1e-9
+    assert got[(2, 3)][0] == 1 and abs(got[(2, 3)][1] - round(w3, 6)) < 1e-9
+    # cap=2 removes center 0 (deg 3): no wedge can see both ends of any
+    # non-adjacent pair -> empty
+    assert adamic_adar(df_edges(spark, E), min_common=1,
+                       max_center_degree=2).count() == 0
+    # min_common=2: a 4-cycle 0-1-2-3-0 gives (0,2) and (1,3) two
+    # common neighbors each
+    C = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    got2 = {(r["a"], r["b"]): r["cn"]
+            for r in adamic_adar(df_edges(spark, C), min_common=2,
+                                 max_center_degree=None).collect()}
+    assert got2 == {(0, 2): 2, (1, 3): 2}

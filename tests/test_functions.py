@@ -872,3 +872,65 @@ def test_dedup_paragraphs_idempotent(spark):
     for i, t in o.items():
         if t:
             assert a[i] == (t, 0)
+
+
+# ----------------------------------------------------------------- DSIR
+
+def test_dsir_weights_exact_and_guards(spark):
+    import hashlib
+    import math
+    import re
+
+    import pytest as _pytest
+
+    from combblas_spark.functions.sampling import dsir_weights
+    import pyspark.sql.functions as F
+
+    docs = [
+        (0, "alpha beta alpha", True),
+        (1, "beta gamma", True),
+        (2, "gamma gamma delta", False),
+        (3, "alpha delta", False),
+        (4, "", False),          # token-free -> logratio 0.0
+        (5, None, True),         # NULL text -> token-free
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, is_t boolean")
+    B, S = 16, 1.0
+    got = {r["id"]: (r["n_tokens"], r["logratio"])
+           for r in dsir_weights(df, F.col("is_t"), buckets=B,
+                                 doc_col="doc_id").collect()}
+
+    # local twin: same md5 bucket hash, same add-1 smoothing
+    def bucket(tok):
+        return int(hashlib.md5(f"dsir:{tok}".encode()).hexdigest()[:8], 16) % B
+
+    occ = []  # (doc, bucket, is_target)
+    for did, text, t in docs:
+        for tok in re.split(r"[^a-z0-9]+", (text or "").lower()):
+            if tok:
+                occ.append((did, bucket(tok), t))
+    nr = len(occ)
+    nt = sum(1 for _, _, t in occ if t)
+    from collections import Counter
+    cr = Counter(b for _, b, _ in occ)
+    ct = Counter(b for _, b, t in occ if t)
+    want = {}
+    for did, _, _ in docs:
+        mine = [b for d, b, _ in occ if d == did]
+        if not mine:
+            want[did] = (0, 0.0)
+            continue
+        lrs = [math.log(((ct[b] + S) / (nt + S * B)) / ((cr[b] + S) / (nr + S * B)))
+               for b in mine]
+        want[did] = (len(mine), round(sum(lrs) / len(lrs), 6))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9, (k, got[k], want[k])
+    # the target-language doc must outscore the off-target doc
+    assert got[0][1] > got[2][1]
+
+    with _pytest.raises(ValueError, match="smoothing"):
+        dsir_weights(df, F.col("is_t"), smoothing=0.0)
+    with _pytest.raises(ValueError, match="buckets"):
+        dsir_weights(df, F.col("is_t"), buckets=0)
