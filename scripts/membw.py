@@ -11,8 +11,9 @@ scaling can be judged against the achievable hardware envelope rather
 than an ideal 4.0x.
 
 Method: P worker processes (multiprocessing, no shared GIL) each stream
-numpy copies over a 256 MB buffer (far beyond LLC) for a fixed wall
-window; aggregate GB/s = sum of per-process (2 x bytes_copied / wall).
+numpy copies between two 64 MB buffers (128 MB working set, far beyond
+LLC) for a fixed wall window; aggregate GB/s = sum of per-process
+(2 x bytes_copied / wall).
 Usage: python scripts/membw.py [--procs 1,2,8,32] [--seconds 6]
 Prints one JSON line {"levels": {"1": gbps, ...}, "scaling": {...}}.
 """

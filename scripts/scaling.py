@@ -29,7 +29,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def submit(master_cores: int, shuffle: int, extra_args: list[str]) -> dict:
     zip_path = "/tmp/combblas_spark_scaling.zip"
-    if not os.path.exists(zip_path):
+    # rebuild when ANY package source is newer than the zip — a stale
+    # zip would silently measure old code (evidence-integrity bug)
+    src_mtime = max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fns in os.walk(os.path.join(REPO, "combblas_spark"))
+        for f in fns if f.endswith(".py"))
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
+        if os.path.exists(zip_path):
+            os.unlink(zip_path)
         subprocess.run(["zip", "-qr", zip_path, "combblas_spark"], cwd=REPO, check=True)
     # 20g heap (default G1) at EVERY level — measured this round:
     # 80g heap at local[32] HALVES throughput (G1 pause blowup), and
