@@ -2327,6 +2327,18 @@ def _coloring_sql(rounds: int = COLOR_ROUNDS, seed: int = 42) -> str:
             + " UNION ALL ".join(wins) + ")")
 
 
+def q_sssp_delta(spark, sf):
+    """Delta-stepping SSSP (Meyer & Sanders 2003) — bucketed MinPlus
+    relaxation, light edges iterated per bucket, heavy once. Shares the
+    Bellman-Ford oracle: both reach the identical shortest-path
+    fixpoint (the algorithms differ only in superstep schedule)."""
+    from combblas_spark.algorithms.sssp import delta_stepping_sssp
+
+    g = events_graph(spark, sf)
+    d = delta_stepping_sssp(g, root=0, delta=2.0, directed=True)
+    return d.select("id", F.round("dist", 6).alias("dist"))
+
+
 DSIR_BUCKETS = 256
 
 
@@ -2434,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "coloring": q_coloring,
         "dsir": q_dsir,
+        "sssp_delta": q_sssp_delta,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3350,6 +3363,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["adamic_adar"] = _adamic_adar_sql()
     sqls["coloring"] = _coloring_sql()
     sqls["dsir"] = _dsir_sql()
+    sqls["sssp_delta"] = sqls["sssp"]
     return sqls
 
 

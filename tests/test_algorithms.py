@@ -2075,3 +2075,51 @@ def test_adamic_adar_known(spark):
             for r in adamic_adar(df_edges(spark, C), min_common=2,
                                  max_center_degree=None).collect()}
     assert got2 == {(0, 2): 2, (1, 3): 2}
+
+
+# ----------------------------------------------------------------- delta-stepping
+
+def test_delta_stepping_equals_bellman_ford(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.sssp import delta_stepping_sssp, sssp
+    from combblas_spark.graph import build_graph
+
+    raw = rmat_edges(spark, scale=7, edgefactor=4, seed=29)
+    g = build_graph(raw.withColumn(
+        "val", ((F.col("src") * 11 + F.col("dst") * 3) % 9 + 1).cast("double")),
+        drop_loops=True, sum_duplicates=False)
+    want = {(r["id"], round(r["dist"], 9)) for r in sssp(g, root=0).collect()}
+    for delta in (1.0, 4.0, 100.0):
+        got = {(r["id"], round(r["dist"], 9))
+               for r in delta_stepping_sssp(g, root=0, delta=delta).collect()}
+        assert got == want, f"delta={delta}"
+
+    # undirected variant agrees too
+    wu = {(r["id"], round(r["dist"], 9))
+          for r in sssp(g, root=0, directed=False).collect()}
+    gu = {(r["id"], round(r["dist"], 9))
+          for r in delta_stepping_sssp(g, root=0, delta=3.0,
+                                       directed=False).collect()}
+    assert gu == wu
+
+    with _pytest.raises(ValueError, match="delta"):
+        delta_stepping_sssp(g, root=0, delta=0.0)
+    bad = df_edges(spark, [(0, 1, 0.0)])
+    with _pytest.raises(ValueError, match="weights"):
+        delta_stepping_sssp(bad, root=0, delta=1.0)
+
+
+def test_delta_stepping_known_and_bucket_schedule(spark):
+    from combblas_spark.algorithms.sssp import delta_stepping_sssp
+
+    # path with one heavy shortcut: 0-1-2 light (1+1), 0->2 heavy (5)
+    e = df_edges(spark, [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0)])
+    m = []
+    got = {r["id"]: r["dist"]
+           for r in delta_stepping_sssp(e, root=0, delta=2.0,
+                                        metrics=m).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}
+    # the heavy 0->2=5 relaxation must not survive: light path wins
+    assert all(x["bucket"] >= 0 for x in m)
