@@ -210,6 +210,57 @@ def main() -> None:
                ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonRDD")), pd_plan
     print("dedup_paragraphs: explode + min-struct hash agg + joins, "
           "window-free, PYTHON-FREE (asserted)")
+
+    print("=== 11. r4d ops: Boruvka pick round / AA wedge join / JP wave "
+          "/ DSIR score — joins+aggs only, no cartesian, no Python ===")
+    cedges = (g.select(F.least("src", "dst").alias("u"),
+                       F.greatest("src", "dst").alias("v"),
+                       F.col("val").alias("w"))
+              .groupBy("u", "v").agg(F.min("w").alias("w"))
+              .repartition(16, "u").persist())
+    cedges.count()
+    comp = vertices(g).select("id", F.col("id").alias("c")).localCheckpoint()
+    ce = (cedges
+          .join(comp.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u")
+          .join(comp.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v")
+          .filter(F.col("cu") != F.col("cv")))
+    mst_pick = (
+        ce.select(F.col("cu").alias("c"),
+                  F.struct("w", "u", "v", F.col("cv").alias("oc")).alias("s"))
+        .unionByName(ce.select(F.col("cv").alias("c"),
+                               F.struct("w", "u", "v", F.col("cu").alias("oc")).alias("s")))
+        .groupBy("c").agg(F.min("s").alias("s"))
+    )
+    from combblas_spark.algorithms.linkpred import adamic_adar
+    from combblas_spark.functions.sampling import dsir_weights
+
+    aa = adamic_adar(g, min_common=2, max_center_degree=64)
+    pri = vertices(g).select(
+        "id", F.md5(F.concat_ws(":", F.lit("42"), F.col("id").cast("string"))
+                    .cast("binary")).alias("p")).localCheckpoint()
+    live = (sym.join(pri.withColumnsRenamed({"id": "src", "p": "_ps"}), "src")
+            .join(pri.select(F.col("id").alias("dst")), "dst", "left_semi"))
+    jp_wave = (pri.join(live.groupBy(F.col("dst").alias("id"))
+                        .agg(F.max("_ps").alias("_np")), "id", "left")
+               .filter(F.col("_np").isNull() | (F.col("p") > F.col("_np"))))
+    dsir = dsir_weights(docs, F.col("lang") == "en")
+    for name, df in (("mst_pick_round", mst_pick), ("adamic_adar", aa),
+                     ("jp_coloring_wave", jp_wave), ("dsir_weights", dsir)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan, name
+        if name == "dsir_weights":
+            # the ONE BroadcastNestedLoopJoin is the sanctioned 1-row
+            # broadcast totals join (same pattern as pagerank's dangling
+            # mass); anything more would be a real nested loop
+            assert plan.count("BroadcastNestedLoop") <= 1, plan
+        else:
+            assert "BroadcastNestedLoop" not in plan, name
+        assert "Window" not in plan, name  # all four are window-free
+        assert all(m not in plan for m in
+                   ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "PythonRDD")), name
+        print(f"{name}: equi-joins + hash aggs, window-free, "
+              "PYTHON-FREE (asserted)")
     spark.stop()
 
 
