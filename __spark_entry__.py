@@ -2304,8 +2304,13 @@ def _coloring_sql(rounds: int = COLOR_ROUNDS, seed: int = 42) -> str:
     per vertex, unrolled waves of uncolored local maxima."""
     ctes = [
         f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
-        "sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)",
-        f"u0 AS (SELECT DISTINCT src AS id, md5('{seed}:' || CAST(src AS VARCHAR)) AS p FROM sym)",
+        # loop-free neighbor view (self-loops are ignored — a vertex is
+        # not its own neighbor); u0 keeps loop-only vertices so they
+        # still receive a color, mirroring jp_coloring
+        "sym AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) WHERE src <> dst)",
+        f"u0 AS (SELECT DISTINCT id, md5('{seed}:' || CAST(id AS VARCHAR)) AS p "
+        "FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
     ]
     wins = []
     for k in range(rounds):
@@ -3638,8 +3643,13 @@ def _mis_sql(rounds: int = MIS_ROUNDS, seed: int = 42,
     the semantically filtered graph, FilteredMIS.cpp analogue)."""
     ctes = [
         f"edges AS MATERIALIZED ({edges_sql or EDGES})",
-        "sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)",
-        "cand0 AS (SELECT DISTINCT src AS id FROM sym)",
+        # loop-free neighbor view (self-loops ignored, mirroring mis.py);
+        # cand0 keeps loop-only vertices — they are isolated in sym and
+        # win round 0
+        "sym AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) WHERE src <> dst)",
+        "cand0 AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
     ]
     wins = []
     for k in range(rounds):

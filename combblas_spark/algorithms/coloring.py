@@ -43,7 +43,12 @@ def jp_coloring(
     """
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # self-loops are IGNORED (a vertex is not its own neighbor): left in,
+    # a loop vertex would see its own priority as an uncolored-neighbor
+    # max and could never win a wave — the run would falsely hit the
+    # round cap. Loop-only vertices still get a color (wave 0).
     sym = (symmetrize_partitioned(edges, "src", shuffle_n)
+           .filter(F.col("src") != F.col("dst"))
            .select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK))
     sym.count()
 
@@ -57,31 +62,34 @@ def jp_coloring(
 
     uncolored = pri
     colored = spark.createDataFrame([], "id long, color int")
-    for wave in range(max_rounds):
-        if uncolored.isEmpty():
-            break
-        # max UNCOLORED-neighbor priority (edges with both ends live)
-        live = (
-            sym.join(uncolored.withColumnsRenamed({"id": "src", "p": "_ps"}), "src")
-            .join(uncolored.select(F.col("id").alias("dst")), "dst", "left_semi")
-        )
-        nbr_max = live.groupBy(F.col("dst").alias("id")).agg(F.max("_ps").alias("_np"))
-        winners = (
-            uncolored.join(nbr_max, "id", "left")
-            .filter(F.col("_np").isNull() | (F.col("p") > F.col("_np")))
-            .select("id", F.lit(wave).cast("int").alias("color"))
-            .localCheckpoint(eager=True)
-        )
-        colored = colored.unionByName(winners).localCheckpoint(eager=True)
-        uncolored = superstep_checkpoint(
-            uncolored.join(winners.select("id"), "id", "left_anti"), wave)
-        if metrics is not None:
-            metrics.append({"wave": wave, "colored": winners.count()})
-    else:
-        if not uncolored.isEmpty():  # pragma: no cover - loud failure
-            raise RuntimeError(
-                f"jp_coloring: uncolored vertices remain after "
-                f"max_rounds={max_rounds}; raise max_rounds")
-
-    sym.unpersist()
+    try:
+        for wave in range(max_rounds):
+            if uncolored.isEmpty():
+                break
+            # max UNCOLORED-neighbor priority (edges with both ends live)
+            live = (
+                sym.join(uncolored.withColumnsRenamed({"id": "src", "p": "_ps"}), "src")
+                .join(uncolored.select(F.col("id").alias("dst")), "dst", "left_semi")
+            )
+            nbr_max = live.groupBy(F.col("dst").alias("id")).agg(F.max("_ps").alias("_np"))
+            winners = (
+                uncolored.join(nbr_max, "id", "left")
+                .filter(F.col("_np").isNull() | (F.col("p") > F.col("_np")))
+                .select("id", F.lit(wave).cast("int").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            colored = colored.unionByName(winners).localCheckpoint(eager=True)
+            uncolored = superstep_checkpoint(
+                uncolored.join(winners.select("id"), "id", "left_anti"), wave)
+            if metrics is not None:
+                metrics.append({"wave": wave, "colored": winners.count()})
+        else:
+            if not uncolored.isEmpty():  # pragma: no cover - loud failure
+                raise RuntimeError(
+                    f"jp_coloring: uncolored vertices remain after "
+                    f"max_rounds={max_rounds}; raise max_rounds")
+    finally:
+        # unpersist on the raise path too — the loud-failure tests run in
+        # a shared session and must not accumulate dead caches
+        sym.unpersist()
     return colored

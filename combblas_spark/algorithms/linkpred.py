@@ -27,6 +27,7 @@ def adamic_adar(
     edges: DataFrame,
     min_common: int = 2,
     max_center_degree: int | None = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Returns (a, b, cn, aa) for non-adjacent pairs a < b sharing at
     least ``min_common`` neighbors whose degree is <= the center cap:
@@ -35,15 +36,21 @@ def adamic_adar(
     Undirected loop-free view; deg counts distinct neighbors. Centers
     with deg 1 cannot form wedges; deg(z) >= 2 for every counted z, so
     ln(deg) > 0 always.
+
+    ``materialize=False`` skips the eager result checkpoint and leaves
+    the cached sym table registered — the plan stays inspectable (the
+    explain audit uses this) and the caller must consume the result
+    promptly and unpersist nothing.
     """
+    from combblas_spark.graph import symmetrize_partitioned
+
     shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # one fused exchange (dedup rides the src layout); loop filter is a
+    # narrow op on top, partitioning preserved
     sym = (
-        edges.filter(F.col("src") != F.col("dst"))
+        symmetrize_partitioned(edges, "src", shuffle_n)
+        .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-                     .filter(F.col("src") != F.col("dst")))
-        .dropDuplicates(["src", "dst"])
-        .repartition(shuffle_n, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
@@ -68,6 +75,9 @@ def adamic_adar(
     existing = sym.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b"))
     out = scored.join(existing, ["a", "b"], "left_anti")
-    out = out.localCheckpoint(eager=True)
-    sym.unpersist()
-    return out
+    if not materialize:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()

@@ -74,97 +74,101 @@ def boruvka_msf(
     )
     chosen = spark.createDataFrame([], "u long, v long, w double")
 
-    for r in range(max_rounds):
-        # cross edges at component granularity
-        ce = (
-            cedges
-            .join(comp.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u")
-            .join(comp.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v")
-            .filter(F.col("cu") != F.col("cv"))
-        )
-        ce = superstep_checkpoint(ce, r)
-        if ce.isEmpty():
-            break
-        # each component's lightest incident edge under the (w, u, v)
-        # total order — min over a struct orders fields lexicographically
-        cand = ce.select(
-            F.col("cu").alias("c"),
-            F.struct("w", "u", "v", F.col("cv").alias("oc")).alias("s"),
-        ).unionByName(
-            ce.select(
-                F.col("cv").alias("c"),
-                F.struct("w", "u", "v", F.col("cu").alias("oc")).alias("s"),
+    try:
+        for r in range(max_rounds):
+            # cross edges at component granularity
+            ce = (
+                cedges
+                .join(comp.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u")
+                .join(comp.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v")
+                .filter(F.col("cu") != F.col("cv"))
             )
-        )
-        sel = (
-            cand.groupBy("c")
-            .agg(F.min("s").alias("s"))
-            .select("c", "s.w", "s.u", "s.v", "s.oc")
-            .localCheckpoint(eager=True)
-        )
-        # the same edge is picked by both endpoint components when it is
-        # the minimum for both — keep one copy
-        chosen = chosen.unionByName(
-            sel.select("u", "v", "w").dropDuplicates(["u", "v"])
-        ).localCheckpoint(eager=True)
-
-        # hook: p[c] = other component; break the per-tree 2-cycle
-        # toward the smaller id (a.oc always appears in sel: it is an
-        # endpoint of a cross edge, hence picked something itself)
-        p = (
-            sel.select("c", F.col("oc").alias("p"))
-            .alias("a")
-            .join(
-                sel.select(F.col("c").alias("p"), F.col("oc").alias("pp")).alias("b"),
-                "p",
+            ce = superstep_checkpoint(ce, r)
+            if ce.isEmpty():
+                break
+            # each component's lightest incident edge under the (w, u, v)
+            # total order — min over a struct orders fields lexicographically
+            cand = ce.select(
+                F.col("cu").alias("c"),
+                F.struct("w", "u", "v", F.col("cv").alias("oc")).alias("s"),
+            ).unionByName(
+                ce.select(
+                    F.col("cv").alias("c"),
+                    F.struct("w", "u", "v", F.col("cu").alias("oc")).alias("s"),
+                )
             )
-            .select(
-                "c",
-                F.when(
-                    (F.col("pp") == F.col("c")) & (F.col("c") < F.col("p")),
-                    F.col("c"),
-                ).otherwise(F.col("p")).alias("p"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # pointer jumping to roots (depth halves per jump)
-        for j in range(max_jumps):
-            nxt = (
-                p.alias("a")
-                .join(p.select(F.col("c").alias("p"), F.col("p").alias("gp")).alias("b"), "p")
-                .select("c", F.col("gp").alias("p"))
+            sel = (
+                cand.groupBy("c")
+                .agg(F.min("s").alias("s"))
+                .select("c", "s.w", "s.u", "s.v", "s.oc")
                 .localCheckpoint(eager=True)
             )
-            if nxt.exceptAll(p).isEmpty():
+            # the same edge is picked by both endpoint components when it is
+            # the minimum for both — keep one copy
+            chosen = chosen.unionByName(
+                sel.select("u", "v", "w").dropDuplicates(["u", "v"])
+            ).localCheckpoint(eager=True)
+
+            # hook: p[c] = other component; break the per-tree 2-cycle
+            # toward the smaller id (a.oc always appears in sel: it is an
+            # endpoint of a cross edge, hence picked something itself)
+            p = (
+                sel.select("c", F.col("oc").alias("p"))
+                .alias("a")
+                .join(
+                    sel.select(F.col("c").alias("p"), F.col("oc").alias("pp")).alias("b"),
+                    "p",
+                )
+                .select(
+                    "c",
+                    F.when(
+                        (F.col("pp") == F.col("c")) & (F.col("c") < F.col("p")),
+                        F.col("c"),
+                    ).otherwise(F.col("p")).alias("p"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # pointer jumping to roots (depth halves per jump)
+            for j in range(max_jumps):
+                nxt = (
+                    p.alias("a")
+                    .join(p.select(F.col("c").alias("p"), F.col("p").alias("gp")).alias("b"), "p")
+                    .select("c", F.col("gp").alias("p"))
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.exceptAll(p).isEmpty():
+                    p = nxt
+                    break
                 p = nxt
-                break
-            p = nxt
+            else:
+                raise RuntimeError(
+                    f"boruvka_msf: pointer jumping did not reach roots in "
+                    f"max_jumps={max_jumps} (round {r})")
+
+            comp = superstep_checkpoint(
+                comp.join(p.withColumnRenamed("c", "_oc"),
+                          comp.c == F.col("_oc"), "left")
+                .select("id", F.coalesce("p", "c").alias("c")),
+                r,
+            )
+            if metrics is not None:
+                metrics.append({"round": r, "picked": sel.count()})
         else:
-            raise RuntimeError(
-                f"boruvka_msf: pointer jumping did not reach roots in "
-                f"max_jumps={max_jumps} (round {r})")
+            # the loop never saw an empty cross-edge set — recheck against
+            # the FINAL labels before declaring failure
+            left = (
+                cedges
+                .join(comp.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u")
+                .join(comp.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v")
+                .filter(F.col("cu") != F.col("cv"))
+            )
+            if not left.isEmpty():  # pragma: no cover - loud-failure contract
+                raise RuntimeError(
+                    f"boruvka_msf: cross edges remain after max_rounds="
+                    f"{max_rounds}; raise max_rounds")
 
-        comp = superstep_checkpoint(
-            comp.join(p.withColumnRenamed("c", "_oc"),
-                      comp.c == F.col("_oc"), "left")
-            .select("id", F.coalesce("p", "c").alias("c")),
-            r,
-        )
-        if metrics is not None:
-            metrics.append({"round": r, "picked": sel.count()})
-    else:
-        # the loop never saw an empty cross-edge set — recheck against
-        # the FINAL labels before declaring failure
-        left = (
-            cedges
-            .join(comp.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u")
-            .join(comp.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v")
-            .filter(F.col("cu") != F.col("cv"))
-        )
-        if not left.isEmpty():  # pragma: no cover - loud-failure contract
-            raise RuntimeError(
-                f"boruvka_msf: cross edges remain after max_rounds="
-                f"{max_rounds}; raise max_rounds")
-
-    cedges.unpersist()
+    finally:
+        # unpersist on the raise paths too (max_jumps / max_rounds) —
+        # loud-failure tests run in a shared session
+        cedges.unpersist()
     return chosen

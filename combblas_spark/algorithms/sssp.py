@@ -160,13 +160,13 @@ def delta_stepping_sssp(
     if not directed:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    if not delta > 0:
+        raise ValueError(f"delta must be > 0, got {delta}")
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = e.repartition(shuffle_n, "dst").persist(StorageLevel.MEMORY_AND_DISK)
     if e.filter(F.col("w") <= 0.0).limit(1).count() > 0:
         e.unpersist()
         raise ValueError("delta_stepping_sssp requires all edge weights > 0")
-    if not delta > 0:
-        raise ValueError(f"delta must be > 0, got {delta}")
     light = e.filter(F.col("w") <= delta).persist(StorageLevel.MEMORY_AND_DISK)
     heavy = e.filter(F.col("w") > delta).persist(StorageLevel.MEMORY_AND_DISK)
     light.count(), heavy.count()
@@ -192,53 +192,62 @@ def delta_stepping_sssp(
     bucket_of = lambda c: F.floor(c / F.lit(float(delta)))  # noqa: E731
     step = 0
     cur = 0
-    while cur < max_buckets:
-        # next non-empty bucket >= cur (1-row scalar read, same class of
-        # driver read as every convergence check here)
-        row = (dist.filter(bucket_of(F.col("dist")) >= cur)
-               .agg(F.min(bucket_of(F.col("dist"))).alias("b")).collect()[0])
-        if row["b"] is None:
-            break
-        cur = int(row["b"])
-        frontier = dist.filter(bucket_of(F.col("dist")) == cur) \
-                       .localCheckpoint(eager=True)
-        n_front = frontier.count()
-        for inner in range(max_inner + 1):
-            if inner == max_inner:
-                raise RuntimeError(
-                    f"delta_stepping_sssp: bucket {cur} did not settle in "
-                    f"max_inner={max_inner} light rounds; raise max_inner")
-            merged = superstep_checkpoint(
-                _relax(light, frontier, dist, n_front), step)
-            step += 1
-            frontier = (
-                merged.join(dist.withColumnRenamed("dist", "_old"), "id", "left")
-                .filter((F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-                        & (bucket_of(F.col("dist")) == cur))
-                .select("id", "dist")
-                .localCheckpoint(eager=True)
-            )
-            n_front = frontier.count()
-            dist = merged
-            if metrics is not None:
-                metrics.append({"bucket": cur, "inner": inner,
-                                "frontier": n_front})
-            if n_front == 0:
+    try:
+        while cur < max_buckets:
+            # next non-empty bucket >= cur (1-row scalar read, same class of
+            # driver read as every convergence check here)
+            row = (dist.filter(bucket_of(F.col("dist")) >= cur)
+                   .agg(F.min(bucket_of(F.col("dist"))).alias("b")).collect()[0])
+            if row["b"] is None:
                 break
-        # heavy relaxation once from the settled bucket members
-        members = dist.filter(bucket_of(F.col("dist")) == cur) \
-                      .localCheckpoint(eager=True)
-        n_mem = members.count()
-        if n_mem > 0:
-            dist = superstep_checkpoint(
-                _relax(heavy, members, dist, n_mem), step)
-            step += 1
-        cur += 1
-    else:  # pragma: no cover - loud-failure contract
-        raise RuntimeError(
-            f"delta_stepping_sssp: unsettled buckets remain after "
-            f"max_buckets={max_buckets}; raise max_buckets or delta")
-
-    for c in (light, heavy, e):
-        c.unpersist()
+            cur = int(row["b"])
+            frontier = dist.filter(bucket_of(F.col("dist")) == cur) \
+                           .localCheckpoint(eager=True)
+            n_front = frontier.count()
+            for inner in range(max_inner + 1):
+                if inner == max_inner:
+                    raise RuntimeError(
+                        f"delta_stepping_sssp: bucket {cur} did not settle in "
+                        f"max_inner={max_inner} light rounds; raise max_inner")
+                merged = superstep_checkpoint(
+                    _relax(light, frontier, dist, n_front), step)
+                step += 1
+                frontier = (
+                    merged.join(dist.withColumnRenamed("dist", "_old"), "id", "left")
+                    .filter((F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+                            & (bucket_of(F.col("dist")) == cur))
+                    .select("id", "dist")
+                    .localCheckpoint(eager=True)
+                )
+                n_front = frontier.count()
+                dist = merged
+                if metrics is not None:
+                    metrics.append({"bucket": cur, "inner": inner,
+                                    "frontier": n_front})
+                if n_front == 0:
+                    break
+            # heavy relaxation once from the settled bucket members
+            members = dist.filter(bucket_of(F.col("dist")) == cur) \
+                          .localCheckpoint(eager=True)
+            n_mem = members.count()
+            if n_mem > 0:
+                dist = superstep_checkpoint(
+                    _relax(heavy, members, dist, n_mem), step)
+                step += 1
+            cur += 1
+        else:
+            # cur reached max_buckets without the empty-bucket break —
+            # raise ONLY if unsettled distances actually remain (a graph
+            # whose highest bucket index is exactly max_buckets-1 is
+            # complete, not a failure)
+            row = (dist.filter(bucket_of(F.col("dist")) >= cur)
+                   .agg(F.min(bucket_of(F.col("dist"))).alias("b")).collect()[0])
+            if row["b"] is not None:  # pragma: no cover - loud failure
+                raise RuntimeError(
+                    f"delta_stepping_sssp: unsettled buckets remain after "
+                    f"max_buckets={max_buckets}; raise max_buckets or delta")
+    finally:
+        # unpersist on the raise paths too (max_inner / max_buckets)
+        for c in (light, heavy, e):
+            c.unpersist()
     return dist

@@ -91,6 +91,7 @@ def dsir_weights(
     doc_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "dsir",
+    materialize: bool = True,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023): score every
     document by how much its hashed-unigram distribution looks like the
@@ -120,6 +121,12 @@ def dsir_weights(
         # zero smoothing divides by zero on an empty target slice and
         # sends never-seen-in-target buckets to ln(0) = -inf
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    from pyspark.storagelevel import StorageLevel
+
+    # the token stream feeds TWO aggregations (bucket stats, then the
+    # per-doc score join) — persist it so the corpus is tokenized and
+    # hashed once, not twice (the DuckDB twin MATERIALIZEs tb for the
+    # same reason)
     toks = docs.select(
         F.col(doc_col).alias("id"),
         is_target.alias("_t"),
@@ -127,7 +134,7 @@ def dsir_weights(
     ).select(
         "id", "_t",
         (sample_hash(F.col("tok"), salt) % buckets).alias("b"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     stats = toks.groupBy("b").agg(
         F.count("*").alias("cr"),
         F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
@@ -151,7 +158,7 @@ def dsir_weights(
         .agg(F.count("*").alias("n_tokens"),
              F.round(F.avg("_lr"), 6).alias("logratio"))
     )
-    return (
+    out = (
         docs.select(F.col(doc_col).alias("id"))
         .join(scored, "id", "left")
         .select(
@@ -160,6 +167,14 @@ def dsir_weights(
             F.coalesce("logratio", F.lit(0.0)).alias("logratio"),
         )
     )
+    if not materialize:
+        # leave the plan inspectable (explain audit); toks stays
+        # registered — caller consumes promptly
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
 
 
 def per_group_cap(

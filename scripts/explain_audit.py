@@ -234,7 +234,10 @@ def main() -> None:
     from combblas_spark.algorithms.linkpred import adamic_adar
     from combblas_spark.functions.sampling import dsir_weights
 
-    aa = adamic_adar(g, min_common=2, max_center_degree=64)
+    # materialize=False keeps the REAL plan inspectable — with the
+    # default eager checkpoint the executedPlan is a Scan ExistingRDD
+    # and every assertion below would be vacuous
+    aa = adamic_adar(g, min_common=2, max_center_degree=64, materialize=False)
     pri = vertices(g).select(
         "id", F.md5(F.concat_ws(":", F.lit("42"), F.col("id").cast("string"))
                     .cast("binary")).alias("p")).localCheckpoint()
@@ -243,10 +246,14 @@ def main() -> None:
     jp_wave = (pri.join(live.groupBy(F.col("dst").alias("id"))
                         .agg(F.max("_ps").alias("_np")), "id", "left")
                .filter(F.col("_np").isNull() | (F.col("p") > F.col("_np"))))
-    dsir = dsir_weights(docs, F.col("lang") == "en")
+    dsir = dsir_weights(docs, F.col("lang") == "en", materialize=False)
     for name, df in (("mst_pick_round", mst_pick), ("adamic_adar", aa),
                      ("jp_coloring_wave", jp_wave), ("dsir_weights", dsir)):
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # guard against vacuous checks: a checkpointed result plans as a
+        # bare ExistingRDD scan with nothing left to assert on
+        assert "HashAggregate" in plan or "SortAggregate" in plan, \
+            f"{name}: plan is not inspectable (checkpointed?)\n{plan}"
         assert "Cartesian" not in plan, name
         if name == "dsir_weights":
             # the ONE BroadcastNestedLoopJoin is the sanctioned 1-row

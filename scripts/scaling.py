@@ -25,20 +25,20 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ZIP_BUILT = False
 
 
 def submit(master_cores: int, shuffle: int, extra_args: list[str]) -> dict:
     zip_path = "/tmp/combblas_spark_scaling.zip"
-    # rebuild when ANY package source is newer than the zip — a stale
-    # zip would silently measure old code (evidence-integrity bug)
-    src_mtime = max(
-        os.path.getmtime(os.path.join(dp, f))
-        for dp, _, fns in os.walk(os.path.join(REPO, "combblas_spark"))
-        for f in fns if f.endswith(".py"))
-    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
+    # rebuild from scratch once per process — mtime heuristics miss
+    # FILE DELETIONS (the stale zip would silently keep measuring the
+    # removed module); a fresh zip of the small package is ~100 ms
+    global _ZIP_BUILT
+    if not _ZIP_BUILT:
         if os.path.exists(zip_path):
             os.unlink(zip_path)
         subprocess.run(["zip", "-qr", zip_path, "combblas_spark"], cwd=REPO, check=True)
+        _ZIP_BUILT = True
     # 20g heap (default G1) at EVERY level — measured this round:
     # 80g heap at local[32] HALVES throughput (G1 pause blowup), and
     # ParallelGC at local[32] loses ~20% vs G1; see BENCH.md.

@@ -2121,5 +2121,38 @@ def test_delta_stepping_known_and_bucket_schedule(spark):
            for r in delta_stepping_sssp(e, root=0, delta=2.0,
                                         metrics=m).collect()}
     assert got == {0: 0.0, 1: 1.0, 2: 2.0}
-    # the heavy 0->2=5 relaxation must not survive: light path wins
-    assert all(x["bucket"] >= 0 for x in m)
+    # pin the SCHEDULE, not just the fixpoint: buckets are processed in
+    # non-decreasing order, exactly buckets {0, 1} are visited (0 and 1
+    # settle in bucket 0, vertex 2 at dist 2.0 in bucket 1), and the
+    # heavy 0->2=5 edge never wins
+    seq = [x["bucket"] for x in m]
+    assert seq == sorted(seq) and set(seq) == {0, 1}, seq
+
+
+def test_coloring_and_mis_ignore_self_loops(spark):
+    """Self-loops must not make a vertex its own neighbor (r4 review):
+    a loop vertex previously never won a wave/round and the loud cap
+    fired on a perfectly colorable graph."""
+    from combblas_spark.algorithms.coloring import jp_coloring
+    from combblas_spark.algorithms.mis import maximal_independent_set
+
+    e = df_edges(spark, [(0, 0, 1.0), (1, 2, 1.0), (3, 3, 1.0)])
+    colors = {r["id"]: r["color"] for r in jp_coloring(e, seed=42).collect()}
+    assert set(colors) == {0, 1, 2, 3}       # loop-only vertices colored
+    assert colors[1] != colors[2]
+    mis = {r["id"] for r in maximal_independent_set(e, seed=42).collect()}
+    assert {0, 3} <= mis                      # loop-only vertices in MIS
+    assert not ({1, 2} <= mis)                # 1-2 edge still respected
+    assert len(mis) == 3
+
+
+def test_delta_stepping_max_buckets_boundary_no_false_raise(spark):
+    """A graph whose highest bucket index is exactly max_buckets-1 is
+    complete, not a failure (r4 review: the while/else raised on it)."""
+    from combblas_spark.algorithms.sssp import delta_stepping_sssp
+
+    path = df_edges(spark, [(i, i + 1, 1.0) for i in range(5)])
+    got = {r["id"]: r["dist"]
+           for r in delta_stepping_sssp(path, root=0, delta=1.0,
+                                        max_buckets=6).collect()}
+    assert got == {i: float(i) for i in range(6)}
