@@ -2379,6 +2379,32 @@ SELECT d.doc_id AS id, coalesce(n_tokens, 0) AS n_tokens,
 FROM documents d LEFT JOIN sc ON sc.id = d.doc_id"""
 
 
+def q_tfidf(spark, sf):
+    """Per-doc top-3 TF-IDF terms (keyword extraction) — unlogged idf
+    for bit-portable cross-engine ranking (doc_rarity's rule)."""
+    from combblas_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf), k=3)
+
+
+def _tfidf_sql(k: int = 3) -> str:
+    return f"""WITH occ AS MATERIALIZED (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '')) AS term
+  FROM documents),
+tf AS (SELECT id, term, count(*) AS tf FROM occ GROUP BY id, term),
+dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+sc AS (SELECT id, term, (tf * 1.0 / dl) * (n * 1.0 / df) AS s
+       FROM tf JOIN dl USING (id) JOIN dft USING (term), n)
+SELECT id, term, pos, round(s, 6) AS score FROM (
+  SELECT id, term, s,
+         row_number() OVER (PARTITION BY id ORDER BY s DESC, term) AS pos
+  FROM sc) WHERE pos <= {k}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is part of the evidence contract: the driver's
     correctness gate checks the FIRST 50 entries only (VERDICT r2
@@ -2452,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring": q_coloring,
         "dsir": q_dsir,
         "sssp_delta": q_sssp_delta,
+        "tfidf": q_tfidf,
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -3369,6 +3396,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["coloring"] = _coloring_sql()
     sqls["dsir"] = _dsir_sql()
     sqls["sssp_delta"] = sqls["sssp"]
+    sqls["tfidf"] = _tfidf_sql()
     return sqls
 
 

@@ -220,6 +220,54 @@ def doc_rarity(docs: DataFrame, vocab_size: int = 1000,
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the keyword-extraction /
+    topic-tagging primitive for a training-data pipeline. Returns
+    (id, term, pos, score): pos = 1..k by descending score, term
+    ascending on ties; score rounded to 6dp.
+
+    Bit-portability (the doc_rarity rule): the idf factor is the RAW
+    inverse document frequency n_docs/df, not ln of it — every factor
+    is then an integer or one IEEE-exact division, so engine and DuckDB
+    twin rank and score identically to the bit; ln() is not. Monotone
+    in the usual ln-idf for fixed tf, and the per-doc ORDER is what the
+    operator delivers.
+
+    Scale: token explode -> two hash aggs ((doc,term) counts; df per
+    term) + one broadcastable n_docs scalar; the only window is
+    row_number partitioned BY DOCUMENT — never global, same skew
+    profile as sampling.per_group_cap.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    occ = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"))
+    tf = occ.groupBy("id", "term").agg(F.count("*").alias("_tf"))
+    dl = tf.groupBy("id").agg(F.sum("_tf").alias("_dl"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("_n"))
+    scored = (
+        tf.join(dl, "id")
+        .join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id", "term",
+            ((F.col("_tf") / F.col("_dl")) * (F.col("_n") / F.col("_df")))
+            .alias("_s"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("_s").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select("id", "term", "pos", F.round("_s", 6).alias("score"))
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append token_count / quality / lang_guess /
     fingerprint columns to a documents table."""

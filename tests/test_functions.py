@@ -934,3 +934,47 @@ def test_dsir_weights_exact_and_guards(spark):
         dsir_weights(df, F.col("is_t"), smoothing=0.0)
     with _pytest.raises(ValueError, match="buckets"):
         dsir_weights(df, F.col("is_t"), buckets=0)
+
+
+def test_tfidf_top_terms_exact(spark):
+    import re
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from combblas_spark.functions.text import tfidf_top_terms
+
+    docs = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana durian"),
+        (2, "apple cherry cherry cherry"),
+        (3, ""),          # token-free: no output rows
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id"], r["pos"]): (r["term"], r["score"])
+           for r in tfidf_top_terms(df, k=2).collect()}
+
+    # local twin with the same unlogged idf
+    tf = Counter()
+    for did, text in docs:
+        for t in re.split(r"[^a-z0-9]+", text.lower()):
+            if t:
+                tf[(did, t)] += 1
+    dl = Counter()
+    dfreq = Counter()
+    for (did, t), c in tf.items():
+        dl[did] += c
+        dfreq[t] += 1
+    n = len(docs)
+    want = {}
+    for did, _ in docs:
+        terms = [(t, (tf[(did, t)] / dl[did]) * (n / dfreq[t]))
+                 for (d2, t) in tf if d2 == did]
+        terms.sort(key=lambda x: (-x[1], x[0]))
+        for pos, (t, s) in enumerate(terms[:2], start=1):
+            want[(did, pos)] = (t, round(s, 6))
+    assert got == want
+    assert not any(k[0] == 3 for k in got)  # token-free doc absent
+
+    with _pytest.raises(ValueError, match="k must"):
+        tfidf_top_terms(df, k=0)
