@@ -53,6 +53,7 @@ from combblas_spark.functions.multimodal import synthetic_media, extract_media_f
 ALPHA = 0.85
 PR_ITERS = 10
 LP_ROUNDS = 2
+PPR_SEEDS = 4     # batched-PPR seed count (oracle unrolls one chain per seed)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,6 +374,28 @@ def q_pagerank_personalized(spark, sf):
     ).filter(F.col("id") % 7 == 0)
     r = pagerank(g, alpha=ALPHA, n_iter=PR_ITERS, teleport=tele)
     return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_ppr_batch(spark, sf):
+    """Batched multi-seed personalized PageRank (pagerank_batch): the
+    PPR_SEEDS smallest vertex ids with id % 7 == 0 share ONE superstep
+    loop via an array-valued rank column — one edge scan per superstep
+    serves every seed (the batched-Brandes amortization applied to
+    topic-sensitive PageRank). Seed list is a setup-only driver collect
+    of <= PPR_SEEDS ids; the oracle derives the same list by rule."""
+    from combblas_spark.algorithms.pagerank import pagerank_batch
+
+    g = events_graph(spark, sf)
+    verts = (
+        g.select(F.col("src").alias("id"))
+        .unionByName(g.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = [r["id"] for r in verts.filter(F.col("id") % 7 == 0)
+             .orderBy("id").limit(PPR_SEEDS).collect()]
+    r = pagerank_batch(g, seeds, alpha=ALPHA, n_iter=PR_ITERS)
+    return r.select("id", F.col("seed").cast("long").alias("seed"),
+                    F.round("rank", 6).alias("rank"))
 
 
 def q_pagerank_bucketed(spark, sf):
@@ -1613,16 +1636,18 @@ def _host_pr_ctes(iters: int, alpha: float, seeded: bool, prefix: str) -> list:
         f"{P}tt AS (SELECT sum(w) AS s FROM {P}tw)",
         f"{P}tpv AS MATERIALIZED (SELECT {P}tw.id, {P}tw.w / {P}tt.s AS tp "
         f"FROM {P}tw CROSS JOIN {P}tt)",
-        f"{P}r0 AS (SELECT id, tp AS pr FROM {P}tpv)",
+        f"{P}r0 AS MATERIALIZED (SELECT id, tp AS pr FROM {P}tpv)",
     ]
+    # MATERIALIZED rank chain — same exponential-replay fix as
+    # _pr_chain_ctes (r{k} is referenced twice by r{k+1})
     for k in range(1, iters + 1):
         p = f"{P}r{k-1}"
         ctes.append(
-            f"{P}d{k} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM {p} "
+            f"{P}d{k} AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS dm FROM {p} "
             f"WHERE id NOT IN (SELECT src FROM {P}srcs))"
         )
         ctes.append(
-            f"""{P}r{k} AS (
+            f"""{P}r{k} AS MATERIALIZED (
   SELECT t.id,
          (1.0 - {alpha}) * t.tp + {alpha} * (coalesce(inf.s, 0.0) + {P}d{k}.dm * t.tp) AS pr
   FROM {P}tpv t CROSS JOIN {P}d{k}
@@ -2144,6 +2169,22 @@ def q_ivf_topk(spark, sf):
                     nprobe=IVF_NPROBE, per_list_cap=IVF_CAP)
 
 
+SEMDEDUP_T = 0.2  # synthetic embeddings are near-orthogonal; 0.2 is the
+                  # same near-dup bar embedding_neardups uses
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means clusters
+    (the ivf_topk quantizer, shared oracle unroll) confine the pairwise
+    cosine scan; within a cluster every vector with a smaller-id
+    neighbor at cos >= SEMDEDUP_T is dropped (keep-lowest-id). Emits
+    (id, cid, kept) for all vectors."""
+    from combblas_spark.functions.similarity import semdedup
+
+    return semdedup(_emb(spark, sf), threshold=SEMDEDUP_T,
+                    n_centroids=IVF_NC, iters=IVF_ITERS)
+
+
 def q_auction(spark, sf):
     """Bertsekas auction maximum-weight bipartite matching
     (BipartiteMatchings/auction.cpp completed into the price loop) —
@@ -2479,6 +2520,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "sssp_delta": q_sssp_delta,
         "tfidf": q_tfidf,
+        "ppr_batch": q_ppr_batch,
+        "semdedup": q_semdedup,
+        # pagerank_personalized / trustrank rotate OUT of the window for
+        # the two rows above: both are r3-green and their only r4 change
+        # (the teleport-sum guard) is pytest-covered and value-neutral.
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
@@ -2626,22 +2672,27 @@ def _pr_chain_ctes(iters: int, alpha: float, edges_sql: str,
     ]
     if warm_from is None:
         ctes.append(
-            f"{p}r0 AS (SELECT v.id, 1.0 / {p}nn.n AS pr FROM {p}verts v CROSS JOIN {p}nn)")
+            f"{p}r0 AS MATERIALIZED (SELECT v.id, 1.0 / {p}nn.n AS pr FROM {p}verts v CROSS JOIN {p}nn)")
     else:
         ctes += [
             f"""{p}w AS (SELECT v.id, coalesce(o.pr, 1.0 / {p}nn.n) AS pr
   FROM {p}verts v CROSS JOIN {p}nn LEFT JOIN {warm_from} o ON o.id = v.id)""",
             f"{p}wt AS (SELECT sum(pr) AS t FROM {p}w)",
-            f"{p}r0 AS (SELECT w.id, w.pr / {p}wt.t AS pr FROM {p}w w CROSS JOIN {p}wt)",
+            f"{p}r0 AS MATERIALIZED (SELECT w.id, w.pr / {p}wt.t AS pr FROM {p}w w CROSS JOIN {p}wt)",
         ]
+    # rank CTEs MATERIALIZED: each r{k} is referenced twice by r{k+1}
+    # (dangling sum + inflow join); inlined, DuckDB re-expands the whole
+    # chain per reference — exponential replay (measured 15 s/oracle at
+    # sf0.01, 0.2 s materialized; found via the ppr_batch 4-chain case
+    # at 217 s). Placement-only directive: values are unchanged.
     for k in range(1, iters + 1):
         prev = f"{p}r{k-1}"
         ctes.append(
-            f"{p}d{k} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM {prev} "
+            f"{p}d{k} AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS dm FROM {prev} "
             f"WHERE id NOT IN (SELECT src FROM {p}srcs))"
         )
         ctes.append(
-            f"""{p}r{k} AS (
+            f"""{p}r{k} AS MATERIALIZED (
   SELECT v.id,
          (1.0 - {alpha}) / {p}nn.n + {alpha} * (coalesce(inf.s, 0.0) + {p}d{k}.dm / {p}nn.n) AS pr
   FROM {p}verts v CROSS JOIN {p}nn CROSS JOIN {p}d{k}
@@ -2919,16 +2970,18 @@ def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> s
         "THEN 1.0 + CAST(v.id % 3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS w FROM verts v)",
         "tt AS (SELECT sum(w) AS s FROM tw)",
         "tpv AS MATERIALIZED (SELECT tw.id, tw.w / tt.s AS tp FROM tw CROSS JOIN tt)",
-        "r0 AS (SELECT id, tp AS pr FROM tpv)",
+        "r0 AS MATERIALIZED (SELECT id, tp AS pr FROM tpv)",
     ]
+    # MATERIALIZED rank chain — same exponential-replay fix as
+    # _pr_chain_ctes (r{k} is referenced twice by r{k+1})
     for k in range(1, iters + 1):
         p = f"r{k-1}"
         ctes.append(
-            f"d{k} AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM {p} "
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS dm FROM {p} "
             f"WHERE id NOT IN (SELECT src FROM srcs))"
         )
         ctes.append(
-            f"""r{k} AS (
+            f"""r{k} AS MATERIALIZED (
   SELECT t.id,
          (1.0 - {alpha}) * t.tp + {alpha} * (coalesce(inf.s, 0.0) + d{k}.dm * t.tp) AS pr
   FROM tpv t CROSS JOIN d{k}
@@ -3323,6 +3376,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["min_degree"] = _min_degree_sql()
     sqls["auction"] = _auction_sql()
     sqls["ivf_topk"] = _ivf_topk_sql()
+    sqls["semdedup"] = _semdedup_sql()
+    sqls["ppr_batch"] = _ppr_batch_sql()
     sqls["media_features"] = _media_features_sql()
     sqls["anf"] = _anf_sql()
     sqls["hits"] = _hits_sql()
@@ -4050,19 +4105,18 @@ def _lsh_topk_sql(k: int = 3, n_tables: int = 4, n_planes: int = 6,
           PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) <= {k}"""
 
 
-def _ivf_topk_sql(k: int = IVF_K, nc: int = IVF_NC, iters: int = IVF_ITERS,
-                  nprobe: int = IVF_NPROBE, cap: int = IVF_CAP) -> str:
-    """DuckDB twin of functions.similarity.ivf_topk: md5-sampled init,
-    ``iters`` unrolled Lloyd iterations (assignment on 6dp-rounded
-    cosine, ties by cid; centroid update = per-component mean rounded
-    6dp; empty cells keep the previous centroid), final assignment vs
-    the final quantizer, per-list md5 cap, nprobe probes, exact cosine
-    within probed lists, top-k."""
+def _duck_cos(a: str, b: str) -> str:
+    return (f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))")
 
-    def _cos(a: str, b: str) -> str:
-        return (f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-                f" * sqrt(list_dot_product({b}, {b})))")
 
+def _ivf_quantizer_ctes(nc: int, iters: int) -> list[str]:
+    """Shared DuckDB unroll of similarity.ivf_centroids_and_assignments
+    (md5-sampled init, ``iters`` Lloyd iterations with 6dp-rounded
+    assignment cosine + 6dp-rounded mean updates, empty cells keep the
+    previous centroid): emits emb / cent{0..iters} and the FINAL
+    assignment CTE ``af(id, cid)``. Used by _ivf_topk_sql and
+    _semdedup_sql."""
     ctes = [
         """emb AS MATERIALIZED (
           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""",
@@ -4077,7 +4131,7 @@ def _ivf_topk_sql(k: int = IVF_K, nc: int = IVF_NC, iters: int = IVF_ITERS,
     assign = (
         "SELECT id, cid FROM ("
         "  SELECT v.id, c.cid, row_number() OVER ("
-        f"    PARTITION BY v.id ORDER BY ROUND({_cos('v.e', 'c.cv')}, 6) DESC,"
+        f"    PARTITION BY v.id ORDER BY ROUND({_duck_cos('v.e', 'c.cv')}, 6) DESC,"
         "     c.cid) AS rn"
         "  FROM emb v, cent{t} c) WHERE rn = 1"
     )
@@ -4098,6 +4152,19 @@ def _ivf_topk_sql(k: int = IVF_K, nc: int = IVF_NC, iters: int = IVF_ITERS,
           FROM cent{t} c LEFT JOIN newc{t} n ON n.cid = c.cid)"""
         )
     ctes.append(f"af AS MATERIALIZED ({assign.format(t=iters)})")
+    return ctes
+
+
+def _ivf_topk_sql(k: int = IVF_K, nc: int = IVF_NC, iters: int = IVF_ITERS,
+                  nprobe: int = IVF_NPROBE, cap: int = IVF_CAP) -> str:
+    """DuckDB twin of functions.similarity.ivf_topk: md5-sampled init,
+    ``iters`` unrolled Lloyd iterations (assignment on 6dp-rounded
+    cosine, ties by cid; centroid update = per-component mean rounded
+    6dp; empty cells keep the previous centroid), final assignment vs
+    the final quantizer, per-list md5 cap, nprobe probes, exact cosine
+    within probed lists, top-k."""
+    _cos = _duck_cos
+    ctes = _ivf_quantizer_ctes(nc, iters)
     ctes.append(
         f"""lists AS (
           SELECT id, cid FROM af
@@ -4126,6 +4193,78 @@ def _ivf_topk_sql(k: int = IVF_K, nc: int = IVF_NC, iters: int = IVF_ITERS,
           JOIN emb c ON c.id = d.neighbor_id)
         QUALIFY row_number() OVER (
           PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) <= {k}""")
+
+
+def _semdedup_sql(threshold: float = SEMDEDUP_T, nc: int = IVF_NC,
+                  iters: int = IVF_ITERS) -> str:
+    """DuckDB twin of q_semdedup: the shared quantizer unroll
+    (_ivf_quantizer_ctes) then the in-cluster keep-lowest-id rule on
+    6dp-rounded cosine."""
+    ctes = _ivf_quantizer_ctes(nc, iters)
+    ctes.append(
+        "m AS (SELECT e.id, e.e, a.cid FROM emb e JOIN af a ON a.id = e.id)")
+    ctes.append(
+        f"""dups AS (
+          SELECT DISTINCT b.id FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
+          WHERE ROUND({_duck_cos('a.e', 'b.e')}, 6) >= {threshold})"""
+    )
+    return ("WITH " + ",\n".join(ctes) + """
+        SELECT a.id, a.cid, (d.id IS NULL) AS kept
+        FROM af a LEFT JOIN dups d ON d.id = a.id""")
+
+
+def _ppr_batch_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
+                   nseeds: int = PPR_SEEDS) -> str:
+    """DuckDB twin of q_ppr_batch: one namespaced single-seed
+    personalized-PageRank chain per seed (seed b = the b-th smallest
+    vertex id with id % 7 == 0), UNION ALL of the final ranks. The
+    EXISTS guard drops chains whose seed doesn't exist at small scales
+    (sf0.001 has only 3 ids matching the rule) — the Spark side adapts
+    by collecting the same rule-derived list."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS deg "
+        "FROM edges GROUP BY src)",
+        "srcs AS MATERIALIZED (SELECT DISTINCT src FROM edges)",
+        "seedlist AS MATERIALIZED (SELECT id, row_number() OVER (ORDER BY id) "
+        f"AS rn FROM verts WHERE id % 7 = 0 QUALIFY rn <= {nseeds})",
+    ]
+    for b in range(1, nseeds + 1):
+        p = f"s{b}"
+        ctes.append(
+            f"{p}tp AS MATERIALIZED (SELECT v.id, CASE WHEN v.id = "
+            f"(SELECT id FROM seedlist WHERE rn = {b}) THEN 1.0 ELSE 0.0 END "
+            f"AS tp FROM verts v)")
+        ctes.append(f"{p}r0 AS MATERIALIZED (SELECT id, tp AS pr FROM {p}tp)")
+        # every rank CTE is MATERIALIZED: r{k} references r{k-1} twice
+        # (dangling sum + inflow join); left inlined, DuckDB re-expands
+        # the whole chain per reference -> exponential replay (measured
+        # 217 s for 4 chains x 10 iters on 15 vertices; 0.2 s materialized)
+        for k in range(1, iters + 1):
+            prev = f"{p}r{k-1}"
+            ctes.append(
+                f"{p}d{k} AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS dm FROM {prev} "
+                f"WHERE id NOT IN (SELECT src FROM srcs))")
+            ctes.append(
+                f"""{p}r{k} AS MATERIALIZED (
+  SELECT t.id,
+         (1.0 - {alpha}) * t.tp + {alpha} * (coalesce(inf.s, 0.0) + {p}d{k}.dm * t.tp) AS pr
+  FROM {p}tp t CROSS JOIN {p}d{k}
+  LEFT JOIN (
+    SELECT e.dst AS id, sum((1.0 / o.deg) * r.pr) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.id JOIN outdeg o ON o.id = e.src
+    GROUP BY e.dst
+  ) inf ON inf.id = t.id
+)""")
+    selects = [
+        f"SELECT id, (SELECT id FROM seedlist WHERE rn = {b}) AS seed, "
+        f"ROUND(pr, 6) AS \"rank\" FROM s{b}r{iters} "
+        f"WHERE EXISTS (SELECT 1 FROM seedlist WHERE rn = {b})"
+        for b in range(1, nseeds + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def _media_features_sql(n: int = 200, seed: int = 42) -> str:

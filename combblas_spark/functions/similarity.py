@@ -401,6 +401,51 @@ def ivf_topk(
     )
 
 
+def semdedup(
+    vectors: DataFrame,
+    threshold: float = 0.85,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the deterministic
+    k-means coarse quantizer shared with ``ivf_topk``, then compare
+    pairs ONLY within a cluster; a vector is dropped when any
+    smaller-id vector in its cluster has cosine >= ``threshold``
+    (greedy keep-lowest-id — the same deterministic keep-first rule as
+    functions.text.dedup_paragraphs; cosine rounded 6dp before the
+    comparison so the decision replays bit-stably in the oracle).
+
+    Returns (id, cid, kept) for EVERY input vector.
+
+    Scale shape: never an all-pairs join — the quadratic is confined to
+    clusters (equi-join on cid), so with sqrt-scaled ``n_centroids``
+    the pair work is ~n^{3/2}/nc like ivf_topk's in-list scan; the
+    quantizer itself is n*nc broadcast dots per Lloyd iteration. The
+    paper's pipeline at 100 TB is exactly this: cluster once, dedup
+    within clusters, tune ``threshold`` per modality.
+    """
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    _, assign = ivf_centroids_and_assignments(
+        vectors, n_centroids, iters, id_col, vec_col)
+    m = v.join(assign, "id")
+    dups = (
+        m.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cid")
+        .join(m.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cid"),
+              "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assign.join(dups.withColumn("_dup", F.lit(True)), "id", "left")
+        .select("id", "cid", F.col("_dup").isNull().alias("kept"))
+    )
+
+
 # ------------------------------------- token-space cosine (inverted index)
 
 def tf_cosine_pairs(

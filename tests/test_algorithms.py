@@ -2156,3 +2156,39 @@ def test_delta_stepping_max_buckets_boundary_no_false_raise(spark):
            for r in delta_stepping_sssp(path, root=0, delta=1.0,
                                         max_buckets=6).collect()}
     assert got == {i: float(i) for i in range(6)}
+
+
+def test_pagerank_batch_matches_single_seed(spark):
+    """pagerank_batch: each array component equals the single-seed
+    pagerank(teleport=...) run to the same fixed iteration count
+    (bit-level, both sides are the same double recurrence). Graph has a
+    dangling vertex so the per-seed dangling redistribution is covered."""
+    from combblas_spark.algorithms.pagerank import pagerank, pagerank_batch
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (1, 3)]
+    e = df_edges(spark, edges)
+    seeds = [0, 2, 3]
+    batch = {(r["seed"], r["id"]): r["rank"]
+             for r in pagerank_batch(e, seeds, n_iter=8).collect()}
+    assert len(batch) == 4 * len(seeds)
+    for s in seeds:
+        tele = spark.createDataFrame([(s, 1.0)], ["id", "t"])
+        single = {r["id"]: r["rank"]
+                  for r in pagerank(e, n_iter=8, tol=None,
+                                    teleport=tele).collect()}
+        for v, rk in single.items():
+            assert batch[(s, v)] == rk
+
+
+def test_pagerank_batch_validates_seeds(spark):
+    import pytest as _pytest
+
+    from combblas_spark.algorithms.pagerank import pagerank_batch
+
+    e = df_edges(spark, [(0, 1), (1, 0)])
+    with _pytest.raises(ValueError, match="non-empty"):
+        pagerank_batch(e, [])
+    with _pytest.raises(ValueError, match="duplicate"):
+        pagerank_batch(e, [0, 0])
+    with _pytest.raises(ValueError, match="not in the graph"):
+        pagerank_batch(e, [0, 99])

@@ -492,6 +492,55 @@ def test_ivf_per_list_cap(big_vectors):
     assert per_q <= 5
 
 
+def test_semdedup_drops_exact_copies_keeps_lowest_id(big_vectors, spark):
+    """SemDeDup: exact copies always land in the SAME cluster (identical
+    cosines to every centroid, same cid tie-break), so the copy with the
+    larger id is dropped at any threshold; every vector appears exactly
+    once in the output."""
+    from combblas_spark.functions.similarity import semdedup
+
+    dup = big_vectors.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    v = big_vectors.unionByName(dup)
+    out = semdedup(v, threshold=0.999, n_centroids=6, iters=1)
+    rows = {r["id"]: (r["cid"], r["kept"]) for r in out.collect()}
+    assert len(rows) == 203
+    for i in range(3):
+        assert rows[i][0] == rows[1000 + i][0]      # same cluster
+        assert rows[i][1] is True                    # original kept
+        assert rows[1000 + i][1] is False            # copy dropped
+
+
+def test_semdedup_matches_in_cluster_brute_force(big_vectors):
+    """kept flags equal the keep-lowest-id rule applied to the exact
+    in-cluster pair set (brute-force reference over the quantizer's own
+    assignment)."""
+    import numpy as np
+
+    from combblas_spark.functions.similarity import (
+        ivf_centroids_and_assignments, semdedup)
+
+    t = 0.8
+    out = {r["id"]: r["kept"]
+           for r in semdedup(big_vectors, threshold=t, n_centroids=8,
+                             iters=2).collect()}
+    _, assign = ivf_centroids_and_assignments(big_vectors, 8, 2)
+    cid = {r["id"]: r["cid"] for r in assign.collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in big_vectors.collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    expect = {}
+    for i in sorted(vecs):
+        expect[i] = not any(
+            cid[j] == cid[i] and round(cos(vecs[j], vecs[i]), 6) >= t
+            for j in vecs if j < i)
+    assert out == expect
+    assert any(not k for k in out.values())  # threshold actually bites
+
+
 def test_duplicate_spans(spark):
     """A sentence copied into another doc marks its windows duplicated
     in BOTH docs; a doc with an internal repeat flags itself; fully
