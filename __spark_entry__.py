@@ -577,6 +577,16 @@ def q_assortativity(spark, sf):
     return degree_assortativity(events_graph(spark, sf))
 
 
+def q_avg_neighbor_degree(spark, sf):
+    """Degree-correlation curve knn(k) of the undirected events graph —
+    the per-degree companion of q_assortativity. Integer neighbor-degree
+    sums, one double division per degree bucket, so the twin matches to
+    the bit."""
+    from combblas_spark.operators.reduce import avg_neighbor_degree
+
+    return avg_neighbor_degree(events_graph(spark, sf))
+
+
 def q_graph_stats(spark, sf):
     g = events_graph(spark, sf)
     return g.agg(
@@ -1259,6 +1269,20 @@ def q_skipgram_pairs(spark, sf):
     return skipgram_pairs(w, window=2)
 
 
+def q_ppmi(spark, sf):
+    """Positive-PMI association scores over the skip-gram pair table —
+    the count-based embedding prep (Levy & Goldberg 2014). Emits the
+    clamped PMI odds ratio (not its log) so both engines compute only
+    integer aggregates + IEEE-exact double * and /."""
+    from combblas_spark.algorithms.walks import (ppmi, random_walks,
+                                                 skipgram_pairs)
+
+    g = _thin_edges(events_graph(spark, sf))
+    w = random_walks(g, walk_length=WALK_LEN,
+                     walks_per_vertex=WALKS_PER_V, seed=WALK_SEED)
+    return ppmi(skipgram_pairs(w, window=2))
+
+
 def _skipgram_sql(window: int = 2) -> str:
     """Twin of q_skipgram_pairs: the walks unroll (_walks_sql) wrapped
     in the same banded self-join + count."""
@@ -1805,6 +1829,48 @@ SELECT CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
        END AS r,
        CAST(n_raw / 2 AS BIGINT) AS n_edges
 FROM m"""
+
+
+def _avg_neighbor_degree_sql() -> str:
+    """Twin of q_avg_neighbor_degree: same symmetrized degree join and
+    the same single double division of exact integer sums per degree."""
+    return f"""WITH edges AS ({EDGES}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+dirs AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT src, count(*) AS deg FROM dirs GROUP BY src),
+sv AS (SELECT dirs.src, sum(d.deg) AS s FROM dirs
+       JOIN deg d ON d.src = dirs.dst GROUP BY dirs.src)
+SELECT deg.deg,
+       ROUND(CAST(sum(sv.s) AS DOUBLE)
+             / (CAST(deg.deg AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6) AS knn,
+       count(*) AS n_vertices
+FROM deg JOIN sv ON sv.src = deg.src
+GROUP BY deg.deg"""
+
+
+def _ppmi_sql(window: int = 2) -> str:
+    """Twin of q_ppmi: the skip-gram pair unroll plus the marginal
+    re-aggregations and the clamped odds ratio (cnt*T)/(cc*cx) — the
+    numerator product first, then one division, exactly as the engine
+    multiplies/divides, so 6dp rounding is bit-identical."""
+    return f"""WITH corpus AS MATERIALIZED ({_walks_sql()}),
+pairs AS (SELECT a.vertex AS center, b.vertex AS context, count(*) AS cnt
+          FROM corpus a JOIN corpus b
+            ON a.start = b.start AND a.walk = b.walk
+          WHERE abs(a.step - b.step) <= {window}
+            AND a.step <> b.step AND a.vertex <> b.vertex
+          GROUP BY a.vertex, b.vertex),
+t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tt FROM pairs),
+cm AS (SELECT center, CAST(sum(cnt) AS DOUBLE) AS cc FROM pairs GROUP BY center),
+xm AS (SELECT context, CAST(sum(cnt) AS DOUBLE) AS cx FROM pairs GROUP BY context)
+SELECT p.center, p.context, p.cnt,
+       ROUND(GREATEST(CAST(p.cnt AS DOUBLE) * t.tt / (cm.cc * xm.cx), 1.0), 6)
+           AS ppmi_odds
+FROM pairs p
+JOIN cm ON cm.center = p.center
+JOIN xm ON xm.context = p.context
+CROSS JOIN t"""
 
 
 def _eff_diameter_sql(max_hops: int = 8, q: float = 0.9, k: int = ANF_K,
@@ -2528,6 +2594,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": q_pagerank_personalized,
         "trustrank": q_trustrank,
         "scc": q_scc,
+        # new in the round-4 third continuation session — positions 51+
+        # (the window above is all must-verify rows; these queue FIRST
+        # for the round-5 rotation):
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "ppmi": q_ppmi,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3387,6 +3458,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["bowtie"] = _bowtie_sql()
     sqls["random_walks"] = _walks_sql()
     sqls["skipgram_pairs"] = _skipgram_sql()
+    sqls["ppmi"] = _ppmi_sql()
     sqls["k_truss"] = _truss_sql()
     sqls["closeness"] = _closeness_sql()
     sqls["labelprop_seeded"] = _labelprop_seeded_sql()
@@ -3413,6 +3485,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["doc_rarity"] = _doc_rarity_sql()
     sqls["eff_diameter"] = _eff_diameter_sql()
     sqls["assortativity"] = _assortativity_sql()
+    sqls["avg_neighbor_degree"] = _avg_neighbor_degree_sql()
     sqls["transitivity"] = _transitivity_sql()
     sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["reciprocity"] = _reciprocity_sql()

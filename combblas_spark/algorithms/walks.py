@@ -121,3 +121,44 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def ppmi(pairs: DataFrame) -> DataFrame:
+    """Positive PMI association scores over a (center, context, cnt)
+    co-occurrence table (the skipgram_pairs output) — the classic
+    count-based embedding prep (Levy & Goldberg 2014: SGNS implicitly
+    factorizes the shifted-PMI matrix). Returns
+    (center, context, cnt, ppmi_odds) where
+
+        ppmi_odds = max(1, cnt(c,x) * T / (cnt(c) * cnt(x)))
+
+    i.e. the PMI **odds ratio** e^pmi clamped at 1 (= PPMI's clamp at
+    0), rounded 6dp. The ratio — not its log — is emitted for the same
+    bit-portability reason doc_rarity/tfidf_top_terms use raw inverse
+    frequencies: the formula is then integer aggregates + IEEE-exact
+    double * and /, identical to the bit in the DuckDB twin, while
+    ln() is libm-dependent. log-PMI is a monotone transform; rankings
+    and the positive clamp are unchanged.
+
+    Scale: two hash re-aggregations of the pair table (marginals per
+    center / per context, map-side combinable), one broadcast 1-row
+    total, two equi-joins back on center/context. Everything is
+    pair-table-sized — never vocabulary-squared; hub-vertex skew lands
+    in the joins where AQE's skew split applies, not in a window.
+    """
+    t = pairs.agg(F.sum("cnt").alias("_t"))
+    cm = pairs.groupBy("center").agg(F.sum("cnt").alias("_cc"))
+    xm = pairs.groupBy("context").agg(F.sum("cnt").alias("_cx"))
+    ratio = (
+        (F.col("cnt").cast("double") * F.col("_t").cast("double"))
+        / (F.col("_cc").cast("double") * F.col("_cx").cast("double"))
+    )
+    return (
+        pairs.join(cm, "center")
+        .join(xm, "context")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "center", "context", "cnt",
+            F.round(F.greatest(ratio, F.lit(1.0)), 6).alias("ppmi_odds"),
+        )
+    )

@@ -220,3 +220,49 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.round(F.when((vx > 0) & (vy > 0), r), 6).alias("r"),
         (F.col("n") / 2).cast("long").alias("n_edges"),
     )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Degree-correlation curve knn(k) (Pastor-Satorras et al. 2001) of
+    the undirected simple graph: for each degree value k, the mean over
+    vertices of degree k of their mean neighbor degree. The per-degree
+    companion of the scalar ``degree_assortativity`` — webgraphs are
+    read off this curve (rising = assortative core, falling =
+    hub-and-spoke). Returns (deg, knn, n_vertices), knn rounded 6dp.
+
+    Cross-engine-exact the assortativity way: per-vertex neighbor-
+    degree SUMS are integer aggregates, and within a degree-k group
+    every vertex divides by the same k, so
+
+        knn(k) = (sum over deg-k vertices of S_v) / (k * n_k)
+
+    is ONE double division of exact integers — no order-dependent
+    double summation anywhere. Scale: same symmetrized-edge degree
+    join as assortativity, then two hash aggs (per-vertex, per-degree);
+    nothing is vertex-squared and the final table is degree-distinct
+    (tiny).
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b")).distinct()
+    )
+    dirs = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    svert = (
+        dirs.join(deg.select(F.col("src").alias("dst"), F.col("deg").alias("_nd")), "dst")
+        .groupBy("src").agg(F.sum("_nd").alias("_s"))
+    )
+    return (
+        deg.join(svert, "src")
+        .groupBy("deg")
+        .agg(F.sum("_s").alias("_ss"), F.count(F.lit(1)).alias("n_vertices"))
+        .select(
+            "deg",
+            F.round(
+                F.col("_ss").cast("double")
+                / (F.col("deg").cast("double") * F.col("n_vertices").cast("double")),
+                6).alias("knn"),
+            "n_vertices",
+        )
+    )

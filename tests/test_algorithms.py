@@ -1186,6 +1186,38 @@ def test_skipgram_pairs(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_ppmi(spark):
+    """PPMI odds over a hand pair table vs pure python; the clamp at
+    1.0 must fire for anti-associated pairs and the join keys must
+    never go cartesian."""
+    from combblas_spark.algorithms.walks import ppmi
+
+    # (1,2) co-occurs once though 1 and 2 are both frequent -> PMI < 0,
+    # clamps; (1,4) co-occurs at chance-beating rate -> odds > 1
+    counts = {(1, 2): 1, (1, 4): 20, (3, 2): 20}
+    pairs = spark.createDataFrame(
+        [(c, x, n) for (c, x), n in counts.items()],
+        "center long, context long, cnt long")
+    T = sum(counts.values())
+    cm, xm = {}, {}
+    for (c, x), n in counts.items():
+        cm[c] = cm.get(c, 0) + n
+        xm[x] = xm.get(x, 0) + n
+    want = {(c, x): round(max(1.0, n * T / (cm[c] * xm[x])), 6)
+            for (c, x), n in counts.items()}
+    out = ppmi(pairs)
+    got = {(r["center"], r["context"]): r["ppmi_odds"] for r in out.collect()}
+    assert got == want, (got, want)
+    # (1,4) is over-represented (odds > 1), (1,2) clamps to exactly 1.0
+    assert got[(1, 4)] > 1.0 and got[(1, 2)] == 1.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    # the only nested-loop is the broadcast 1-row total; the marginal
+    # joins must be equi-joins
+    assert "CartesianProduct" not in final
+    assert final.count("BroadcastNestedLoopJoin") <= 1, final
+
+
 def test_closeness_vs_python(spark):
     """Harmonic + closeness match a python BFS per root, incl. a sink
     (harmonic 0) and partially-reachable roots."""

@@ -508,6 +508,46 @@ def test_degree_assortativity(spark):
     assert abs(got["r"] - want) < 1e-6
 
 
+def test_avg_neighbor_degree(spark):
+    """knn(k) on a star (hub sees 1.0, leaves see 3.0), on a path, and
+    on a random simple graph vs a pure-python computation. Reverse /
+    duplicate / loop edges must collapse before degrees are counted."""
+    from combblas_spark.operators.reduce import avg_neighbor_degree
+
+    def df_e(pairs):
+        return spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs], "src long, dst long, val double")
+
+    star = {r["deg"]: (r["knn"], r["n_vertices"])
+            for r in avg_neighbor_degree(
+                df_e([(0, 1), (0, 2), (0, 3), (1, 0), (0, 0)])).collect()}
+    assert star == {3: (1.0, 1), 1: (3.0, 3)}
+    # path 0-1-2-3: ends (deg 1) see deg-2 neighbors; middles (deg 2)
+    # average one end + one middle = 1.5
+    path = {r["deg"]: r["knn"]
+            for r in avg_neighbor_degree(df_e([(0, 1), (1, 2), (2, 3)])).collect()}
+    assert path == {1: 2.0, 2: 1.5}
+    rng = np.random.default_rng(11)
+    pairs = {tuple(sorted((int(a), int(b))))
+             for a, b in rng.integers(0, 15, (50, 2)) if a != b}
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    by_deg = {}
+    for v, ns in adj.items():
+        by_deg.setdefault(len(ns), []).append(
+            sum(len(adj[u]) for u in ns) / len(ns))
+    want = {k: (round(sum(vs) / len(vs), 6), len(vs))
+            for k, vs in by_deg.items()}
+    got = {r["deg"]: (r["knn"], r["n_vertices"])
+           for r in avg_neighbor_degree(df_e(sorted(pairs))).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) < 1e-6, (k, got[k], want[k])
+
+
 def test_transitivity_query(spark):
     """Hand-checkable transitivity: K4 -> 1.0; star -> 0.0; triangle
     with a tail -> 3*1/5."""
