@@ -577,6 +577,34 @@ def q_assortativity(spark, sf):
     return degree_assortativity(events_graph(spark, sf))
 
 
+def q_butterflies(spark, sf):
+    """Per-vertex butterfly (co-citation square) counts on the events
+    link graph — the bipartite sibling of triangles_per_vertex; dense
+    blooms are the link-farm signature. Pure integer counting, exact
+    twin."""
+    from combblas_spark.algorithms.butterflies import butterflies
+
+    return butterflies(events_graph(spark, sf))
+
+
+def _butterflies_sql() -> str:
+    """Twin of q_butterflies: same distinct-edge wedge join, pair
+    counting, and C(c,2) attribution to both pair endpoints."""
+    return f"""WITH edges AS ({EDGES}),
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+wedge AS (SELECT a.src AS s1, b.src AS s2
+          FROM de a JOIN de b ON a.dst = b.dst AND a.src < b.src),
+pairs AS (SELECT s1, s2, count(*) AS c FROM wedge GROUP BY s1, s2
+          HAVING count(*) >= 2),
+contrib AS (SELECT s1 AS id, (c * (c - 1)) // 2 AS bf FROM pairs
+            UNION ALL SELECT s2, (c * (c - 1)) // 2 FROM pairs),
+pv AS (SELECT id, sum(bf) AS butterflies FROM contrib GROUP BY id),
+verts AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))
+SELECT v.id, coalesce(pv.butterflies, 0) AS butterflies
+FROM verts v LEFT JOIN pv ON pv.id = v.id"""
+
+
 def q_avg_neighbor_degree(spark, sf):
     """Degree-correlation curve knn(k) of the undirected events graph —
     the per-degree companion of q_assortativity. Integer neighbor-degree
@@ -817,6 +845,40 @@ SELECT d.doc_id AS id, coalesce(n_windows, 0) AS n_windows,
        round(CASE WHEN coalesce(n_windows, 0) > 0
                   THEN coalesce(n_dup_windows, 0) * 1.0 / n_windows
                   ELSE 0.0 END, 6) AS dup_frac
+FROM documents d LEFT JOIN pd ON pd.id = d.doc_id"""
+
+
+def q_bigram_fluency(spark, sf):
+    """Weakest-link bigram fluency over corpus-trained transition
+    counts — the deterministic LM-perplexity-filter stand-in (CCNet);
+    min of single integer-count divisions, so the twin is bit-exact."""
+    from combblas_spark.functions.text import bigram_fluency
+
+    return bigram_fluency(_docs(spark, sf))
+
+
+def _bigram_fluency_sql() -> str:
+    """Twin of q_bigram_fluency: same word tokenization, adjacent-pair
+    transitions, corpus counts, and per-doc min / support divisions."""
+    return """WITH words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS w
+  FROM documents),
+tr AS (
+  SELECT doc_id AS id, w[i] AS w1, w[i + 1] AS w2
+  FROM words, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+  WHERE len(w) >= 2),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM tr GROUP BY w1),
+pd AS (
+  SELECT id, min(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) AS mp,
+         sum(c2.c2) AS s2, sum(c1.c1) AS s1, count(*) AS n
+  FROM tr JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY id)
+SELECT d.doc_id AS id,
+       round(coalesce(pd.mp, 1.0), 6) AS min_prob,
+       round(coalesce(CAST(pd.s2 AS DOUBLE) / CAST(pd.s1 AS DOUBLE), 1.0), 6)
+           AS support,
+       coalesce(pd.n, 0) AS n_transitions
 FROM documents d LEFT JOIN pd ON pd.id = d.doc_id"""
 
 
@@ -2599,6 +2661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the round-5 rotation):
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "ppmi": q_ppmi,
+        "butterflies": q_butterflies,
+        "bigram_fluency": q_bigram_fluency,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3486,6 +3550,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["eff_diameter"] = _eff_diameter_sql()
     sqls["assortativity"] = _assortativity_sql()
     sqls["avg_neighbor_degree"] = _avg_neighbor_degree_sql()
+    sqls["butterflies"] = _butterflies_sql()
+    sqls["bigram_fluency"] = _bigram_fluency_sql()
     sqls["transitivity"] = _transitivity_sql()
     sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["reciprocity"] = _reciprocity_sql()

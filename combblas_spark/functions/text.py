@@ -411,3 +411,63 @@ def remove_boilerplate_lines(
             (F.col("_ntot") - F.coalesce("_nkept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def bigram_fluency(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Weakest-link bigram fluency scoring — the deterministic stand-in
+    for LM-perplexity quality filtering (CCNet trains a 5-gram KenLM;
+    the filtering signal is "does any transition in this document look
+    improbable under the corpus LM"). Trains bigram/unigram transition
+    counts over the corpus word tokens and scores every document by
+
+      min_prob      = min over its transitions of c2(w1,w2) / c1(w1)
+      support       = sum c2 over transitions / sum c1 over transitions
+      n_transitions = transition count
+
+    Bit-portability (the doc_rarity rule — no ln/exp): each conditional
+    probability is ONE IEEE division of exact integer counts, `min` is
+    order-free, and `support` is one division of two exact integer
+    sums, so the DuckDB twin matches to the bit. A doc with fewer than
+    2 word tokens has no transitions and scores (1.0, 1.0, 0) — absence
+    of evidence is not disfluency.
+
+    Scale: the transition table is corpus-token-sized; both count
+    tables aggregate map-side. The c1 join on w1 is skewed ("the" is a
+    heavy hitter) — an equi-join, so AQE skew-split applies; nothing is
+    vocabulary-squared and no window is used.
+    """
+    t = word_tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("id"), t.alias("w"))
+    tr = (
+        base.where(F.size("w") >= 2)
+        .select("id", F.explode(F.zip_with(
+            F.slice("w", 1, F.size("w") - 1),
+            F.slice("w", 2, F.size("w") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )).alias("t"))
+        .select("id", "t.w1", "t.w2")
+    )
+    c2 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = tr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pd_ = (
+        tr.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .groupBy("id")
+        .agg(
+            F.min(F.col("c2").cast("double") / F.col("c1").cast("double")).alias("_mp"),
+            F.sum("c2").alias("_s2"),
+            F.sum("c1").alias("_s1"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id")).join(pd_, "id", "left")
+        .select(
+            "id",
+            F.round(F.coalesce("_mp", F.lit(1.0)), 6).alias("min_prob"),
+            F.round(F.coalesce(
+                F.col("_s2").cast("double") / F.col("_s1").cast("double"),
+                F.lit(1.0)), 6).alias("support"),
+            F.coalesce("_n", F.lit(0)).alias("n_transitions"),
+        )
+    )

@@ -2224,3 +2224,42 @@ def test_pagerank_batch_validates_seeds(spark):
         pagerank_batch(e, [0, 0])
     with _pytest.raises(ValueError, match="not in the graph"):
         pagerank_batch(e, [0, 99])
+
+
+def test_butterflies(spark):
+    """K_{2,2} closes exactly one butterfly; a random directed graph
+    matches a pure-python wedge count; the hub cap drops wedges through
+    capped destinations; duplicate edges and loops are ignored."""
+    from itertools import combinations
+
+    from combblas_spark.algorithms.butterflies import butterflies
+
+    def df_e(pairs):
+        return spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs], "src long, dst long, val double")
+
+    k22 = [(0, 2), (0, 3), (1, 2), (1, 3), (0, 2), (2, 2)]
+    got = {r["id"]: r["butterflies"] for r in butterflies(df_e(k22)).collect()}
+    assert got == {0: 1, 1: 1, 2: 0, 3: 0}
+
+    rng = np.random.default_rng(7)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 12, (60, 2)) if a != b}
+    outs = {}
+    for a, b in pairs:
+        outs.setdefault(a, set()).add(b)
+    verts = {v for e in pairs for v in e}
+    want = {v: 0 for v in verts}
+    for s1, s2 in combinations(sorted(outs), 2):
+        c = len(outs[s1] & outs[s2])
+        if c >= 2:
+            bf = c * (c - 1) // 2
+            want[s1] += bf
+            want[s2] += bf
+    got = {r["id"]: r["butterflies"]
+           for r in butterflies(df_e(sorted(pairs))).collect()}
+    assert got == want
+
+    # capping: in-degree-1 cap leaves no shared destinations at all
+    got_cap = {r["id"]: r["butterflies"]
+               for r in butterflies(df_e(sorted(pairs)), max_in_degree=1).collect()}
+    assert set(got_cap) == verts and all(v == 0 for v in got_cap.values())

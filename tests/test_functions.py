@@ -1027,3 +1027,36 @@ def test_tfidf_top_terms_exact(spark):
 
     with _pytest.raises(ValueError, match="k must"):
         tfidf_top_terms(df, k=0)
+
+
+def test_bigram_fluency(spark):
+    """Hand corpus vs pure python: corpus-trained transition counts,
+    per-doc weakest link and support; <2-token docs score (1,1,0)."""
+    from combblas_spark.functions.text import bigram_fluency
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "dog!"), (3, "")],
+        "doc_id long, text string")
+    corpus = {0: ["the", "cat", "sat"], 1: ["the", "cat", "ran"],
+              2: ["dog"], 3: []}
+    c2, c1 = {}, {}
+    for toks in corpus.values():
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    want = {}
+    for i, toks in corpus.items():
+        trs = list(zip(toks, toks[1:]))
+        if not trs:
+            want[i] = (1.0, 1.0, 0)
+        else:
+            want[i] = (
+                round(min(c2[t] / c1[t[0]] for t in trs), 6),
+                round(sum(c2[t] for t in trs) / sum(c1[t[0]] for t in trs), 6),
+                len(trs))
+    got = {r["id"]: (r["min_prob"], r["support"], r["n_transitions"])
+           for r in bigram_fluency(docs).collect()}
+    assert got == want, (got, want)
+    # "the cat" is shared (prob 1 for the->cat); sat/ran diverge at
+    # cat-> giving min_prob 0.5 for docs 0 and 1
+    assert got[0][0] == 0.5 and got[1][0] == 0.5
