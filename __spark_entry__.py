@@ -798,6 +798,50 @@ def q_incremental_neardups(spark, sf):
         "id_a", "id_b", "jaccard")
 
 
+def q_vocab_hll(spark, sf):
+    """Per-source HyperLogLog distinct-token estimate — the sketch that
+    replaces COUNT(DISTINCT) at crawl scale (shuffles 64 registers per
+    key instead of every token). md5-hashed, max-merged, exact-double
+    harmonic sum, so the DuckDB twin is bit-exact."""
+    from combblas_spark.functions.sketch import hll_distinct
+    from combblas_spark.functions.text import word_tokens
+
+    occ = _docs(spark, sf).select(
+        "source", F.explode(word_tokens(F.col("text"))).alias("token"))
+    return hll_distinct(occ, "source", "token")
+
+
+def _vocab_hll_sql(p: int = 6) -> str:
+    """Twin of q_vocab_hll: same md5 register/rank derivation, max
+    merge, grid completion, and harmonic estimate. The alpha*m^2
+    constant is inlined via string->double cast (a bare decimal literal
+    would parse as DECIMAL and could differ in the last ulp)."""
+    m = 1 << p
+    w = 32 - p
+    mask = (1 << w) - 1
+    alpha_mm = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    return f"""WITH occ AS (
+  SELECT source AS k,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS v
+  FROM documents),
+h AS (SELECT k, ('0x' || substr(md5(v), 1, 8))::BIGINT AS hv FROM occ),
+reg AS (SELECT k, hv >> {w} AS i,
+        CASE WHEN (hv & {mask}) = 0 THEN {w + 1}
+             ELSE {w} - length(bin(hv & {mask})) + 1 END AS r
+        FROM h),
+mx AS (SELECT k, i, max(r) AS r FROM reg GROUP BY k, i),
+grid AS (SELECT keys.k, gs.i FROM (SELECT DISTINCT k FROM occ) keys,
+         unnest(generate_series(0, {m - 1})) AS gs(i)),
+fullg AS (SELECT grid.k, coalesce(mx.r, 0) AS r FROM grid
+          LEFT JOIN mx ON mx.k = grid.k AND mx.i = grid.i),
+s AS (SELECT k, sum(1.0 / CAST(1::BIGINT << r AS DOUBLE)) AS ss FROM fullg
+      GROUP BY k)
+SELECT k AS source,
+       round(CAST('{alpha_mm!r}' AS DOUBLE) / ss, 6) AS distinct_est
+FROM s"""
+
+
 def q_vocab_topk(spark, sf):
     """Corpus vocabulary head: token counts + rarity rank assigned by
     the distributed JVM zip_with_index (no single-partition window)."""
@@ -1041,6 +1085,48 @@ def q_embedding_topk(spark, sf):
     e = _emb(spark, sf)
     q = e.filter(F.col("vec_id") < 10)
     return brute_force_topk(q, e, k=5).select("query_id", "neighbor_id", "cos")
+
+
+KCENTER_K = 8
+
+
+def q_kcenter(spark, sf):
+    """Greedy k-center coreset selection over the embeddings table —
+    diversity sampling for curation. Deterministic seed (min id) and
+    tie-break; d2 composed from the same left-fold dot product the ANN
+    oracles already proved bit-portable."""
+    from combblas_spark.functions.similarity import kcenter_select
+
+    return kcenter_select(_emb(spark, sf), k=KCENTER_K)
+
+
+def _kcenter_sql(k: int = KCENTER_K) -> str:
+    """Twin of q_kcenter: unrolled farthest-point iterations; each
+    level's argmax uses the same (mind DESC, id) order and the same
+    (dot(a,a)+dot(b,b)) - 2*dot(a,b) composition."""
+    def dd(a: str, b: str) -> str:
+        return (f"(list_dot_product({a}, {a}) + list_dot_product({b}, {b}))"
+                f" - 2 * list_dot_product({a}, {b})")
+
+    ctes = [
+        "s0 AS (SELECT CAST(vec_id AS BIGINT) AS id,"
+        " CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "c0 AS (SELECT id, e FROM s0 ORDER BY id LIMIT 1)",
+        f"m1 AS MATERIALIZED (SELECT s.id, s.e, {dd('s.e', 'c.e')} AS mind"
+        " FROM s0 s, c0 c WHERE s.id <> c.id)",
+    ]
+    for t in range(1, k):
+        ctes.append(
+            f"c{t} AS (SELECT id, e, mind FROM m{t}"
+            " ORDER BY mind DESC, id LIMIT 1)")
+        if t < k - 1:
+            ctes.append(
+                f"m{t + 1} AS MATERIALIZED (SELECT m.id, m.e,"
+                f" least(m.mind, {dd('m.e', 'c.e')}) AS mind"
+                f" FROM m{t} m, c{t} c WHERE m.id <> c.id)")
+    selects = ["SELECT 0 AS pos, id AS vec_id, 0.0 AS d2 FROM c0"] + [
+        f"SELECT {t}, id, round(mind, 6) FROM c{t}" for t in range(1, k)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
 def q_embedding_neardups(spark, sf):
@@ -2663,6 +2749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppmi": q_ppmi,
         "butterflies": q_butterflies,
         "bigram_fluency": q_bigram_fluency,
+        "vocab_hll": q_vocab_hll,
+        "kcenter": q_kcenter,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3552,6 +3640,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["avg_neighbor_degree"] = _avg_neighbor_degree_sql()
     sqls["butterflies"] = _butterflies_sql()
     sqls["bigram_fluency"] = _bigram_fluency_sql()
+    sqls["vocab_hll"] = _vocab_hll_sql()
+    sqls["kcenter"] = _kcenter_sql()
     sqls["transitivity"] = _transitivity_sql()
     sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["reciprocity"] = _reciprocity_sql()

@@ -524,3 +524,65 @@ def tf_cosine_pairs(
         .where(F.col("cos") >= min_cos)
     )
     return out
+
+
+def kcenter_select(embs: DataFrame, k: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center (farthest-point traversal, Gonzalez 1985)
+    coreset selection — the diversity-sampling primitive for training-
+    data curation: the selected k embeddings 2-approximate the optimal
+    k-center cover, so downstream dedup/curriculum code can treat them
+    as maximally-spread exemplars. Returns (pos, vec_id, d2): selection
+    order (0-based), the chosen id, and the squared euclidean distance
+    to the previously-selected set at selection time (0.0 for the
+    seed), rounded 6dp.
+
+    Deterministic: seed = smallest id; ties on distance break to the
+    smaller id. Bit-portable: d2 is composed as
+    (dot(a,a) + dot(b,b)) - 2*dot(a,b) with the same left-fold dot
+    product the ANN operators use, so the DuckDB twin (list_dot_product
+    has the same fold order) matches to the bit and the argmax picks
+    the same point.
+
+    Scale shape: k supersteps, each ONE scan computing a running
+    elementwise min against a broadcast single center and ONE argmax
+    (orderBy-limit-1, a tree reduce — no global sort materializes).
+    State is (id, vec, mind) — linear; nothing pairwise. The k
+    collected rows are scalars, the same convergence-read pattern as
+    pagerank's delta. For k in the thousands you'd batch centers per
+    pass (k-center++ style); this operator targets exemplar-scale k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _sqdist(v: Column, center: list[float]) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return (_dot(v, v) + _dot(c, c)) - F.lit(2.0) * _dot(v, c)
+
+    pts = embs.select(F.col(id_col).cast("long").alias("id"),
+                      F.col(vec_col).alias("v"))
+    seed = pts.orderBy("id").limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_select: empty input")
+    chosen = [(0, seed[0]["id"], 0.0)]
+    center = list(seed[0]["v"])
+    state = pts.where(F.col("id") != seed[0]["id"]).withColumn(
+        "mind", _sqdist(F.col("v"), center))
+    from combblas_spark.runtime.plans import superstep_checkpoint
+
+    for pos in range(1, k):
+        top = state.orderBy(F.desc("mind"), "id").limit(1).collect()
+        if not top:
+            break  # fewer than k distinct points
+        chosen.append((pos, top[0]["id"], top[0]["mind"]))
+        center = list(top[0]["v"])
+        state = superstep_checkpoint(
+            state.where(F.col("id") != top[0]["id"])
+            .withColumn("mind", F.least("mind", _sqdist(F.col("v"), center))),
+            pos)
+    # round in-engine (F.round), not in Python: python round() is
+    # banker's rounding, the engines' ROUND is half-away — the twin
+    # applies the same in-engine ROUND
+    return embs.sparkSession.createDataFrame(
+        chosen, "pos int, vec_id long, d2 double"
+    ).select("pos", "vec_id", F.round("d2", 6).alias("d2"))

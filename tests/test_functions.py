@@ -1060,3 +1060,58 @@ def test_bigram_fluency(spark):
     # "the cat" is shared (prob 1 for the->cat); sat/ran diverge at
     # cat-> giving min_prob 0.5 for docs 0 and 1
     assert got[0][0] == 0.5 and got[1][0] == 0.5
+
+
+def test_hll_distinct(spark):
+    """HLL estimate tracks exact distinct within the 64-register error
+    envelope, is invariant to partitioning/duplication (CRDT max-merge),
+    and validates p."""
+    import pytest as _pytest
+
+    from combblas_spark.functions.sketch import hll_distinct
+
+    # cardinalities >= 2.5*m (=160): the raw estimate (deliberately no
+    # linear-counting small-range correction) is only valid there
+    rows = [(f"k{i % 3}", f"v{(i // 3) % (400 * (1 + i % 3))}")
+            for i in range(9000)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    exact = {r["k"]: r["c"] for r in
+             df.groupBy("k").agg(F.count_distinct("v").alias("c")).collect()}
+    est = {r["k"]: r["distinct_est"] for r in
+           hll_distinct(df, "k", "v").collect()}
+    assert set(est) == set(exact)
+    for k, c in exact.items():
+        assert abs(est[k] - c) / c < 0.35, (k, c, est[k])
+    # partition invariance + duplicate absorption: the register max is
+    # order-free, so a reshuffled, doubled input gives the SAME estimate
+    est2 = {r["k"]: r["distinct_est"] for r in
+            hll_distinct(df.unionAll(df).repartition(13), "k", "v").collect()}
+    assert est2 == est
+
+    with _pytest.raises(ValueError, match="p must"):
+        hll_distinct(df, "k", "v", p=2)
+
+
+def test_kcenter_select(spark):
+    """Farthest-point traversal on hand 2D points follows the known
+    greedy order; k > n truncates; selection is deterministic."""
+    import pytest as _pytest
+
+    from combblas_spark.functions.similarity import kcenter_select
+
+    # seed = id 0 at origin; farthest is (10,0); then (5,8); then (2,1)
+    pts = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [5.0, 8.0]),
+           (3, [2.0, 1.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = [(r["pos"], r["vec_id"], r["d2"])
+           for r in kcenter_select(df, k=3).orderBy("pos").collect()]
+    # seed 0 at origin; farthest is 1 at (10,0), d2=100; then 2 at
+    # (5,8) with min(89 to origin, 89 to (10,0)) = 89
+    assert got == [(0, 0, 0.0), (1, 1, 100.0), (2, 2, 89.0)]
+
+    allk = kcenter_select(df, k=10).collect()
+    assert len(allk) == 4  # truncates past n points
+    with _pytest.raises(ValueError, match="k must"):
+        kcenter_select(df, k=0)
+    with _pytest.raises(ValueError, match="empty"):
+        kcenter_select(df.where(F.col("vec_id") < 0), k=2)
