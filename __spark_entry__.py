@@ -2751,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_fluency": q_bigram_fluency,
         "vocab_hll": q_vocab_hll,
         "kcenter": q_kcenter,
+        "greedy_modularity": q_greedy_modularity,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3642,6 +3643,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["bigram_fluency"] = _bigram_fluency_sql()
     sqls["vocab_hll"] = _vocab_hll_sql()
     sqls["kcenter"] = _kcenter_sql()
+    sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["transitivity"] = _transitivity_sql()
     sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["reciprocity"] = _reciprocity_sql()
@@ -4675,6 +4677,66 @@ SELECT d.doc_id AS id, coalesce(h.n_hits, 0) AS n_hits,
        coalesce(h.n_hits, 0) >= {DECON_MIN_OVERLAP} AS contaminated
 FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
 WHERE d.doc_id % 17 <> 0"""
+
+
+GREEDY_MOD_ROUNDS = 2
+
+
+def q_greedy_modularity(spark, sf):
+    """Synchronous greedy-modularity moves (one Louvain local-move
+    phase, 2 sweeps) on the thinned events graph — gain scores are
+    integer moments combined with identical IEEE double ops, so winner
+    selection is bit-portable."""
+    from combblas_spark.algorithms.labelprop import greedy_modularity
+
+    return greedy_modularity(_thin_edges(events_graph(spark, sf)),
+                             n_rounds=GREEDY_MOD_ROUNDS)
+
+
+def _greedy_modularity_sql(rounds: int = GREEDY_MOD_ROUNDS) -> str:
+    """Twin of q_greedy_modularity: unrolled synchronous sweeps — same
+    k_{i,C}/Sigma_tot moments, same (2m*k - deg*(st - own_deg)) double
+    composition, same (score DESC, cc ASC) winner order and strict-
+    improvement move rule."""
+    score = ("CAST(2 * mm.m AS DOUBLE) * CAST({k} AS DOUBLE)"
+             " - CAST(d.deg AS DOUBLE) * CAST({st} AS DOUBLE)")
+    ctes = [
+        f"edges AS (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "fwd AS (SELECT src, dst FROM edges WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd))",
+        "mm AS (SELECT count(*) // 2 AS m FROM sym)",
+        "deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)",
+        "lab0 AS (SELECT DISTINCT src AS id, src AS c FROM sym)",
+    ]
+    for r in range(rounds):
+        cand_score = score.format(
+            k="kin.k",
+            st="t.st - CASE WHEN kin.cc = l.c THEN d.deg ELSE 0 END")
+        stay_score = score.format(k="coalesce(k.k, 0)", st="t.st - d.deg")
+        ctes += [
+            f"kin{r} AS MATERIALIZED (SELECT s.src AS id, l.c AS cc, count(*) AS k"
+            f" FROM sym s JOIN lab{r} l ON l.id = s.dst GROUP BY s.src, l.c)",
+            f"tot{r} AS (SELECT l.c AS cc, sum(d.deg) AS st"
+            f" FROM lab{r} l JOIN deg d ON d.id = l.id GROUP BY l.c)",
+            f"cand{r} AS (SELECT kin.id, kin.cc, {cand_score} AS score"
+            f" FROM kin{r} kin JOIN tot{r} t ON t.cc = kin.cc"
+            f" JOIN deg d ON d.id = kin.id JOIN lab{r} l ON l.id = kin.id, mm)",
+            f"win{r} AS (SELECT id, cc AS wc, score AS ws FROM"
+            f" (SELECT id, cc, score, row_number() OVER"
+            f" (PARTITION BY id ORDER BY score DESC, cc ASC) AS rn"
+            f" FROM cand{r}) WHERE rn = 1)",
+            f"stay{r} AS (SELECT l.id, {stay_score} AS ss"
+            f" FROM lab{r} l JOIN deg d ON d.id = l.id"
+            f" JOIN tot{r} t ON t.cc = l.c"
+            f" LEFT JOIN kin{r} k ON k.id = l.id AND k.cc = l.c, mm)",
+            f"lab{r + 1} AS MATERIALIZED (SELECT l.id,"
+            f" CASE WHEN w.ws > s.ss THEN w.wc ELSE l.c END AS c"
+            f" FROM lab{r} l LEFT JOIN stay{r} s ON s.id = l.id"
+            f" LEFT JOIN win{r} w ON w.id = l.id)",
+        ]
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, c AS community FROM lab{rounds}")
 
 
 def q_modularity(spark, sf):

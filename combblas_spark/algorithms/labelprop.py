@@ -219,3 +219,97 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         "m", "intra_edges", F.coalesce("deg_sq_sum", F.lit(0)).alias("deg_sq_sum"),
     )
     return out
+
+
+def greedy_modularity(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
+    """Synchronous greedy-modularity label moves — one Louvain
+    local-move phase (Blondel et al. 2008), synchronous variant: every
+    vertex simultaneously considers its neighbors' communities and
+    moves to the one with the largest modularity gain, STRICTLY better
+    than staying, ties to the smallest community id. All-singleton
+    init; ``n_rounds`` synchronous sweeps. Returns (id, community).
+
+    Gain comparison (for fixed i, across candidate communities C):
+        dQ(i->C)  ~  2m * k_{i,C}  -  k_i * Sigma'_tot(C)
+    where k_{i,C} = edges from i into C, Sigma'_tot(C) = total degree
+    of C under the PREVIOUS labeling minus k_i when C is i's own
+    community (the standard remove-then-consider rule). All moments are
+    integers; the score products are composed with the identical IEEE
+    double ops in the DuckDB twin, so winner selection is bit-portable
+    at any scale (exact up to 2^53, identically-rounded beyond).
+
+    Scale shape per round: two hash aggregates (k_{i,C} by (vertex,
+    community), Sigma_tot by community), equi-joins back, and ONE
+    per-vertex window over candidate communities (cardinality <=
+    deg(i), never global). The synchronous update avoids Louvain's
+    sequential vertex scan — the trade documented in the distributed-
+    Louvain literature (it can oscillate on bipartite-ish structure,
+    which fixed n_rounds bounds).
+    """
+    from combblas_spark.runtime.plans import superstep_checkpoint
+
+    fwd = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    m = sym.count() // 2
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("c"))
+    )
+    two_m = float(2 * m)
+    w = Window.partitionBy("id").orderBy(F.desc("_score"), F.asc("cc"))
+    for r in range(n_rounds):
+        kin = (
+            sym.join(labels.select(F.col("id").alias("dst"),
+                                   F.col("c").alias("cc")), "dst")
+            .groupBy(F.col("src").alias("id"), "cc")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        tot = (
+            labels.join(deg, "id")
+            .groupBy(F.col("c").alias("cc")).agg(F.sum("deg").alias("st"))
+        )
+        cand = (
+            kin.join(tot, "cc").join(deg, "id").join(labels, "id")
+            .withColumn(
+                "_score",
+                F.lit(two_m) * F.col("k").cast("double")
+                - F.col("deg").cast("double")
+                * (F.col("st")
+                   - F.when(F.col("cc") == F.col("c"), F.col("deg"))
+                      .otherwise(F.lit(0))).cast("double"),
+            )
+        )
+        win = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", F.col("cc").alias("_wc"), F.col("_score").alias("_ws"))
+        )
+        stay = (
+            labels.join(deg, "id")
+            .join(tot.withColumnRenamed("cc", "c"), "c")
+            .join(kin.withColumnRenamed("cc", "c"), ["id", "c"], "left")
+            .select(
+                "id",
+                (F.lit(two_m) * F.coalesce("k", F.lit(0)).cast("double")
+                 - F.col("deg").cast("double")
+                 * (F.col("st") - F.col("deg")).cast("double")).alias("_ss"),
+            )
+        )
+        labels = superstep_checkpoint(
+            labels.join(stay, "id", "left").join(win, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("_ws") > F.col("_ss"), F.col("_wc"))
+                 .otherwise(F.col("c")).alias("c"),
+            ),
+            r,
+        )
+    sym.unpersist()
+    return labels.select("id", F.col("c").alias("community"))

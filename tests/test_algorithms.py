@@ -2263,3 +2263,19 @@ def test_butterflies(spark):
     got_cap = {r["id"]: r["butterflies"]
                for r in butterflies(df_e(sorted(pairs)), max_in_degree=1).collect()}
     assert set(got_cap) == verts and all(v == 0 for v in got_cap.values())
+
+
+def test_greedy_modularity(spark):
+    """Two disjoint triangles: after the round-1 synchronous swap each
+    triangle collapses onto its min-id community in round 2 (hand-
+    simulated: round 1 sends 0->1,1->0,2->0; round 2 resolves to all-0).
+    Loops and duplicate edges are ignored."""
+    from combblas_spark.algorithms.labelprop import greedy_modularity
+
+    e = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10),
+         (0, 0), (1, 2)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in e], "src long, dst long, val double")
+    got = {r["id"]: r["community"]
+           for r in greedy_modularity(df, n_rounds=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}, got
