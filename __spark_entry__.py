@@ -1582,6 +1582,37 @@ def q_eff_diameter(spark, sf):
         "eff_diameter double, hops_run int")
 
 
+def q_hyperball(spark, sf):
+    """HyperBall harmonic-centrality estimates (Boldi-Vigna 2013): the
+    per-vertex centrality that replaces exact multi-root BFS closeness
+    at crawl scale — hops supersteps total for ALL vertices. Same
+    proven anf sketch machinery; the increment fold is composed
+    identically in the twin."""
+    from combblas_spark.algorithms.anf import hyperball_harmonic
+
+    return hyperball_harmonic(events_graph(spark, sf), hops=ANF_HOPS,
+                              k=ANF_K, r_bits=ANF_RBITS, seed=ANF_SEED)
+
+
+def _hyperball_sql(hops: int = ANF_HOPS, k: int = ANF_K,
+                   r_bits: int = ANF_RBITS, seed: int = ANF_SEED) -> str:
+    """Twin of q_hyperball: the shared anf sketch unroll, a per-hop
+    per-vertex FM estimate, and the same left-to-right increment fold
+    ((0 + d1/1) + d2/2) + ..."""
+    ctes, lzb = _anf_ctes(hops, k, r_bits, seed)
+    for h in range(0, hops + 1):
+        ctes.append(
+            f"e{h} AS (SELECT id, pow(2.0, ({lzb}) / {float(k)}) / 0.77351"
+            f" AS est FROM s{h})")
+    expr = "0.0"
+    for h in range(1, hops + 1):
+        expr = f"({expr} + (e{h}.est - e{h - 1}.est) / {float(h)})"
+    joins = "e0 " + " ".join(
+        f"JOIN e{h} USING (id)" for h in range(1, hops + 1))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, round({expr}, 6) AS harmonic_est FROM {joins}")
+
+
 def q_anf(spark, sf):
     """Approximate neighborhood function (ANF, KDD'02): N(h) estimates
     for h=0..3 from md5-seeded Flajolet-Martin sketches merged by
@@ -2752,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_hll": q_vocab_hll,
         "kcenter": q_kcenter,
         "greedy_modularity": q_greedy_modularity,
+        "hyperball": q_hyperball,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3644,6 +3676,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["vocab_hll"] = _vocab_hll_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
+    sqls["hyperball"] = _hyperball_sql()
     sqls["transitivity"] = _transitivity_sql()
     sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["reciprocity"] = _reciprocity_sql()

@@ -276,3 +276,87 @@ def effective_diameter(
         "hops_run": len(summaries) - 1,
         "nf": summaries,
     }
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    hops: int = 3,
+    k: int = 4,
+    r_bits: int = 24,
+    seed: int = 42,
+    directed: bool = False,
+) -> DataFrame:
+    """HyperBall harmonic-centrality estimates (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", 2013): run
+    the ANF sketch supersteps, and per vertex accumulate
+
+        harmonic(v) ~= sum_{h=1..hops} (|B(v,h)| - |B(v,h-1)|) / h
+
+    from the per-vertex Flajolet-Martin ball-size estimates. This is
+    the centrality that replaces exact multi-root BFS closeness
+    (closeness.py) at crawl scale: every vertex gets a score in
+    ``hops`` supersteps total, instead of one BFS per root.
+
+    Returns (id, harmonic_est) rounded 6dp. Ball estimates are
+    monotone (masks only gain bits), so increments are >= 0.
+
+    Bit-portability: the mask pipeline is the proven anf machinery
+    (md5 seeds, OR-reduce, exact-power-of-two log2); the per-hop
+    estimate pow(2, lzb_sum/k)/PHI_FM and the left-to-right increment
+    fold are composed identically in the DuckDB twin (the same pow
+    portability the eff_diameter oracle already exercises).
+
+    Scale shape: identical to anf_sketches — one dst-clustered
+    OR-reduce join per superstep, state = (id, k masks, 2 doubles);
+    the accumulator rides the superstep, adding no extra job.
+    """
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if directed:
+        adj = edges.select("src", "dst").distinct().repartition(shuffle_n, "dst")
+    else:
+        adj = symmetrize_partitioned(edges, "dst", shuffle_n).select("src", "dst")
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+
+    mask_cols = [f"m{j}" for j in range(k)]
+
+    def _est():
+        lzbs = [_lzb(F.col(c), r_bits) for c in mask_cols]
+        tot = lzbs[0]
+        for e in lzbs[1:]:
+            tot = tot + e
+        return F.pow(F.lit(2.0), tot / F.lit(float(k))) / F.lit(PHI_FM)
+
+    state = (
+        vertices(edges)
+        .select("id", *[_init_mask(j, seed, r_bits) for j in range(k)])
+        .withColumn("prev", _est())
+        .withColumn("acc", F.lit(0.0))
+        .repartition(shuffle_n, "id")
+        .localCheckpoint(eager=True)
+    )
+    for h in range(1, hops + 1):
+        mv = state.select(F.col("id").alias("src"), *mask_cols)
+        nbr = (
+            adj.join(mv, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.bit_or(c).alias(f"_n{j}") for j, c in enumerate(mask_cols)])
+        )
+        merged = state.join(nbr, "id", "left").select(
+            "id", "prev", "acc",
+            *[
+                F.col(c).bitwiseOR(
+                    F.coalesce(F.col(f"_n{j}"), F.lit(0).cast("long"))).alias(c)
+                for j, c in enumerate(mask_cols)
+            ],
+        ).withColumn("_e", _est())
+        new_state = merged.select(
+            "id", *mask_cols,
+            F.col("_e").alias("prev"),
+            (F.col("acc")
+             + (F.col("_e") - F.col("prev")) / F.lit(float(h))).alias("acc"),
+        )
+        state = superstep_checkpoint(new_state, h)
+    adj.unpersist()
+    return state.select("id", F.round("acc", 6).alias("harmonic_est"))

@@ -2279,3 +2279,58 @@ def test_greedy_modularity(spark):
     got = {r["id"]: r["community"]
            for r in greedy_modularity(df, n_rounds=2).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}, got
+
+
+def test_hyperball_harmonic(spark):
+    """hyperball_harmonic matches an independent pure-python replica of
+    the FM sketch pipeline (md5 seeds, ball ORs, lzb estimate, 1/h
+    fold) on a small graph with a loop-only vertex (score 0)."""
+    import hashlib
+    import math
+
+    from combblas_spark.algorithms.anf import PHI_FM, hyperball_harmonic
+
+    E = [(0, 1), (1, 2), (2, 3), (3, 4), (9, 9)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in E], "src long, dst long, val double")
+    K, RB, SEED, HOPS = 4, 24, 42, 3
+    cap = 1 << (RB - 1)
+    adj = {}
+    verts = set()
+    for a, b in E:
+        verts |= {a, b}
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+    def mask(v, j):
+        u = int(hashlib.md5(f"{SEED}:{j}:{v}".encode()).hexdigest()[:8], 16)
+        low = u & -u
+        return cap if low == 0 else min(low, cap)
+
+    def est(ms):
+        tot = 0
+        for m in ms:
+            tot += int(math.log2((~m) & (m + 1)))
+        return (2.0 ** (tot / float(K))) / PHI_FM
+
+    state = {v: [mask(v, j) for j in range(K)] for v in verts}
+    prev = {v: est(state[v]) for v in verts}
+    acc = {v: 0.0 for v in verts}
+    for h in range(1, HOPS + 1):
+        new = {v: list(ms) for v, ms in state.items()}
+        for v in verts:
+            for n in adj.get(v, ()):
+                for j in range(K):
+                    new[v][j] |= state[n][j]
+        state = new
+        for v in verts:
+            e = est(state[v])
+            acc[v] = acc[v] + (e - prev[v]) / float(h)
+            prev[v] = e
+    want = {v: round(acc[v], 6) for v in verts}
+    got = {r["id"]: r["harmonic_est"]
+           for r in hyperball_harmonic(df, hops=HOPS, k=K, r_bits=RB,
+                                       seed=SEED).collect()}
+    assert got == want, (got, want)
+    assert got[9] == 0.0  # loop-only vertex: ball never grows
