@@ -892,6 +892,42 @@ SELECT d.doc_id AS id, coalesce(n_windows, 0) AS n_windows,
 FROM documents d LEFT JOIN pd ON pd.id = d.doc_id"""
 
 
+PACK_CAPACITY = 128
+
+
+def q_pack_sequences(spark, sf):
+    """Concat-then-chunk sequence-packing layout (capacity-128 training
+    windows) over the documents corpus — built on the distributed
+    prefix_sum scan; all-integer output, exact twin."""
+    from combblas_spark.functions.text import pack_sequences
+
+    return pack_sequences(_docs(spark, sf), capacity=PACK_CAPACITY)
+
+
+def _pack_sequences_sql(capacity: int = PACK_CAPACITY) -> str:
+    """Twin of q_pack_sequences: window prefix sum over id order (the
+    engine's two-pass scan is exactly SUM OVER ORDER BY), same integer
+    chunk arithmetic."""
+    return f"""WITH t AS (
+  SELECT doc_id AS id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start
+  FROM t WHERE n_tokens > 0)
+SELECT id, n_tokens, start,
+       start // {capacity} AS first_chunk,
+       (start + n_tokens - 1) // {capacity} AS last_chunk,
+       (start + n_tokens - 1) // {capacity} - start // {capacity} + 1
+           AS n_chunks,
+       start % {capacity} AS offset_in_first
+FROM p"""
+
+
 def q_bigram_fluency(spark, sf):
     """Weakest-link bigram fluency over corpus-trained transition
     counts — the deterministic LM-perplexity-filter stand-in (CCNet);
@@ -2784,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter": q_kcenter,
         "greedy_modularity": q_greedy_modularity,
         "hyperball": q_hyperball,
+        "pack_sequences": q_pack_sequences,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3677,6 +3714,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
+    sqls["pack_sequences"] = _pack_sequences_sql()
     sqls["transitivity"] = _transitivity_sql()
     sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["reciprocity"] = _reciprocity_sql()

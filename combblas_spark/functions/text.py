@@ -471,3 +471,41 @@ def bigram_fluency(docs: DataFrame, id_col: str = "doc_id",
             F.coalesce("_n", F.lit(0)).alias("n_transitions"),
         )
     )
+
+
+def pack_sequences(docs: DataFrame, capacity: int = 128,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """GPT-style sequence-packing layout: documents are concatenated in
+    id order and chunked into fixed ``capacity``-token training
+    windows; each document is mapped to the chunk span its tokens land
+    in. Returns (id, n_tokens, start, first_chunk, last_chunk,
+    n_chunks, offset_in_first) — all exact integers. Token-free
+    documents occupy no space and are omitted (they cannot land in a
+    chunk).
+
+    This is the concat-then-chunk packing every LLM data pipeline runs
+    before training; the layout table is what a loader needs to fetch
+    a chunk's documents (filter first_chunk <= c <= last_chunk).
+
+    Scale shape: one distributed prefix_sum over doc token counts (the
+    two-pass offset scan — no global window, see
+    operators/indexing.prefix_sum), then pure integer projections.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    from combblas_spark.operators.indexing import prefix_sum
+
+    t = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(word_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    p = prefix_sum(t, [F.col("id").asc()], "n_tokens", ["id", "n_tokens"])
+    first = F.expr(f"start div {capacity}")
+    last = F.expr(f"(start + n_tokens - 1) div {capacity}")
+    return p.select(
+        "id", "n_tokens", "start",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+        F.expr(f"start % {capacity}").alias("offset_in_first"),
+    )

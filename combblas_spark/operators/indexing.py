@@ -165,6 +165,56 @@ def zip_with_index(df: DataFrame, order_cols: list, keep_cols: list[str],
     return ordered.select(pos.alias(pos_col), *keep_cols)
 
 
+def prefix_sum(df: DataFrame, order_cols: list, weight_col: str,
+               keep_cols: list[str], start_col: str = "start") -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum (scan) of ``weight_col`` over a
+    TOTAL order — the weighted generalization of zip_with_index (which
+    is prefix_sum with weight 1). Returns (start_col, *keep_cols) where
+    start = sum of weights strictly before this row in order.
+
+    Plan shape (same two-pass trick as zip_with_index): the ordered
+    checkpoint pins range partitions; one tiny job collects
+    PER-PARTITION WEIGHT SUMS -> cumulative offsets as a literal map;
+    the within-partition running sum is a window partitioned by
+    spark_partition_id — bounded by one range partition, NEVER a
+    global single-partition window. Positions are partitioning-
+    invariant because the order is total (callers break ties on id).
+
+    The scan primitive a packing/layout pipeline needs (sequence
+    packing, CSR offsets, chunked file layout); CombBLAS expresses the
+    same thing as FullyDistVec prefix offsets inside its I/O paths
+    (SpParHelper.h partial-sum exchanges).
+    """
+    ordered = (
+        df.orderBy(*order_cols)
+        .select(F.col(weight_col).cast("long").alias("_w"), *keep_cols)
+        .localCheckpoint(eager=True)
+    )
+    sums = ordered.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.sum("_w").alias("s")).collect()
+    offsets: list = []
+    acc = 0
+    for r in sorted(sums, key=lambda r: r["pid"]):
+        offsets += [F.lit(int(r["pid"])).cast("long"), F.lit(acc).cast("long")]
+        acc += int(r["s"])
+    if not offsets:
+        return ordered.select(
+            F.lit(None).cast("long").alias(start_col), *keep_cols)
+    mapping = F.create_map(*offsets)
+    # materialize (pid, mid) in ONE projection below the window's
+    # exchange: the nondeterministic mid is assigned in checkpointed-
+    # partition iteration order, then the window re-clusters by pid
+    mid = F.monotonically_increasing_id()
+    tagged = ordered.select(
+        F.shiftrightunsigned(mid, 33).alias("_pid"),
+        mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("_rid"),
+        "_w", *keep_cols)
+    w = (Window.partitionBy("_pid").orderBy("_rid")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = mapping[F.col("_pid")] + F.sum("_w").over(w) - F.col("_w")
+    return tagged.select(start.alias(start_col), *keep_cols)
+
+
 def _perm_by(v: DataFrame, order_cols: list) -> DataFrame:
     """Distributed total-order -> (pos, id) permutation — the Spark form
     of MemoryEfficientPSort (SpParHelper.h:69): no single-partition

@@ -595,3 +595,49 @@ def test_reciprocity_query(spark):
         m.events_graph = orig
     assert r["n_edges"] == 3 and r["n_mutual"] == 2      # self-loop dropped
     assert abs(r["reciprocity"] - 2 / 3) < 1e-6
+
+
+def test_prefix_sum(spark):
+    """Exclusive scan matches python cumsum under the total order,
+    independent of input partitioning; empty input keeps the schema."""
+    from combblas_spark.operators.indexing import prefix_sum
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    want = {}
+    acc = 0
+    for i, w in rows:
+        want[i] = acc
+        acc += w
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "id long, w long").repartition(parts)
+        got = {r["id"]: r["start"]
+               for r in prefix_sum(df, [F.col("id").asc()], "w",
+                                   ["id", "w"]).collect()}
+        assert got == want, parts
+    empty = prefix_sum(
+        spark.createDataFrame([], "id long, w long"),
+        [F.col("id").asc()], "w", ["id", "w"])
+    assert empty.columns == ["start", "id", "w"] and empty.count() == 0
+
+
+def test_pack_sequences(spark):
+    """Hand corpus: known token counts -> known chunk spans; token-free
+    docs omitted; capacity validated."""
+    import pytest as _pytest
+
+    from combblas_spark.functions.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, ""), (2, "d e f g"), (3, "h i")],
+        "doc_id long, text string")
+    # counts: 0->3, 2->4, 3->2; capacity 4; concat order by id:
+    # 0: start 0, chunks 0..0 ; 2: start 3, chunks 0..1, offset 3
+    # 3: start 7, chunks 1..2, offset 3
+    got = {r["id"]: (r["n_tokens"], r["start"], r["first_chunk"],
+                     r["last_chunk"], r["n_chunks"], r["offset_in_first"])
+           for r in pack_sequences(docs, capacity=4).collect()}
+    assert got == {0: (3, 0, 0, 0, 1, 0),
+                   2: (4, 3, 0, 1, 2, 3),
+                   3: (2, 7, 1, 2, 2, 3)}, got
+    with _pytest.raises(ValueError, match="capacity"):
+        pack_sequences(docs, capacity=0)
