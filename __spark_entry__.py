@@ -892,6 +892,42 @@ SELECT d.doc_id AS id, coalesce(n_windows, 0) AS n_windows,
 FROM documents d LEFT JOIN pd ON pd.id = d.doc_id"""
 
 
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_BUDGET = 2_000
+
+
+def q_mix_budget(spark, sf):
+    """Token-budget source mixing (Pile/Dolma mixture stage): per-
+    stratum keep rates derived from target shares + the stable counter-
+    hash filter; rates/cutoffs composed with identical IEEE ops both
+    engines."""
+    from combblas_spark.functions.sampling import mix_to_budget
+
+    return mix_to_budget(_docs(spark, sf), MIX_WEIGHTS, MIX_BUDGET).select(
+        F.col("doc_id").alias("id"), "source")
+
+
+def _mix_budget_sql(weights: dict = MIX_WEIGHTS,
+                    budget: int = MIX_BUDGET) -> str:
+    """Twin of q_mix_budget: per-source totals from the same word
+    tokenization; cutoff = floor(min(1, (budget*w)/T) * 2^32) with the
+    budget*w product pre-folded to the identical python double."""
+    arms = " ".join(
+        f"WHEN '{s}' THEN CAST(floor(CASE WHEN t.tt = 0 THEN 0.0"
+        f" ELSE least(1.0, CAST('{budget * w!r}' AS DOUBLE)"
+        f" / CAST(t.tt AS DOUBLE)) END * 4294967296.0) AS BIGINT)"
+        for s, w in sorted(weights.items()))
+    return f"""WITH t AS (
+  SELECT source,
+         sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> ''))) AS tt
+  FROM documents GROUP BY source)
+SELECT d.doc_id AS id, d.source
+FROM documents d JOIN t ON t.source = d.source
+WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < (CASE d.source {arms} ELSE 0 END)"""
+
+
 PACK_CAPACITY = 128
 
 
@@ -2821,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_modularity": q_greedy_modularity,
         "hyperball": q_hyperball,
         "pack_sequences": q_pack_sequences,
+        "mix_budget": q_mix_budget,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3715,6 +3752,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
     sqls["pack_sequences"] = _pack_sequences_sql()
+    sqls["mix_budget"] = _mix_budget_sql()
     sqls["transitivity"] = _transitivity_sql()
     sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["reciprocity"] = _reciprocity_sql()

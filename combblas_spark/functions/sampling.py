@@ -208,3 +208,60 @@ def per_group_cap(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def mix_to_budget(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Token-budget source mixing (the Pile/Dolma mixture stage): given
+    target mixture ``weights`` (stratum -> share of the budget) and a
+    total ``budget_tokens``, derive each stratum's deterministic keep
+    rate
+
+        rate_s = min(1.0, (budget * w_s) / tokens_s)
+
+    and apply the stable counter-hash Bernoulli filter. Strata not in
+    ``weights`` (and token-free strata) are dropped. Returns the kept
+    rows of ``docs`` unchanged.
+
+    In expectation the kept corpus has ~budget*w_s tokens per stratum,
+    capped at the stratum's full size (an under-resourced stratum
+    cannot be upsampled by a filter — it is kept whole; the documented
+    remedy at mixture time is epoch repetition, not row duplication
+    here). Decisions depend only on (salt, doc id), so growing other
+    strata never flips a document — snapshots stay comparable.
+
+    Bit-portability: the per-stratum totals are exact integer aggs
+    (collected — the stratum domain is small by construction); rate
+    and cutoff are composed with the identical IEEE ops in the DuckDB
+    twin (min, one division, one multiply, floor). The filter itself
+    is the shared md5 counter hash — a scan-level predicate, zero
+    shuffle at apply time.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    from combblas_spark.functions.text import word_tokens
+
+    totals = {
+        r["s"]: int(r["t"])
+        for r in docs.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.sum(F.size(word_tokens(F.col(text_col)))).alias("t"))
+        .collect()
+    }
+    expr = None
+    for stratum, w in sorted(weights.items()):
+        t = totals.get(stratum, 0)
+        rate = 0.0 if t == 0 else min(1.0, (budget_tokens * w) / t)
+        cond = F.col(stratum_col) == stratum
+        cut = F.lit(int(rate * _BUCKETS))
+        expr = F.when(cond, cut) if expr is None else expr.when(cond, cut)
+    if expr is None:
+        return docs.where(F.lit(False))
+    cutoff = expr.otherwise(F.lit(0))
+    return docs.where(sample_hash(F.col(id_col), salt) < cutoff)

@@ -1115,3 +1115,40 @@ def test_kcenter_select(spark):
         kcenter_select(df, k=0)
     with _pytest.raises(ValueError, match="empty"):
         kcenter_select(df.where(F.col("vec_id") < 0), k=2)
+
+
+def test_mix_to_budget(spark):
+    """Rates follow budget*w/T with the cap at 1.0; unlisted strata
+    drop; decisions are stable under corpus growth of OTHER strata;
+    kept token mass tracks the target share."""
+    import pytest as _pytest
+
+    from combblas_spark.functions.sampling import mix_to_budget
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 10, "a" if i < 200 else "b") for i in range(400)],
+        "doc_id long, text string, source string")
+    # each doc has 10 tokens; T_a = T_b = 2000
+    out = mix_to_budget(docs, {"a": 0.75, "b": 0.25}, 2000)
+    kept = out.groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in kept}
+    # expected keep rates: a -> 1500/2000 = 0.75, b -> 500/2000 = 0.25
+    assert 0.60 * 200 < got.get("a", 0) < 0.90 * 200
+    assert 0.12 * 200 < got.get("b", 0) < 0.40 * 200
+    # cap at 1.0: a budget far above the stratum keeps it whole
+    whole = mix_to_budget(docs, {"a": 1.0}, 10**9)
+    assert whole.count() == 200 and whole.where("source = 'b'").count() == 0
+    # growth stability: adding more 'b' docs never flips an 'a' decision
+    bigger = docs.unionByName(spark.createDataFrame(
+        [(i, "tok " * 10, "b") for i in range(1000, 1400)],
+        "doc_id long, text string, source string"))
+    kept_a1 = {r["doc_id"] for r in
+               mix_to_budget(docs, {"a": 0.75, "b": 0.25}, 2000)
+               .where("source = 'a'").collect()}
+    kept_a2 = {r["doc_id"] for r in
+               mix_to_budget(bigger, {"a": 0.75, "b": 0.25}, 2000)
+               .where("source = 'a'").collect()}
+    assert kept_a1 == kept_a2
+    with _pytest.raises(ValueError, match="budget"):
+        mix_to_budget(docs, {"a": 1.0}, -1)
+    assert mix_to_budget(docs, {}, 100).count() == 0
