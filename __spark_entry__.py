@@ -892,6 +892,50 @@ SELECT d.doc_id AS id, coalesce(n_windows, 0) AS n_windows,
 FROM documents d LEFT JOIN pd ON pd.id = d.doc_id"""
 
 
+TEXTRANK_K = 20
+
+
+def q_textrank(spark, sf):
+    """TextRank corpus keywords: the engine's own pagerank() over the
+    word co-occurrence graph (dense word ids via the distributed
+    zip_with_index) — corpus-level companion of per-doc tfidf."""
+    from combblas_spark.functions.text import textrank_keywords
+
+    return textrank_keywords(_docs(spark, sf), k=TEXTRANK_K,
+                             n_iter=PR_ITERS, alpha=ALPHA)
+
+
+def _textrank_sql(k: int = TEXTRANK_K, iters: int = PR_ITERS,
+                  alpha: float = ALPHA) -> str:
+    """Twin of q_textrank: same tokenization/co-occurrence/dictionary
+    rule feeding the shared _pr_chain_ctes unroll; top-k selected on
+    the FULL-precision rank with the token tie-break."""
+    pre = [
+        """tw AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w FROM documents)""",
+        """tp AS (SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM tw, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+  WHERE len(w) >= 2)""",
+        """up AS MATERIALIZED (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+  FROM tp WHERE w1 <> w2)""",
+        """wl AS MATERIALIZED (SELECT token, row_number() OVER (ORDER BY token) - 1 AS wid
+  FROM (SELECT DISTINCT a AS token FROM up UNION SELECT b FROM up))""",
+    ]
+    edges_sql = (
+        "SELECT d1.wid AS src, d2.wid AS dst FROM up"
+        " JOIN wl d1 ON d1.token = up.a JOIN wl d2 ON d2.token = up.b"
+        " UNION ALL SELECT d2.wid, d1.wid FROM up"
+        " JOIN wl d1 ON d1.token = up.a JOIN wl d2 ON d2.token = up.b")
+    ctes = pre + _pr_chain_ctes(iters, alpha, edges_sql, prefix="tk")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT token, ROUND(pr, 6) AS \"rank\"
+FROM tkr{iters} r JOIN wl ON wl.wid = r.id
+ORDER BY ROUND(pr, 6) DESC, token ASC LIMIT {k}"""
+    )
+
+
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_BUDGET = 2_000
 
@@ -2858,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball": q_hyperball,
         "pack_sequences": q_pack_sequences,
         "mix_budget": q_mix_budget,
+        "textrank": q_textrank,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3753,6 +3798,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["hyperball"] = _hyperball_sql()
     sqls["pack_sequences"] = _pack_sequences_sql()
     sqls["mix_budget"] = _mix_budget_sql()
+    sqls["textrank"] = _textrank_sql()
     sqls["transitivity"] = _transitivity_sql()
     sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["reciprocity"] = _reciprocity_sql()

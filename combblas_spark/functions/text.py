@@ -509,3 +509,64 @@ def pack_sequences(docs: DataFrame, capacity: int = 128,
         (last - first + 1).alias("n_chunks"),
         F.expr(f"start % {capacity}").alias("offset_in_first"),
     )
+
+
+def textrank_keywords(docs: DataFrame, k: int = 20, n_iter: int = 10,
+                      alpha: float = 0.85, text_col: str = "text") -> DataFrame:
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph. Adjacent word-token pairs form the
+    undirected distinct co-occurrence edges; words get dense vertex ids
+    through the distributed zip_with_index (alphabetical order — count-
+    independent, so the mapping is stable under re-ingestion); the
+    ENGINE'S OWN pagerank() runs the chain; top-``k`` words by
+    (rank DESC, token ASC). Returns (token, rank) rounded 6dp.
+
+    The corpus-level companion of tfidf_top_terms (per-doc keywords):
+    TextRank surfaces globally central vocabulary, TF-IDF surfaces
+    per-document distinctive vocabulary.
+
+    Scale shape: the co-occurrence graph is vocabulary-sized (<<
+    corpus), built with one distinct + two dictionary equi-joins; the
+    PageRank inherits every scale property of algorithms/pagerank.py
+    (regime switch, fused supersteps); top-k is a TakeOrdered tree
+    reduce, not a global sort.
+    """
+    from combblas_spark.algorithms.pagerank import pagerank
+    from combblas_spark.operators.indexing import zip_with_index
+
+    t = word_tokens(F.col(text_col))
+    base = docs.select(t.alias("w")).where(F.size("w") >= 2)
+    tr = base.select(F.explode(F.zip_with(
+        F.slice("w", 1, F.size("w") - 1),
+        F.slice("w", 2, F.size("w") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )).alias("t")).select("t.w1", "t.w2")
+    und = (
+        tr.select(F.least("w1", "w2").alias("a"),
+                  F.greatest("w1", "w2").alias("b"))
+        .where(F.col("a") != F.col("b")).distinct()
+    )
+    words = (
+        und.select(F.col("a").alias("token"))
+        .unionByName(und.select(F.col("b").alias("token"))).distinct()
+    )
+    wl = zip_with_index(words, [F.col("token").asc()], ["token"],
+                        pos_col="wid")
+    da = wl.select(F.col("token").alias("a"), F.col("wid").alias("_sa"))
+    db = wl.select(F.col("token").alias("b"), F.col("wid").alias("_sb"))
+    ids = und.join(da, "a").join(db, "b")
+    edges = (
+        ids.select(F.col("_sa").alias("src"), F.col("_sb").alias("dst"))
+        .unionByName(ids.select(F.col("_sb").alias("src"),
+                                F.col("_sa").alias("dst")))
+        .withColumn("val", F.lit(1.0))
+    )
+    ranks = pagerank(edges, alpha=alpha, n_iter=n_iter)
+    # top-k on the ROUNDED rank: full-precision ranks carry engine-
+    # specific summation-order ulps, so a cross-engine-stable cut needs
+    # the 6dp value (+ token tie-break) as the selection key too
+    return (
+        ranks.join(wl.select(F.col("wid").alias("id"), "token"), "id")
+        .select("token", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("token")).limit(k)
+    )

@@ -1152,3 +1152,23 @@ def test_mix_to_budget(spark):
     with _pytest.raises(ValueError, match="budget"):
         mix_to_budget(docs, {"a": 1.0}, -1)
     assert mix_to_budget(docs, {}, 100).count() == 0
+
+
+def test_textrank_keywords(spark):
+    """Hub word in a star-shaped co-occurrence corpus outranks leaves;
+    k bounds output; ranks sum <= 1 (a PageRank distribution slice)."""
+    from combblas_spark.functions.text import textrank_keywords
+
+    # every sentence couples 'spark' with a distinct word -> 'spark'
+    # is the co-occurrence hub
+    leaves = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = spark.createDataFrame(
+        [(i, f"spark {w}") for i, w in enumerate(leaves)],
+        "doc_id long, text string")
+    out = textrank_keywords(docs, k=3, n_iter=8).collect()
+    assert len(out) == 3
+    assert out[0]["token"] == "spark"
+    assert out[0]["rank"] > out[1]["rank"]
+    # leaves are symmetric: ranks 2 and 3 tie, alphabetical tie-break
+    assert [r["token"] for r in out[1:]] == ["alpha", "beta"]
+    assert sum(r["rank"] for r in out) <= 1.000001
