@@ -1203,6 +1203,32 @@ def q_embedding_topk(spark, sf):
     return brute_force_topk(q, e, k=5).select("query_id", "neighbor_id", "cos")
 
 
+def q_quantize(spark, sf):
+    """Scalar int8 embedding quantization (FAISS SQ8 shape): per-dim
+    corpus min/max grid, floor-coded — the 4x storage path for ANN at
+    crawl scale; codes bit-portable (single IEEE ops + floor)."""
+    from combblas_spark.functions.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf))
+
+
+def _quantize_sql() -> str:
+    """Twin of q_quantize: same per-dim stats and
+    floor((x - mn) / (mx - mn) * 255) composition, codes assembled in
+    dimension order."""
+    return """WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+s AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+c AS (SELECT vec_id, e.d,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE CAST(least(floor((e.x - s.mn) / (s.mx - s.mn) * 255.0),
+                                  255.0) AS INT) END AS code
+      FROM e JOIN s USING (d))
+SELECT vec_id, list(code ORDER BY d) AS codes FROM c GROUP BY vec_id"""
+
+
 KCENTER_K = 8
 
 
@@ -2903,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "mix_budget": q_mix_budget,
         "textrank": q_textrank,
+        "quantize": q_quantize,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3799,6 +3826,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["pack_sequences"] = _pack_sequences_sql()
     sqls["mix_budget"] = _mix_budget_sql()
     sqls["textrank"] = _textrank_sql()
+    sqls["quantize"] = _quantize_sql()
     sqls["transitivity"] = _transitivity_sql()
     sqls["anchor_terms"] = _anchor_terms_sql()
     sqls["reciprocity"] = _reciprocity_sql()

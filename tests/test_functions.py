@@ -1172,3 +1172,31 @@ def test_textrank_keywords(spark):
     # leaves are symmetric: ranks 2 and 3 tie, alphabetical tie-break
     assert [r["token"] for r in out[1:]] == ["alpha", "beta"]
     assert sum(r["rank"] for r in out) <= 1.000001
+
+
+def test_quantize_embeddings(spark):
+    """Codes are 0..255, extremes map to 0/255, degenerate dims code 0,
+    and dequantization reconstructs within half a grid step."""
+    from combblas_spark.functions.similarity import quantize_embeddings
+
+    vecs = [(0, [0.0, 5.0, 1.0]), (1, [10.0, 5.0, 2.0]),
+            (2, [5.0, 5.0, 3.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["codes"]
+           for r in quantize_embeddings(df).collect()}
+    # dim0: min 0, max 10 -> 0.0->0, 10.0->255, 5.0->127
+    # dim1: degenerate -> 0 ; dim2: min 1, max 3 -> 0, 127, 255
+    assert got == {0: [0, 0, 0], 1: [255, 0, 127], 2: [127, 0, 255]}, got
+    # reconstruction error bound on random data
+    rng = np.random.default_rng(3)
+    data = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(100)]
+    df2 = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    codes = {r["vec_id"]: r["codes"] for r in quantize_embeddings(df2).collect()}
+    cols = list(zip(*[v for _, v in data]))
+    mins = [min(c) for c in cols]
+    maxs = [max(c) for c in cols]
+    for i, v in data:
+        for d, x in enumerate(v):
+            step = (maxs[d] - mins[d]) / 255.0
+            deq = mins[d] + codes[i][d] * step
+            assert abs(float(np.float32(x)) - deq) <= step * 1.001, (i, d)
