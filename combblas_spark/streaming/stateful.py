@@ -92,3 +92,62 @@ def run_vertex_stats(
         .trigger(availableNow=True)
         .start()
     )
+
+
+HLL_OUT_SCHEMA = "key string, distinct_est double"
+HLL_STATE_SCHEMA = "regs array<integer>"
+
+
+def stateful_hll_distinct(rows: DataFrame, key_col: str, val_col: str,
+                          p: int = 6) -> DataFrame:
+    """Streaming twin of functions/sketch.hll_distinct: per-key HLL
+    registers live in the state store and merge each micro-batch by
+    register-wise MAX — the CRDT property means the streaming estimate
+    after any drain equals the batch estimate over the union of all
+    batches (asserted in tests/test_streaming.py), and state survives
+    query restarts via the checkpoint.
+
+    The register derivation is the exact same md5 formula as the batch
+    op (hashlib.md5 == the JVM md5), computed in the pandas state body
+    — stateful custom logic is the documented applyInPandasWithState
+    territory; the batch-scan path stays JVM-side in sketch.py.
+
+    Output mode "update": one (key, distinct_est) row per touched key
+    per micro-batch; state is 2^p ints per key.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    w = 32 - p
+    mask = (1 << w) - 1
+    alpha_mm = (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+    def _update(key: tuple, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            for v in pdf["_v"].astype(str):
+                h = int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+                i = h >> w
+                rest = h & mask
+                r = (w + 1) if rest == 0 else w - rest.bit_length() + 1
+                if r > regs[i]:
+                    regs[i] = r
+        state.update((regs,))
+        s = 0.0
+        for r in regs:
+            s = s + 1.0 / (1 << r)
+        yield pd.DataFrame({"key": [key[0]],
+                            "distinct_est": [round(alpha_mm / s, 6)]})
+
+    keyed = rows.select(F.col(key_col).cast("string").alias("key"),
+                        F.col(val_col).cast("string").alias("_v"))
+    return keyed.groupBy("key").applyInPandasWithState(
+        _update,
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

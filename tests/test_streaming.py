@@ -443,3 +443,49 @@ def test_streaming_sessions_equal_batch(spark, tmp_path):
         ev(spark, batch1 + batch2), gap_seconds=gap).collect()))
     assert got == want
     assert len(got) == 4  # 2 users x 2 sessions
+
+
+def test_stateful_hll_across_restarts(spark, tmp_path):
+    """Streaming HLL registers (CRDT max-merge in the state store) must
+    converge to the batch hll_distinct estimate over the union of all
+    drops, including across a query restart."""
+    from combblas_spark.functions.sketch import hll_distinct
+    from combblas_spark.streaming.stateful import stateful_hll_distinct
+
+    src_dir = str(tmp_path / "in")
+    out = str(tmp_path / "est")
+    ck = str(tmp_path / "ck")
+    schema = "k string, v string"
+    batch1 = [(f"k{i % 2}", f"v{i}") for i in range(300)]
+    batch2 = [(f"k{i % 2}", f"v{i}") for i in range(150, 600)]  # overlaps
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema).parquet(src_dir))
+        q = (
+            stateful_hll_distinct(stream, "k", "v").writeStream
+            .foreachBatch(lambda df, _b: df.write.mode("append").parquet(out))
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src_dir)
+    drain()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src_dir)
+    drain()  # RESTART: registers must come back from the checkpoint
+
+    import pyspark.sql.functions as SF
+    rows = spark.read.parquet(out).collect()
+    # the LAST emission per key is the converged estimate; emissions are
+    # appended per drain, and estimates only grow (registers are
+    # monotone), so max() per key is the final value
+    latest = {}
+    for r in rows:
+        latest[r["key"]] = max(latest.get(r["key"], 0.0), r["distinct_est"])
+    batch = {r["k"]: r["distinct_est"] for r in hll_distinct(
+        spark.createDataFrame(batch1 + batch2, schema), "k", "v").collect()}
+    assert set(latest) == set(batch)
+    for k in batch:
+        assert abs(latest[k] - batch[k]) < 1e-6, (k, latest[k], batch[k])
