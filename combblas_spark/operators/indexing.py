@@ -171,6 +171,9 @@ def prefix_sum(df: DataFrame, order_cols: list, weight_col: str,
     TOTAL order — the weighted generalization of zip_with_index (which
     is prefix_sum with weight 1). Returns (start_col, *keep_cols) where
     start = sum of weights strictly before this row in order.
+    Weights are INTEGER (cast to long — offsets are exact in any
+    aggregation order; a float weight would silently truncate, so
+    callers with fractional weights must pre-scale to integers).
 
     Plan shape (same two-pass trick as zip_with_index): the ordered
     checkpoint pins range partitions; one tiny job collects

@@ -268,6 +268,29 @@ def main() -> None:
                     "PythonRDD")), name
         print(f"{name}: equi-joins + hash aggs, window-free, "
               "PYTHON-FREE (asserted)")
+
+    print("=== 12. r4 third-session ops: butterfly wedges / bigram "
+          "fluency / int8 quantize — shapes asserted ===")
+    from combblas_spark.algorithms.butterflies import butterflies
+    from combblas_spark.functions.similarity import quantize_embeddings
+    from combblas_spark.functions.text import bigram_fluency
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    for name, df, windows_ok in (
+            ("butterflies", butterflies(g), 0),
+            ("bigram_fluency", bigram_fluency(docs), 0),
+            ("quantize_embeddings", quantize_embeddings(emb), 0)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan or "SortAggregate" in plan, \
+            f"{name}: plan is not inspectable\n{plan}"
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, name
+        assert plan.count("Window") <= windows_ok, name
+        assert all(m not in plan for m in
+                   ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "PythonRDD")), name
+        print(f"{name}: equi-joins + hash aggs, window-free, "
+              "PYTHON-FREE (asserted)")
     spark.stop()
 
 
