@@ -842,6 +842,55 @@ SELECT k AS source,
 FROM s"""
 
 
+CMS_TOPK = 20
+
+
+def q_cms_counts(spark, sf):
+    """Count-min point-frequency estimates for the corpus's 20 most
+    frequent tokens: (tok, true_cnt, est) with est >= true_cnt always
+    (the CMS one-sided bound). The frequency sibling of vocab_hll —
+    same md5 hashing, same CRDT merge discipline (cnt-sum instead of
+    register-max), fixed d*w space regardless of corpus size."""
+    from combblas_spark.functions.sketch import cms_estimate, cms_sketch
+    from combblas_spark.functions.text import word_tokens
+
+    toks = _docs(spark, sf).select(
+        F.explode(word_tokens(F.col("text"))).alias("tok"))
+    sk = cms_sketch(toks, "tok")
+    true = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = true.orderBy(F.desc("true_cnt"), F.asc("tok")).limit(CMS_TOPK)
+    est = cms_estimate(sk, top, "tok")
+    return top.join(est, "tok").select("tok", "true_cnt", "est")
+
+
+def _cms_counts_sql(d: int = 4, w: int = 256, k: int = CMS_TOPK) -> str:
+    """Twin of q_cms_counts: same row-salted md5 bucket derivation
+    (functions/sketch.py cms_bucket), same deterministic top-k probe
+    set (count desc, token asc)."""
+    vals = ", ".join(f"({j})" for j in range(d))
+    return f"""WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+tc AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok),
+top AS (SELECT tok, true_cnt FROM tc ORDER BY true_cnt DESC, tok LIMIT {k}),
+jrows AS (SELECT j FROM (VALUES {vals}) r(j)),
+regs AS (
+  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+            % {w} AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN jrows GROUP BY 1, 2),
+probe AS (
+  SELECT t.tok, r.j,
+         ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || t.tok), 1, 8))::BIGINT
+         % {w} AS bucket
+  FROM top t CROSS JOIN jrows r)
+SELECT p.tok, t.true_cnt, min(coalesce(g.cnt, 0)) AS est
+FROM probe p JOIN top t USING (tok)
+LEFT JOIN regs g ON g.j = p.j AND g.bucket = p.bucket
+GROUP BY p.tok, t.true_cnt"""
+
+
 def q_vocab_topk(spark, sf):
     """Corpus vocabulary head: token counts + rarity rank assigned by
     the distributed JVM zip_with_index (no single-partition window)."""
@@ -1829,6 +1878,66 @@ def q_coreness(spark, sf):
 
     g = _thin_edges(events_graph(spark, sf))
     return core_numbers(g)
+
+
+DS_ROUNDS = 24  # eps=0.5 peels >= 1.5x vertices/round -> covers n <= 1.5^23
+
+
+def q_densest(spark, sf):
+    """Densest subgraph (Charikar greedy peel, Bahmani et al. 2012
+    batched rule) on the thinned events graph: the members of the
+    best-density peel snapshot + its (round, n, m, density) stats."""
+    from combblas_spark.algorithms.densest import densest_subgraph
+
+    g = _thin_edges(events_graph(spark, sf))
+    return densest_subgraph(g, eps=0.5, max_rounds=DS_ROUNDS)
+
+
+def _densest_sql(rounds: int = DS_ROUNDS) -> str:
+    """Twin of q_densest: the peel unrolled (rounds past empty are
+    no-ops — deg over an empty alive set is empty, and n=0 stats rows
+    are excluded from the argmax). The threshold compare
+    d > 1.5 * sum_d / n and the density 0.5 * sum_d / n use the same
+    operand order as the Spark loop, so the peel sequence is
+    bit-identical (integer operands, one product, one IEEE division)."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM "
+        "(SELECT src, dst FROM edges UNION SELECT dst, src FROM edges) "
+        "WHERE src <> dst)",
+        "a0 AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+    ]
+    for r in range(rounds + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+          SELECT s.dst AS id, count(*) AS d FROM sym s
+          JOIN a{r} x ON x.id = s.src
+          JOIN a{r} y ON y.id = s.dst
+          GROUP BY s.dst)"""
+        )
+        ctes.append(
+            f"s{r} AS (SELECT {r} AS round, (SELECT count(*) FROM a{r}) AS n, "
+            f"(SELECT coalesce(sum(d), 0) FROM d{r}) AS sum_d)"
+        )
+        if r < rounds:
+            ctes.append(
+                f"a{r + 1} AS MATERIALIZED (SELECT d.id FROM d{r} d, s{r} s "
+                f"WHERE d.d > 1.5 * s.sum_d / s.n)"
+            )
+    stats_union = " UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(rounds + 1))
+    alive_union = " UNION ALL ".join(
+        f"SELECT {r} AS round, id FROM a{r}" for r in range(rounds + 1))
+    ctes.append(f"stats AS ({stats_union})")
+    ctes.append(
+        "best AS (SELECT round, n, CAST(sum_d / 2 AS BIGINT) AS m, "
+        "round(0.5 * sum_d / n, 6) AS density, 0.5 * sum_d / n AS raw "
+        "FROM stats WHERE n > 0 ORDER BY raw DESC, round ASC LIMIT 1)")
+    ctes.append(f"alive_all AS ({alive_union})")
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT al.id, b.round, b.n, b.m, b.density"
+            + "\nFROM alive_all al JOIN best b USING (round)")
 
 
 def q_host_graph(spark, sf):
@@ -2930,6 +3039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_budget": q_mix_budget,
         "textrank": q_textrank,
         "quantize": q_quantize,
+        "densest": q_densest,
+        "cms_counts": q_cms_counts,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3820,6 +3931,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["butterflies"] = _butterflies_sql()
     sqls["bigram_fluency"] = _bigram_fluency_sql()
     sqls["vocab_hll"] = _vocab_hll_sql()
+    sqls["cms_counts"] = _cms_counts_sql()
+    sqls["densest"] = _densest_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

@@ -87,3 +87,65 @@ def hll_distinct(df: DataFrame, key_col: str, val_col: str,
         .select(F.col("_k").alias(key_col),
                 F.round(F.lit(alpha_mm) / F.col("_s"), 6).alias("distinct_est"))
     )
+
+
+# ------------------------------------------------------------- count-min
+
+CMS_D = 4    # hash rows; P(overcount > 2e/w * N) <= e^-d
+CMS_W = 256  # buckets per row; additive error ~ 2N/w at 1 - e^-d
+
+
+def cms_bucket(val: Column, row: Column | int, w: int = CMS_W) -> Column:
+    """Row-salted bucket index: md5("row:value") folded to 32 bits,
+    mod w. _hash32 is non-negative, so % == pmod and the DuckDB twin
+    is ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || v), 1, 8))
+    ::BIGINT % w."""
+    r = F.lit(row) if isinstance(row, int) else row
+    return _hash32(F.concat_ws(":", r.cast("string"), val.cast("string"))) % w
+
+
+def cms_sketch(df: DataFrame, val_col: str,
+               d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Count-min sketch of the multiset ``df[val_col]``: (row, bucket,
+    cnt) with d*w rows total. The frequency sibling of hll_distinct:
+    HLL answers "how many distinct", CMS answers "how often is THIS
+    one" with a one-sided (>=) error bound, in fixed d*w space.
+
+    Scale shape: the d-way row fan-out is a broadcast crossJoin (no
+    shuffle), and the groupBy((row, bucket)).count is map-side
+    combinable, so the shuffle carries at most d*w rows per input
+    partition regardless of input size. Merging sketches from more
+    data (or from a stream) is cnt-sum on (row, bucket) — a CRDT,
+    same contract as the HLL register max-merge.
+    """
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d}, w={w}")
+    spark = df.sparkSession
+    rows = F.broadcast(spark.range(d).select(F.col("id").cast("int").alias("row")))
+    return (
+        df.select(F.col(val_col).alias("_v"))
+        .crossJoin(rows)
+        .groupBy("row", cms_bucket(F.col("_v"), F.col("row"), w).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, val_col: str,
+                 d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Point-frequency estimates for every distinct probe value:
+    (val_col, est) with est = min over the d probed registers —
+    always >= the true count, never under. The sketch side is d*w
+    rows, so it broadcasts; the probe side stays distributed."""
+    spark = probes.sparkSession
+    rows = F.broadcast(spark.range(d).select(F.col("id").cast("int").alias("row")))
+    keyed = (
+        probes.select(F.col(val_col).alias("_v")).distinct()
+        .crossJoin(rows)
+        .withColumn("bucket", cms_bucket(F.col("_v"), F.col("row"), w))
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("_v")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .select(F.col("_v").alias(val_col), "est")
+    )

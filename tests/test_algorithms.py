@@ -2334,3 +2334,67 @@ def test_hyperball_harmonic(spark):
                                        seed=SEED).collect()}
     assert got == want, (got, want)
     assert got[9] == 0.0  # loop-only vertex: ball never grows
+
+
+def _py_densest(E, eps=0.5):
+    """Pure-python replica of the batched Charikar peel: returns
+    (member set, round, n, m, density)."""
+    adj = _undirected_adj(E)
+    alive = set(adj)
+    best = None
+    r = 0
+    while alive:
+        degs = {v: len(adj[v] & alive) for v in alive}
+        sum_d = sum(degs.values())
+        density = 0.5 * sum_d / len(alive)
+        if best is None or density > best[4]:
+            best = (set(alive), r, len(alive), sum_d // 2, density)
+        if sum_d == 0:
+            break
+        thr = (1.0 + eps) * sum_d / len(alive)
+        alive = {v for v in alive if degs[v] > thr}
+        r += 1
+    return best
+
+
+def test_densest_subgraph_vs_python_peel(spark):
+    from combblas_spark.algorithms.densest import densest_subgraph
+
+    for seed in (3, 11, 19):
+        E = _rand_directed_edges(seed, n=18, m=60)
+        rows = densest_subgraph(df_edges(spark, E)).collect()
+        want_set, want_r, want_n, want_m, want_rho = _py_densest(E)
+        assert {r["id"] for r in rows} == want_set, seed
+        assert all(r["round"] == want_r and r["n"] == want_n
+                   and r["m"] == want_m for r in rows), seed
+        # output column carries the 6dp-rounded density
+        assert all(abs(r["density"] - want_rho) < 1e-6 for r in rows), seed
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    """K6 planted on a long path: the densest snapshot is exactly the
+    clique (density 2.5 beats every path-heavy prefix)."""
+    from combblas_spark.algorithms.densest import densest_subgraph
+
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    path = [(100 + i, 101 + i) for i in range(40)] + [(5, 100)]
+    rows = densest_subgraph(df_edges(spark, clique + path)).collect()
+    assert {r["id"] for r in rows} == set(range(6))
+    assert rows[0]["density"] == 2.5 and rows[0]["m"] == 15
+
+
+def test_densest_subgraph_edge_cases(spark):
+    from combblas_spark.algorithms.densest import densest_subgraph
+
+    empty = spark.createDataFrame([], "src long, dst long, val double")
+    assert densest_subgraph(empty).count() == 0
+    # self-loops only: de-looped graph is edgeless -> density 0, round 0
+    loops = df_edges(spark, [(1, 1), (2, 2)])
+    rows = densest_subgraph(loops).collect()
+    assert {r["id"] for r in rows} == {1, 2}
+    assert rows[0]["density"] == 0.0 and rows[0]["round"] == 0
+    # K6 + path needs two peel rounds (path first, then the clique)
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    path = [(100 + i, 101 + i) for i in range(40)] + [(5, 100)]
+    with pytest.raises(RuntimeError, match="densest_subgraph did not finish"):
+        densest_subgraph(df_edges(spark, clique + path), max_rounds=1)

@@ -1200,3 +1200,47 @@ def test_quantize_embeddings(spark):
             step = (maxs[d] - mins[d]) / 255.0
             deq = mins[d] + codes[i][d] * step
             assert abs(float(np.float32(x)) - deq) <= step * 1.001, (i, d)
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    from pyspark.sql import functions as F
+    from combblas_spark.functions.sketch import cms_estimate, cms_sketch
+
+    vals = (["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 7
+            + [f"tail{i}" for i in range(30)])
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sk = cms_sketch(df, "v")
+    probes = df.select("v").distinct()
+    est = {r["v"]: r["est"] for r in cms_estimate(sk, probes, "v").collect()}
+    true = {r["v"]: r["c"] for r in
+            df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(est) == set(true)
+    # one-sided bound: est >= true, always
+    assert all(est[v] >= true[v] for v in true)
+    # 107 items in 4x256 registers: heavy hitters are exact w.h.p. and
+    # the additive error is bounded by the total count
+    assert est["alpha"] == 50 and est["beta"] == 20
+    assert all(est[v] - true[v] <= len(vals) for v in true)
+
+
+def test_cms_sketch_is_a_crdt_under_cnt_sum_merge(spark):
+    from pyspark.sql import functions as F
+    from combblas_spark.functions.sketch import cms_sketch
+
+    a = spark.createDataFrame([(f"w{i % 11}",) for i in range(40)], "v string")
+    b = spark.createDataFrame([(f"w{i % 7}",) for i in range(25)], "v string")
+    merged = (cms_sketch(a, "v").unionByName(cms_sketch(b, "v"))
+              .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
+    direct = cms_sketch(a.unionByName(b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cms_validates_shape(spark):
+    import pytest
+    from combblas_spark.functions.sketch import cms_sketch
+
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError):
+        cms_sketch(df, "v", d=0)
+    with pytest.raises(ValueError):
+        cms_sketch(df, "v", w=1)
