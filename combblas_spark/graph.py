@@ -167,7 +167,11 @@ def events_graph(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
     (exercising the sum-duplicates build) over a dense vertex space.
     """
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    nv = int(events.agg(F.max("user_id")).collect()[0][0]) + 1
+    mx = events.agg(F.max("user_id")).collect()[0][0]
+    if mx is None:
+        raise ValueError(f"{sf_dir}/events.parquet is empty (or user_id "
+                         "all-NULL); cannot derive a vertex space")
+    nv = int(mx) + 1
     if pred is not None:
         events = events.where(pred)
     raw = events.select(

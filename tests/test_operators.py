@@ -641,3 +641,16 @@ def test_pack_sequences(spark):
                    3: (2, 7, 1, 2, 2, 3)}, got
     with _pytest.raises(ValueError, match="capacity"):
         pack_sequences(docs, capacity=0)
+
+
+def test_events_graph_empty_table_raises_cleanly(spark, tmp_path):
+    """Review batch 6: an empty events table must raise ValueError, not
+    TypeError from int(None)."""
+    import pytest
+    from combblas_spark.graph import events_graph
+
+    spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    with pytest.raises(ValueError, match="empty"):
+        events_graph(spark, str(tmp_path))
