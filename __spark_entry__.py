@@ -3041,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize": q_quantize,
         "densest": q_densest,
         "cms_counts": q_cms_counts,
+        "community_graph": q_community_graph,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3933,6 +3934,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["vocab_hll"] = _vocab_hll_sql()
     sqls["cms_counts"] = _cms_counts_sql()
     sqls["densest"] = _densest_sql()
+    sqls["community_graph"] = _community_graph_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
@@ -4989,11 +4991,43 @@ def q_greedy_modularity(spark, sf):
                              n_rounds=GREEDY_MOD_ROUNDS)
 
 
+def q_community_graph(spark, sf):
+    """Louvain aggregation phase: contract the greedy-modularity
+    communities of the thinned events graph into a super-vertex graph —
+    (c_a, c_b, weight) with internal-edge diagonal rows (the multi-level
+    coarsening step; Galerkin R A R^T on the 0/1 membership)."""
+    from combblas_spark.algorithms.labelprop import (
+        community_graph, greedy_modularity)
+
+    g = _thin_edges(events_graph(spark, sf))
+    return community_graph(g, greedy_modularity(g, n_rounds=GREEDY_MOD_ROUNDS))
+
+
+def _community_graph_sql(rounds: int = GREEDY_MOD_ROUNDS) -> str:
+    """Twin of q_community_graph: the greedy-modularity CTE chain, then
+    the contraction groupBy over the src<dst half of sym."""
+    ctes = _greedy_modularity_ctes(rounds)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT least(la.c, lb.c) AS c_a, greatest(la.c, lb.c) AS c_b,
+       count(*) AS weight
+FROM (SELECT src, dst FROM sym WHERE src < dst) lo
+JOIN lab{rounds} la ON la.id = lo.src
+JOIN lab{rounds} lb ON lb.id = lo.dst
+GROUP BY 1, 2""")
+
+
 def _greedy_modularity_sql(rounds: int = GREEDY_MOD_ROUNDS) -> str:
-    """Twin of q_greedy_modularity: unrolled synchronous sweeps — same
-    k_{i,C}/Sigma_tot moments, same (2m*k - deg*(st - own_deg)) double
-    composition, same (score DESC, cc ASC) winner order and strict-
-    improvement move rule."""
+    ctes = _greedy_modularity_ctes(rounds)
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, c AS community FROM lab{rounds}")
+
+
+def _greedy_modularity_ctes(rounds: int = GREEDY_MOD_ROUNDS) -> list[str]:
+    """Unrolled synchronous greedy-modularity sweeps as a CTE chain —
+    same k_{i,C}/Sigma_tot moments, same (2m*k - deg*(st - own_deg))
+    double composition, same (score DESC, cc ASC) winner order and
+    strict-improvement move rule. Shared by _greedy_modularity_sql and
+    _community_graph_sql so the unroll rule lives in ONE place."""
     score = ("CAST(2 * mm.m AS DOUBLE) * CAST({k} AS DOUBLE)"
              " - CAST(d.deg AS DOUBLE) * CAST({st} AS DOUBLE)")
     ctes = [
@@ -5031,8 +5065,7 @@ def _greedy_modularity_sql(rounds: int = GREEDY_MOD_ROUNDS) -> str:
             f" FROM lab{r} l LEFT JOIN stay{r} s ON s.id = l.id"
             f" LEFT JOIN win{r} w ON w.id = l.id)",
         ]
-    return ("WITH " + ",\n".join(ctes)
-            + f"\nSELECT id, c AS community FROM lab{rounds}")
+    return ctes
 
 
 def q_modularity(spark, sf):

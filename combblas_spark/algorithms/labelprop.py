@@ -313,3 +313,40 @@ def greedy_modularity(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
         )
     sym.unpersist()
     return labels.select("id", F.col("c").alias("community"))
+
+
+def community_graph(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Louvain aggregation phase (Blondel et al. 2008, phase 2):
+    contract each community of ``labels`` (id, community) to a
+    super-vertex over the undirected simple graph underlying ``edges``.
+    Returns (c_a, c_b, weight) with c_a <= c_b: inter-community rows
+    (c_a < c_b) count the undirected edges between the two communities;
+    diagonal rows (c_a == c_b) count a community's INTERNAL edges — the
+    self-loop weight the next Louvain level needs.
+
+    This is the engine's Galerkin triple product R A R^T
+    (operators/spgemm.py; GalerkinNew.cpp:105) specialised to the 0/1
+    community-membership R and fused into one plan: the multi-level
+    (coarsen -> recurse) path that makes community detection tractable
+    at web scale — after one contraction the graph is communities-sized,
+    not vertices-sized.
+
+    Scale shape: two vertex-keyed equi-joins to tag endpoints (labels
+    is vertex-sized — broadcast while it fits, else co-partitioned
+    hash) + ONE map-side-combinable groupBy on the community pair. No
+    window, no collect; skew concentrates on the largest community's
+    diagonal cell, which is a single aggregation key handled by AQE
+    exactly like a hub vertex in the degree aggregates.
+    """
+    from combblas_spark.algorithms.triangles import lower_triangle
+
+    lo = lower_triangle(edges).select("src", "dst")
+    la = labels.select(F.col("id").alias("src"), F.col("community").alias("_ca"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("community").alias("_cb"))
+    return (
+        lo.join(la, "src").join(lb, "dst")
+        .select(F.least("_ca", "_cb").alias("c_a"),
+                F.greatest("_ca", "_cb").alias("c_b"))
+        .groupBy("c_a", "c_b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

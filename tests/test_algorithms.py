@@ -2398,3 +2398,26 @@ def test_densest_subgraph_edge_cases(spark):
     path = [(100 + i, 101 + i) for i in range(40)] + [(5, 100)]
     with pytest.raises(RuntimeError, match="densest_subgraph did not finish"):
         densest_subgraph(df_edges(spark, clique + path), max_rounds=1)
+
+
+def test_community_graph_contraction(spark):
+    """Louvain aggregation: condensed weights match a python contraction
+    and conserve the undirected edge total (diagonal = internal)."""
+    from combblas_spark.algorithms.labelprop import (
+        community_graph, greedy_modularity)
+
+    E = _rand_directed_edges(7, n=16, m=50)
+    e = df_edges(spark, E)
+    labels = {r["id"]: r["community"]
+              for r in greedy_modularity(e, n_rounds=2).collect()}
+    und = {(min(s, d), max(s, d)) for s, d in E if s != d}
+    want = {}
+    for u, v in und:
+        key = tuple(sorted((labels[u], labels[v])))
+        want[key] = want.get(key, 0) + 1
+    lab_df = spark.createDataFrame(
+        [(k, v) for k, v in labels.items()], "id long, community long")
+    got = {(r["c_a"], r["c_b"]): r["weight"]
+           for r in community_graph(e, lab_df).collect()}
+    assert got == want
+    assert sum(got.values()) == len(und)  # contraction conserves edges
