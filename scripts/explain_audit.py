@@ -291,6 +291,43 @@ def main() -> None:
                     "PythonRDD")), name
         print(f"{name}: equi-joins + hash aggs, window-free, "
               "PYTHON-FREE (asserted)")
+
+    print("=== 13. r4 fourth-session ops: densest peel round / count-min "
+          "sketch / community contraction — shapes asserted ===")
+    from combblas_spark.algorithms.labelprop import community_graph
+    from combblas_spark.functions.sketch import cms_sketch
+    from combblas_spark.functions.text import word_tokens
+
+    # one densest peel ROUND (the loop checkpoints each round, so the
+    # whole-loop plan is not inspectable — audit the per-round shape)
+    av = vertices(g).localCheckpoint()
+    peel_deg = (sym.join(F.broadcast(av.withColumnRenamed("id", "src")),
+                         "src", "left_semi")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.count(F.lit(1)).alias("_d"))
+                .join(F.broadcast(av), "id", "left_semi"))
+    toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+    lab = vertices(g).select("id", (F.col("id") % 7).alias("community")) \
+        .localCheckpoint()
+    for name, df in (("densest_peel_round", peel_deg),
+                     ("cms_sketch", cms_sketch(toks, "tok")),
+                     ("community_graph", community_graph(g, lab))):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan or "SortAggregate" in plan, \
+            f"{name}: plan is not inspectable\n{plan}"
+        assert "Cartesian" not in plan, name
+        if name == "cms_sketch":
+            # the ONE BroadcastNestedLoopJoin is the sanctioned d-row
+            # hash-row fan-out (broadcast range(d) crossJoin)
+            assert plan.count("BroadcastNestedLoop") <= 1, plan
+        else:
+            assert "BroadcastNestedLoop" not in plan, name
+        assert "Window" not in plan, name
+        assert all(m not in plan for m in
+                   ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "PythonRDD")), name
+        print(f"{name}: equi-joins + hash aggs, window-free, "
+              "PYTHON-FREE (asserted)")
     spark.stop()
 
 
