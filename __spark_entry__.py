@@ -605,6 +605,40 @@ SELECT v.id, coalesce(pv.butterflies, 0) AS butterflies
 FROM verts v LEFT JOIN pv ON pv.id = v.id"""
 
 
+def q_four_cliques(spark, sf):
+    """Per-vertex K4 (4-clique) counts on the events link graph — the
+    next rung of the masked-SpGEMM graphlet ladder after triangles;
+    dense 4-cliques are the tightest link-farm signature. Pure integer
+    counting at the canonical orientation, exact twin."""
+    from combblas_spark.algorithms.triangles import four_cliques_per_vertex
+
+    return four_cliques_per_vertex(events_graph(spark, sf))
+
+
+def _four_cliques_sql() -> str:
+    """Twin of q_four_cliques: oriented triangle enumeration a<b<c, one
+    closing join per missing K4 edge, four-way attribution, zero-fill."""
+    return f"""{_BASE},
+{_SYM},
+L AS (SELECT src, dst FROM sym WHERE src < dst),
+tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM L ab JOIN L bc ON ab.dst = bc.src
+  JOIN L ac ON ac.src = ab.src AND ac.dst = bc.dst),
+k4 AS (
+  SELECT t.a, t.b, t.c, cd.dst AS d
+  FROM tri t JOIN L cd ON cd.src = t.c
+  JOIN L ad ON ad.src = t.a AND ad.dst = cd.dst
+  JOIN L bd ON bd.src = t.b AND bd.dst = cd.dst),
+pv AS (SELECT id, count(*) AS k4 FROM (
+         SELECT a AS id FROM k4
+         UNION ALL SELECT b FROM k4
+         UNION ALL SELECT c FROM k4
+         UNION ALL SELECT d FROM k4) GROUP BY id)
+SELECT v.id, coalesce(pv.k4, 0) AS k4
+FROM verts v LEFT JOIN pv ON pv.id = v.id"""
+
+
 def q_avg_neighbor_degree(spark, sf):
     """Degree-correlation curve knn(k) of the undirected events graph —
     the per-degree companion of q_assortativity. Integer neighbor-degree
@@ -3042,6 +3076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest": q_densest,
         "cms_counts": q_cms_counts,
         "community_graph": q_community_graph,
+        "four_cliques": q_four_cliques,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3935,6 +3970,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["cms_counts"] = _cms_counts_sql()
     sqls["densest"] = _densest_sql()
     sqls["community_graph"] = _community_graph_sql()
+    sqls["four_cliques"] = _four_cliques_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

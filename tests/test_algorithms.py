@@ -278,6 +278,50 @@ def test_triangles_degree_ordering_invariant(spark):
     assert triangle_count(h, order_by_degree=True) == 3
 
 
+def k4_oracle(edges, n):
+    """Brute-force per-vertex K4 counts over all vertex 4-subsets."""
+    import itertools
+
+    adj = np.zeros((n, n), dtype=bool)
+    for s, d in edges:
+        if s != d:
+            adj[s, d] = adj[d, s] = True
+    cnt = {}
+    for a, b, c, d in itertools.combinations(range(n), 4):
+        if (adj[a, b] and adj[a, c] and adj[a, d]
+                and adj[b, c] and adj[b, d] and adj[c, d]):
+            for v in (a, b, c, d):
+                cnt[v] = cnt.get(v, 0) + 1
+    return cnt
+
+
+def test_four_cliques_known(spark):
+    from combblas_spark.algorithms.triangles import four_cliques_per_vertex
+
+    # K5: C(5,4)=5 cliques, each vertex in C(4,3)=4 of them; the
+    # pendant vertex 5 and the open triangle {5,6,7} add zero.
+    edges = ([(i, j) for i in range(5) for j in range(i + 1, 5)]
+             + [(4, 5), (5, 6), (6, 7)])
+    got = {r["id"]: r["k4"]
+           for r in four_cliques_per_vertex(df_edges(spark, edges)).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 0, 6: 0, 7: 0}
+
+
+def test_four_cliques_rmat_and_ordering(spark):
+    from combblas_spark.algorithms.triangles import four_cliques_per_vertex
+
+    raw = rmat_edges(spark, scale=5, edgefactor=8, seed=7)
+    g = build_graph(raw).persist()
+    pairs = [(r["src"], r["dst"]) for r in g.select("src", "dst").collect()]
+    want = k4_oracle(pairs, 1 << 5)
+    got = {r["id"]: r["k4"] for r in four_cliques_per_vertex(g).collect()}
+    assert {k: v for k, v in got.items() if v} == want
+    assert sum(want.values()) > 0  # fixture actually exercises the join
+    by_deg = {r["id"]: r["k4"]
+              for r in four_cliques_per_vertex(g, order_by_degree=True).collect()}
+    assert got == by_deg
+
+
 # ----------------------------------------------------------------------- BFS
 
 def bfs_oracle(edges, root, n):
