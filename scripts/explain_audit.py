@@ -328,6 +328,38 @@ def main() -> None:
                     "PythonRDD")), name
         print(f"{name}: equi-joins + hash aggs, window-free, "
               "PYTHON-FREE (asserted)")
+
+    print("=== 14. r4 fifth-session ops: K4 clique extension — shapes "
+          "asserted ===")
+    # four_cliques_per_vertex materializes via localCheckpoint (cache
+    # release), so audit the pre-checkpoint shape: the same oriented
+    # triangle join + one (c,d) extension + two semi-join clique masks.
+    k4L = lower_triangle(g)
+    k4ab = k4L.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    k4bc = k4L.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    k4tri = k4ab.join(k4bc, "b").join(
+        k4L.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"], "left_semi")
+    k4df = (
+        k4tri.join(k4L.select(F.col("src").alias("c"), F.col("dst").alias("d")), "c")
+        .join(k4L.select(F.col("src").alias("a"), F.col("dst").alias("d")),
+              ["a", "d"], "left_semi")
+        .join(k4L.select(F.col("src").alias("b"), F.col("dst").alias("d")),
+              ["b", "d"], "left_semi")
+        .groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("k4")))
+    for name, df in (("four_cliques", k4df),):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan or "SortAggregate" in plan, \
+            f"{name}: plan is not inspectable\n{plan}"
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, name
+        # the two clique masks must stay semi-joins (never materialized)
+        assert plan.count("LeftSemi") >= 3, plan
+        assert "Window" not in plan, name
+        assert all(m not in plan for m in
+                   ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "PythonRDD")), name
+        print(f"{name}: oriented-edge equi-joins, closing masks as "
+              "semi-joins (>=3 asserted), window-free, PYTHON-FREE")
     spark.stop()
 
 
