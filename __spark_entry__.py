@@ -1896,6 +1896,27 @@ def q_katz(spark, sf):
         "id", F.round("katz", 6).alias("katz"))
 
 
+def q_eigencentrality(spark, sf):
+    """Eigenvector centrality: pure attenuated power iteration (the
+    fourth classic centrality — katz without the additive term),
+    normalized to sum 1, 8 fixed iterations. The 1/16 hop factor keeps
+    every intermediate an exact dyadic rational (the katz trick), so
+    only the final normalization divides inexactly — identically in
+    both engines, rounded 6dp."""
+    from combblas_spark.algorithms.hits import eigencentrality
+
+    return eigencentrality(events_graph(spark, sf), n_iter=8)
+
+
+def q_two_hop_reach(spark, sf):
+    """Exact 1- and 2-hop ball sizes per vertex — the exact companion
+    of the ANF sketch estimates (anf/eff_diameter) at hop 2. Exact
+    integers, zero-filled."""
+    from combblas_spark.algorithms.anf import two_hop_reach
+
+    return two_hop_reach(events_graph(spark, sf))
+
+
 def q_k_core(spark, sf):
     """k-core peel (k=15) on the thinned events graph — iterated
     Reduce(Row)+PruneRowsCols until fixed point."""
@@ -2468,6 +2489,48 @@ def _katz_sql(iters: int = HITS_ITERS, alpha: float = KATZ_ALPHA) -> str:
         )
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT id, ROUND(v, 6) AS katz FROM x{iters}")
+
+
+def _eigencentrality_sql(iters: int = 8) -> str:
+    """DuckDB twin of algorithms.hits.eigencentrality: unrolled
+    x_t = (A^T x_{t-1}) / 16 from x_0 = 1, normalized to sum 1. The
+    per-hop /16 keeps every value an exact dyadic rational (order-free
+    sums); only the final division is inexact, mirrored + rounded."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "x0 AS (SELECT id, 1.0::DOUBLE AS v FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"x{t} AS MATERIALIZED (SELECT v.id, "
+            f"coalesce(s.v, 0.0::DOUBLE) / 16.0::DOUBLE AS v FROM verts v "
+            f"LEFT JOIN (SELECT e.dst AS id, sum(x.v) AS v FROM edges e "
+            f"JOIN x{t-1} x ON x.id = e.src GROUP BY e.dst) s ON s.id = v.id)"
+        )
+    ctes.append(f"tot AS (SELECT sum(v) AS t FROM x{iters})")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, ROUND(CASE WHEN t > 0 THEN v / t END, 6) AS eigen"
+            f"\nFROM x{iters}, tot")
+
+
+def _two_hop_reach_sql() -> str:
+    """Twin of q_two_hop_reach: same undirected dedup, wedge self-join,
+    distinct ball union, zero-filled counts."""
+    return f"""{_BASE},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+dirs AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+hop2 AS (SELECT x.b AS v, y.b AS u
+         FROM dirs x JOIN dirs y ON x.a = y.a AND x.b <> y.b),
+ball AS (SELECT a AS v, b AS u FROM dirs UNION SELECT v, u FROM hop2),
+deg AS (SELECT a AS id, count(*) AS reach1 FROM dirs GROUP BY a),
+r2 AS (SELECT v AS id, count(*) AS reach2 FROM ball GROUP BY v)
+SELECT vv.id, coalesce(deg.reach1, 0) AS reach1,
+       coalesce(r2.reach2, 0) AS reach2
+FROM verts vv LEFT JOIN deg ON deg.id = vv.id
+LEFT JOIN r2 ON r2.id = vv.id"""
 
 
 def _ktips_sql(l: int = 6) -> str:
@@ -3077,6 +3140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "community_graph": q_community_graph,
         "four_cliques": q_four_cliques,
+        "eigencentrality": q_eigencentrality,
+        "two_hop_reach": q_two_hop_reach,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -3971,6 +4036,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["densest"] = _densest_sql()
     sqls["community_graph"] = _community_graph_sql()
     sqls["four_cliques"] = _four_cliques_sql()
+    sqls["eigencentrality"] = _eigencentrality_sql()
+    sqls["two_hop_reach"] = _two_hop_reach_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

@@ -360,3 +360,66 @@ def hyperball_harmonic(
         state = superstep_checkpoint(new_state, h)
     adj.unpersist()
     return state.select("id", F.round("acc", 6).alias("harmonic_est"))
+
+
+def two_hop_reach(edges: DataFrame,
+                  max_degree: int | None = None) -> DataFrame:
+    """Exact 2-hop ball sizes: (id, reach1, reach2) for every vertex of
+    the undirected simple graph, where reach1 = |{u != v : d(v,u) = 1}|
+    (the degree) and reach2 = |{u != v : d(v,u) <= 2}|. The EXACT
+    companion of the ANF sketch estimates at hop 2 — the pair
+    (anf_sketches approximate, two_hop_reach exact) mirrors the
+    reference's EstimateNNZ-vs-exact-reduce split, and reach2/reach1 is
+    the classic neighborhood-expansion feature for spam/hub
+    classification. Exact integers only.
+
+    Scale shape: one self-equi-join on the wedge center (the same
+    sum-of-degree-squares bound every exact 2-hop op pays — the ANF
+    sketch is precisely the operator that REPLACES this beyond hop 2 or
+    under heavier skew) + a distinct + one count agg. ``max_degree``
+    drops wedge CENTERS above the cap before the join (the butterflies
+    hub-cap pattern: a 10^6-degree center contributes 10^12 pairs and
+    no locality signal); endpoints keep their full 1-hop sets, and the
+    oracle applies the identical cap.
+    """
+    sym = (
+        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    dirs = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    centers = dirs
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+        ok = (
+            dirs.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") <= max_degree).select("a")
+        )
+        centers = dirs.join(ok, "a", "left_semi")
+    hop2 = (
+        centers.select(F.col("a").alias("_m"), F.col("b").alias("v"))
+        .join(centers.select(F.col("a").alias("_m"), F.col("b").alias("u")),
+              "_m")
+        .where(F.col("v") != F.col("u"))
+        .select("v", "u")
+    )
+    ball = dirs.select(F.col("a").alias("v"), F.col("b").alias("u")) \
+        .unionByName(hop2).distinct()
+    deg = dirs.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("reach1"))
+    r2 = ball.groupBy(F.col("v").alias("id")).agg(
+        F.count(F.lit(1)).alias("reach2"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return (
+        verts.join(deg, "id", "left").join(r2, "id", "left")
+        .select("id",
+                F.coalesce("reach1", F.lit(0)).alias("reach1"),
+                F.coalesce("reach2", F.lit(0)).alias("reach2"))
+    )

@@ -274,3 +274,83 @@ def salsa(
     if dual_layout:
         e_src.unpersist()
     return out
+
+
+def eigencentrality(
+    edges: DataFrame,
+    n_iter: int = 8,
+    broadcast_max_vertices: int = 8_000_000,
+    small_vector_threshold: int = 100_000,
+) -> DataFrame:
+    """Eigenvector centrality (Bonacich 1972) — the fourth classic
+    link-analysis power iteration next to PageRank, HITS and Katz:
+
+        x_t(v) = (1/16) * sum_{u -> v} x_{t-1}(u),    x_0 = 1,
+
+    i.e. x_T(v) = 16^{-T} * #walks_T(->v), reported normalized to sum 1
+    (the L1-normalized principal left eigenvector direction of A as
+    T grows). Returns (id, eigen) rounded 6dp; vertices unreachable by
+    any T-walk score 0, and on a walk-free graph (DAG deeper than T)
+    every score is NULL (the direction is undefined).
+
+    Bit-portability (the katz alpha=1/16 trick): the per-hop 1/16 is a
+    power of two, so every x value is the EXACT dyadic rational
+    walk_count * 2^(-4t) — sums are order-independent (exact in IEEE
+    doubles) as long as raw walk counts stay below 2^53, the same
+    envelope an integer implementation would have. The one inexact op
+    is the final normalizing division, applied identically in both
+    engines and rounded 6dp. At web scale walk counts overflow the
+    2^53 envelope within a few hops of a 10^7-degree hub — there you
+    renormalize per superstep (exactness across engines is a test/
+    oracle contract, not a production requirement).
+
+    Scale design: identical single-layout loop to katz (ONE
+    dst-partitioned cached edge copy, broadcast vector while it fits,
+    vector-sized stitch per superstep); the final total is one scalar
+    aggregate folded back as a literal.
+    """
+    if n_iter < 1:
+        raise ValueError(f"eigencentrality: n_iter must be >= 1, got {n_iter}")
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select("src", "dst").repartition(shuffle_n, "dst") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+
+    n = verts.count()
+    can_broadcast = n <= broadcast_max_vertices
+    small_vector = n <= small_vector_threshold
+
+    x = verts.select("id", F.lit(1.0).alias("v"))
+    x = x.coalesce(1) if small_vector else x.repartition(shuffle_n, "id")
+    x = x.localCheckpoint(eager=True)
+    for it in range(n_iter):
+        xv = x.select(F.col("id").alias("src"), F.col("v").alias("_x"))
+        if can_broadcast:
+            xv = F.broadcast(xv)
+        inflow = (
+            e.join(xv, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("_x").alias("_in"))
+        )
+        stitched = F.broadcast(inflow) if small_vector else inflow
+        x = superstep_checkpoint(
+            verts.join(stitched, "id", "left").select(
+                "id",
+                (F.coalesce(F.col("_in"), F.lit(0.0)) / F.lit(16.0)).alias("v"),
+            ),
+            it,
+        )
+
+    total = x.agg(F.sum("v").alias("t")).collect()[0]["t"]
+    out = x.select(
+        "id",
+        F.round(
+            F.when(F.lit(total) > 0, F.col("v") / F.lit(float(total))), 6
+        ).alias("eigen"),
+    ).localCheckpoint(eager=True)
+    verts.unpersist()
+    e.unpersist()
+    return out

@@ -322,6 +322,57 @@ def test_four_cliques_rmat_and_ordering(spark):
     assert got == by_deg
 
 
+def test_eigencentrality_numpy(spark):
+    """Dyadic power iteration vs the numpy unroll — bit-equal at 6dp
+    on a directed fixture with cycles, danglings and an isolated pair."""
+    from combblas_spark.algorithms.hits import eigencentrality
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 0), (5, 6)]
+    n, iters = 7, 8
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] += 1.0
+    x = np.ones(n)
+    for _ in range(iters):
+        x = (A.T @ x) / 16.0
+    want = {i: round(v / x.sum(), 6) for i, v in enumerate(x)}
+    got = {r["id"]: r["eigen"]
+           for r in eigencentrality(df_edges(spark, edges), n_iter=iters).collect()}
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_eigencentrality_walkfree_graph(spark):
+    """On a DAG shallower than n_iter every T-walk dies: scores are
+    NULL (direction undefined), never a crash or a fake uniform."""
+    from combblas_spark.algorithms.hits import eigencentrality
+
+    out = eigencentrality(df_edges(spark, [(0, 1), (1, 2)]), n_iter=8).collect()
+    assert len(out) == 3 and all(r["eigen"] is None for r in out)
+
+
+def test_two_hop_reach_bfs_oracle(spark):
+    from combblas_spark.algorithms.anf import two_hop_reach
+
+    raw = rmat_edges(spark, scale=6, edgefactor=4, seed=3)
+    g = build_graph(raw).persist()
+    pairs = [(r["src"], r["dst"]) for r in g.select("src", "dst").collect()]
+    adj: dict[int, set[int]] = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    verts = {v for e in pairs for v in e}
+    want = {}
+    for v in verts:
+        one = adj.get(v, set())
+        two = set().union(*(adj[m] for m in one)) | one if one else set()
+        two.discard(v)
+        want[v] = (len(one), len(two))
+    got = {r["id"]: (r["reach1"], r["reach2"])
+           for r in two_hop_reach(g).collect()}
+    assert got == want
+
+
 # ----------------------------------------------------------------------- BFS
 
 def bfs_oracle(edges, root, n):
