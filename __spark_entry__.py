@@ -1714,6 +1714,57 @@ def q_k_truss(spark, sf):
     return k_truss(g, TRUSS_K)
 
 
+TRUSSNESS_ITERS = 16  # measured fixpoint: 11 at sf0.01, 3 at sf0.1 (thinned)
+
+
+def q_trussness(spark, sf):
+    """Full truss decomposition (per-edge max k) on the thinned events
+    graph — the edge-level companion of coreness, via the same h-index
+    iteration (static triangle incidence, monotone integer values)."""
+    from combblas_spark.algorithms.truss import trussness
+
+    g = _thin_edges(events_graph(spark, sf))
+    return trussness(g)
+
+
+def _trussness_sql(iters: int = TRUSSNESS_ITERS) -> str:
+    """Unrolled twin of trussness: the same static triangle incidence,
+    per-edge h-index rounds (extra rounds past fixpoint are no-ops)."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM edges WHERE src <> dst)",
+        """tri AS MATERIALIZED (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM und ab JOIN und bc ON ab.v = bc.u
+  JOIN und ac ON ac.u = ab.u AND ac.v = bc.v)""",
+        """inc AS MATERIALIZED (
+  SELECT a AS eu, b AS ev, a AS p1u, c AS p1v, b AS p2u, c AS p2v FROM tri
+  UNION ALL
+  SELECT a, c, a, b, b, c FROM tri
+  UNION ALL
+  SELECT b, c, a, b, a, c FROM tri)""",
+        """h0 AS MATERIALIZED (
+  SELECT e.u, e.v, coalesce(s.t, 0) AS t FROM und e LEFT JOIN
+  (SELECT eu, ev, count(*) AS t FROM inc GROUP BY eu, ev) s
+  ON s.eu = e.u AND s.ev = e.v)""",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""h{r} AS MATERIALIZED (
+  SELECT e.u, e.v, coalesce(hh.h, 0) AS t FROM und e LEFT JOIN (
+    SELECT eu, ev, max(r) AS h FROM (
+      SELECT i.eu, i.ev, least(t1.t, t2.t) AS rho,
+             row_number() OVER (PARTITION BY i.eu, i.ev
+                                ORDER BY least(t1.t, t2.t) DESC) AS r
+      FROM inc i JOIN h{r-1} t1 ON t1.u = i.p1u AND t1.v = i.p1v
+                 JOIN h{r-1} t2 ON t2.u = i.p2u AND t2.v = i.p2v)
+    WHERE rho >= r GROUP BY eu, ev) hh
+  ON hh.eu = e.u AND hh.ev = e.v)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT u, v, t + 2 AS trussness FROM h{iters}")
+
+
 def _truss_sql(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
     """Unrolled twin of k_truss: identical wedge-join support counts
     and peel rule per round (extra rounds past fixpoint are no-ops)."""
@@ -3142,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_cliques": q_four_cliques,
         "eigencentrality": q_eigencentrality,
         "two_hop_reach": q_two_hop_reach,
+        "trussness": q_trussness,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4038,6 +4090,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["four_cliques"] = _four_cliques_sql()
     sqls["eigencentrality"] = _eigencentrality_sql()
     sqls["two_hop_reach"] = _two_hop_reach_sql()
+    sqls["trussness"] = _trussness_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

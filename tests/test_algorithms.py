@@ -322,6 +322,53 @@ def test_four_cliques_rmat_and_ordering(spark):
     assert got == by_deg
 
 
+def truss_peel_oracle(pairs):
+    """Exact truss decomposition by literal peeling: for k = 3, 4, ...
+    peel to the k-truss fixpoint; an edge removed during the k-peel has
+    trussness k - 1."""
+    E = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    out, k = {}, 3
+    while E:
+        changed = True
+        while changed:
+            changed = False
+            adj = {}
+            for u, v in E:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            drop = [e for e in E if len(adj[e[0]] & adj[e[1]]) < k - 2]
+            if drop:
+                changed = True
+                for e in drop:
+                    E.discard(e)
+                    out[e] = k - 1
+        k += 1
+    return out
+
+
+def test_trussness_known(spark):
+    from combblas_spark.algorithms.truss import trussness
+
+    # K5 (trussness 5) + a triangle hung off it by a path + a lone edge
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(4, 5), (5, 6), (6, 7), (5, 7), (8, 9)]
+    got = {(r["u"], r["v"]): r["trussness"]
+           for r in trussness(df_edges(spark, edges)).collect()}
+    assert got == truss_peel_oracle(edges)
+
+
+def test_trussness_rmat(spark):
+    from combblas_spark.algorithms.truss import trussness
+
+    raw = rmat_edges(spark, scale=6, edgefactor=6, seed=11)
+    g = build_graph(raw).persist()
+    pairs = [(r["src"], r["dst"]) for r in g.select("src", "dst").collect()]
+    got = {(r["u"], r["v"]): r["trussness"] for r in trussness(g).collect()}
+    want = truss_peel_oracle(pairs)
+    assert got == want
+    assert max(got.values()) >= 4  # fixture has real truss structure
+
+
 def test_eigencentrality_numpy(spark):
     """Dyadic power iteration vs the numpy unroll — bit-equal at 6dp
     on a directed fixture with cycles, danglings and an isolated pair."""
