@@ -1701,6 +1701,75 @@ def _walks_sql(length: int = WALK_LEN, k: int = WALKS_PER_V,
     return "WITH " + ",\n".join(ctes) + "\n" + selects
 
 
+N2V_LEN = 5
+N2V_WEIGHTS = (1, 4, 2)  # (w_return, w_common, w_far) = p=4, q=2 scaled by 4
+
+
+def q_node2vec_walks(spark, sf):
+    """Second-order node2vec walk corpus (Grover & Leskovec 2016) on
+    the thinned events graph: integer search-bias weights (return /
+    common-neighbor / far = 1/4/2) and counter-hash picks, so the
+    biased recurrence is exactly unrollable in the DuckDB twin."""
+    from combblas_spark.algorithms.walks import node2vec_walks
+
+    g = _thin_edges(events_graph(spark, sf))
+    wr, wc, wf = N2V_WEIGHTS
+    return node2vec_walks(g, walk_length=N2V_LEN, walks_per_vertex=1,
+                          w_return=wr, w_common=wc, w_far=wf,
+                          seed=WALK_SEED)
+
+
+def _node2vec_sql(length: int = N2V_LEN, seed: int = WALK_SEED) -> str:
+    """Unrolled twin of q_node2vec_walks: identical uniform first step,
+    then per-step candidate weights + BIGINT cumulative-range pick."""
+    wr, wc, wf = N2V_WEIGHTS
+
+    def pick(t: int) -> str:
+        return (
+            f"('0x' || substr(md5(CAST(start AS VARCHAR) || ':' || "
+            f"CAST(walk AS VARCHAR) || ':{t}:{seed}'), 1, 8))::BIGINT"
+        )
+
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "count(*) OVER (PARTITION BY src) AS deg FROM de)",
+        "s0 AS (SELECT v.id AS start, CAST(0 AS BIGINT) AS walk, "
+        "v.id AS vertex, CAST(NULL AS BIGINT) AS prev FROM verts v)",
+        f"s1 AS MATERIALIZED (SELECT s.start, s.walk, a.dst AS vertex, "
+        f"s.vertex AS prev FROM s0 s JOIN adj a ON a.src = s.vertex "
+        f"AND a.idx = ('0x' || substr(md5(CAST(s.start AS VARCHAR) || ':' || "
+        f"CAST(s.walk AS VARCHAR) || ':1:{seed}'), 1, 8))::BIGINT % a.deg)",
+    ]
+    for t in range(2, length + 1):
+        ctes.append(
+            f"c{t} AS (SELECT s.start, s.walk, s.vertex AS cur, a.dst, "
+            f"CAST(CASE WHEN a.dst = s.prev THEN {wr} "
+            f"WHEN m.dst IS NOT NULL THEN {wc} ELSE {wf} END AS BIGINT) AS w "
+            f"FROM s{t-1} s JOIN adj a ON a.src = s.vertex "
+            f"LEFT JOIN de m ON m.src = s.prev AND m.dst = a.dst)"
+        )
+        ctes.append(
+            f"w{t} AS (SELECT *, sum(w) OVER (PARTITION BY start, walk "
+            f"ORDER BY dst ROWS UNBOUNDED PRECEDING) AS cum, "
+            f"sum(w) OVER (PARTITION BY start, walk) AS tot FROM c{t})"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT start, walk, dst AS vertex, "
+            f"cur AS prev FROM w{t} WHERE tot > 0 "
+            f"AND ({pick(t)} % tot) >= cum - w AND ({pick(t)} % tot) < cum)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk, {t} AS step, vertex FROM s{t}"
+        for t in range(0, length + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
 TRUSS_K = 4
 TRUSS_ROUNDS = 20
 
@@ -3194,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality": q_eigencentrality,
         "two_hop_reach": q_two_hop_reach,
         "trussness": q_trussness,
+        "node2vec_walks": q_node2vec_walks,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4091,6 +4161,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["eigencentrality"] = _eigencentrality_sql()
     sqls["two_hop_reach"] = _two_hop_reach_sql()
     sqls["trussness"] = _trussness_sql()
+    sqls["node2vec_walks"] = _node2vec_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

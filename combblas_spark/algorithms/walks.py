@@ -93,6 +93,143 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 6,
+    walks_per_vertex: int = 1,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_far: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Second-order (node2vec) biased walks — Grover & Leskovec 2016,
+    with the search bias expressed as INTEGER weights so the whole
+    recurrence stays bit-portable (no float sampling):
+
+        step 1: uniform counter-hash pick (identical to random_walks);
+        step t>=2 from ``cur`` with predecessor ``prev``: candidate
+        neighbor d of cur gets weight
+            w_return  if d == prev            (node2vec 1/p)
+            w_common  if edge prev->d exists  (node2vec 1, BFS-ish)
+            w_far     otherwise               (node2vec 1/q, DFS-ish)
+        and the walk moves to the candidate whose cumulative-weight
+        range [cum-w, cum) (candidates ordered by dst) contains
+        md5("start:walk:t:seed") % total_weight.
+
+    Defaults (1, 4, 2) encode p=4, q=2 scaled by 4 — a homophily-
+    leaning regime. Returns (start, walk, step, vertex), the same
+    corpus schema as random_walks, so skipgram_pairs/ppmi compose.
+
+    Determinism: the pick is the same counter-hash family as
+    random_walks/_pick — partitioning- and retry-invariant, and a
+    DuckDB twin unrolls the identical integer recurrence (the weights
+    and cumulative sums are exact BIGINTs; no float enters until
+    nothing is left to compute).
+
+    Scale shape: the first-order adjacency is ranked once and cached
+    by src (as in random_walks). Each biased step is one state-vector
+    join against the src-partitioned adjacency (fan-out = outdeg(cur)),
+    one LEFT join against the distinct edge set on (prev, dst) for the
+    membership flag, and one per-(start,walk) window whose partition
+    cardinality is outdeg(cur) — never global. A 10^6-degree hub makes
+    that window 10^6 rows for walks sitting on it; that is inherent to
+    second-order sampling (the alias-table trick costs O(sum deg(u)*
+    deg(v)) precompute instead — strictly worse on webgraphs), and AQE
+    splits the skewed shuffle partitions feeding it.
+    """
+    if walk_length < 1:
+        raise ValueError(f"node2vec_walks: walk_length must be >= 1, got {walk_length}")
+    for name, w in (("w_return", w_return), ("w_common", w_common), ("w_far", w_far)):
+        if int(w) != w or w < 0:
+            raise ValueError(f"node2vec_walks: {name} must be a non-negative int, got {w}")
+    if w_return + w_common + w_far <= 0:
+        raise ValueError("node2vec_walks: at least one weight must be positive")
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    wsp = Window.partitionBy("src").orderBy("dst")
+    de = (
+        edges.select("src", "dst").dropDuplicates(["src", "dst"])
+        .repartition(shuffle_n, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj = (
+        de.select(
+            "src", "dst",
+            (F.row_number().over(wsp) - 1).alias("idx"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj.count()
+
+    ks = spark.range(walks_per_vertex).select(F.col("id").cast("long").alias("walk"))
+    state = (
+        vertices(edges).crossJoin(F.broadcast(ks))
+        .select(F.col("id").alias("start"), "walk",
+                F.col("id").alias("vertex"),
+                F.lit(None).cast("long").alias("prev"))
+        .repartition(shuffle_n, "start", "walk")
+        .localCheckpoint(eager=True)
+    )
+    out = state.select("start", "walk", F.lit(0).alias("step"), "vertex")
+
+    # step 1: no predecessor yet — uniform pick on the ranked adjacency
+    pick1 = _pick(F.col("start"), F.col("walk"), 1, seed)
+    state = (
+        state.join(adj, [state["vertex"] == adj["src"]])
+        .where(F.col("idx") == pick1 % F.col("deg"))
+        .select("start", "walk", F.col("dst").alias("vertex"),
+                adj["src"].alias("prev"))
+    )
+    state = superstep_checkpoint(state, 1)
+    if not state.isEmpty():
+        out = out.unionByName(
+            state.select("start", "walk", F.lit(1).alias("step"), "vertex"))
+
+        mem = de.select(F.col("src").alias("prev"), "dst",
+                        F.lit(1).alias("_m"))
+        wcum = Window.partitionBy("start", "walk").orderBy("dst") \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wtot = Window.partitionBy("start", "walk")
+        nbrs = adj.select(F.col("src").alias("_cur"), "dst")
+        for t in range(2, walk_length + 1):
+            cand = (
+                state.withColumnRenamed("vertex", "_cur")
+                .join(nbrs, "_cur")
+                .join(mem, ["prev", "dst"], "left")
+                .select(
+                    "start", "walk", "_cur", "dst",
+                    F.when(F.col("dst") == F.col("prev"), F.lit(w_return))
+                    .when(F.col("_m").isNotNull(), F.lit(w_common))
+                    .otherwise(F.lit(w_far)).cast("long").alias("_w"),
+                )
+            )
+            pick = _pick(F.col("start"), F.col("walk"), t, seed)
+            state = (
+                cand.select(
+                    "start", "walk", "_cur", "dst", "_w",
+                    F.sum("_w").over(wcum).alias("_cum"),
+                    F.sum("_w").over(wtot).alias("_tot"),
+                )
+                .where(F.col("_tot") > 0)
+                .where((pick % F.col("_tot") >= F.col("_cum") - F.col("_w"))
+                       & (pick % F.col("_tot") < F.col("_cum")))
+                .select("start", "walk", F.col("dst").alias("vertex"),
+                        F.col("_cur").alias("prev"))
+            )
+            state = superstep_checkpoint(state, t)
+            if state.isEmpty():
+                break
+            out = out.unionByName(
+                state.select("start", "walk", F.lit(t).alias("step"), "vertex"))
+
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    de.unpersist()
+    return out
+
+
 def skipgram_pairs(
     walks: DataFrame,
     window: int = 2,

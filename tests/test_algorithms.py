@@ -1305,6 +1305,77 @@ def test_random_walks_deterministic(spark):
     assert not any(s == 3 and t > 1 for (s, k, t, v) in got)
 
 
+def test_node2vec_walks_deterministic(spark):
+    """Second-order biased walks match a pure-Python twin that unrolls
+    the identical integer cumulative-weight pick; weight edge cases:
+    the return candidate takes w_return even when prev->dst is also an
+    edge, and a zero weight makes the candidate unpickable."""
+    import hashlib
+
+    from combblas_spark.algorithms.walks import node2vec_walks
+
+    E = [(0, 1), (0, 2), (1, 2), (1, 0), (2, 0), (2, 3), (3, 4), (3, 0)]
+    L, SEED = 5, 11
+    WR, WC, WF = 1, 4, 2
+    adj = {}
+    for s, d in E:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+    eset = set(E)
+
+    def pick_hash(start, k, t):
+        return int(hashlib.md5(
+            f"{start}:{k}:{t}:{SEED}".encode()).hexdigest()[:8], 16)
+
+    expect = set()
+    for start in range(5):
+        cur, prev = start, None
+        expect.add((start, 0, 0, cur))
+        for t in range(1, L + 1):
+            if cur not in adj:
+                break
+            cands = adj[cur]
+            if t == 1:
+                nxt = cands[pick_hash(start, 0, t) % len(cands)]
+            else:
+                ws = [WR if d == prev else WC if (prev, d) in eset else WF
+                      for d in cands]
+                r = pick_hash(start, 0, t) % sum(ws)
+                cum, nxt = 0, None
+                for d, w in zip(cands, ws):
+                    cum += w
+                    if r < cum:
+                        nxt = d
+                        break
+            prev, cur = cur, nxt
+            expect.add((start, 0, t, cur))
+
+    got = {(r["start"], r["walk"], r["step"], r["vertex"])
+           for r in node2vec_walks(
+               df_edges(spark, E), walk_length=L, walks_per_vertex=1,
+               w_return=WR, w_common=WC, w_far=WF, seed=SEED).collect()}
+    assert got == expect
+    # the biased corpus must diverge from the uniform one somewhere
+    from combblas_spark.algorithms.walks import random_walks
+    uni = {(r["start"], r["walk"], r["step"], r["vertex"])
+           for r in random_walks(df_edges(spark, E), walk_length=L,
+                                 walks_per_vertex=1, seed=SEED).collect()}
+    assert got != uni
+
+
+def test_node2vec_walks_validation(spark):
+    from combblas_spark.algorithms.walks import node2vec_walks
+
+    with pytest.raises(ValueError, match="walk_length"):
+        node2vec_walks(df_edges(spark, [(0, 1)]), walk_length=0)
+    with pytest.raises(ValueError, match="w_return"):
+        node2vec_walks(df_edges(spark, [(0, 1)]), w_return=-1)
+    with pytest.raises(ValueError, match="at least one weight"):
+        node2vec_walks(df_edges(spark, [(0, 1)]),
+                       w_return=0, w_common=0, w_far=0)
+
+
 def test_skipgram_pairs(spark):
     """Window-2 co-occurrence counts from a hand corpus; the self-join
     must plan as an equi-join on the walk key, never cartesian."""
