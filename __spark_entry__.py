@@ -1770,6 +1770,63 @@ def _node2vec_sql(length: int = N2V_LEN, seed: int = WALK_SEED) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + selects
 
 
+SIMRANK_ITERS = 3
+SIMRANK_CAP = 64
+
+
+def q_simrank(spark, sf):
+    """Truncated SimRank (Jeh & Widom 2002, C=1/2, 3 iterations) on the
+    thinned events graph: structural page-pair similarity from shared
+    in-link context. Support is join-decided (bit-portable row set);
+    scores rounded 6dp."""
+    from combblas_spark.algorithms.linkanalysis import simrank
+
+    g = _thin_edges(events_graph(spark, sf))
+    return simrank(g, n_iter=SIMRANK_ITERS,
+                   max_source_outdegree=SIMRANK_CAP)
+
+
+def _simrank_sql(n_iter: int = SIMRANK_ITERS, cap: int = SIMRANK_CAP) -> str:
+    """Unrolled twin of q_simrank: same capped propagation edge list,
+    same constant co-citation term W, same 0.5 * raw / (da*db) update."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges "
+        "WHERE src <> dst)",
+        "ind AS MATERIALIZED (SELECT dst AS id, count(*) AS d FROM de "
+        "GROUP BY dst)",
+        f"ok AS (SELECT src FROM de GROUP BY src HAVING count(*) <= {cap})",
+        "ek AS MATERIALIZED (SELECT de.src, de.dst FROM de JOIN ok USING (src))",
+        "w AS MATERIALIZED (SELECT x.dst AS a, y.dst AS b, count(*) AS w "
+        "FROM ek x JOIN ek y ON x.src = y.src AND x.dst < y.dst GROUP BY 1, 2)",
+        "s1 AS MATERIALIZED (SELECT w.a, w.b, "
+        "0.5 * CAST(w.w AS DOUBLE) / (da.d * db.d) AS s "
+        "FROM w JOIN ind da ON da.id = w.a JOIN ind db ON db.id = w.b)",
+    ]
+    for t in range(2, n_iter + 1):
+        ctes.append(
+            f"p{t} AS (SELECT a, b, s FROM s{t-1} "
+            f"UNION ALL SELECT b AS a, a AS b, s FROM s{t-1})"
+        )
+        ctes.append(
+            f"agg{t} AS (SELECT ex.dst AS a, ey.dst AS b, sum(p.s) AS ss "
+            f"FROM p{t} p JOIN ek ex ON ex.src = p.a JOIN ek ey ON ey.src = p.b "
+            f"WHERE ex.dst < ey.dst GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"r{t} AS (SELECT coalesce(w.a, g.a) AS a, coalesce(w.b, g.b) AS b, "
+            f"coalesce(CAST(w.w AS DOUBLE), 0.0) + coalesce(g.ss, 0.0) AS raw "
+            f"FROM w FULL OUTER JOIN agg{t} g ON w.a = g.a AND w.b = g.b)"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT r.a, r.b, "
+            f"0.5 * r.raw / (da.d * db.d) AS s "
+            f"FROM r{t} r JOIN ind da ON da.id = r.a JOIN ind db ON db.id = r.b)"
+        )
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT a, b, round(s, 6) AS sim FROM s{n_iter}")
+
+
 TRUSS_K = 4
 TRUSS_ROUNDS = 20
 
@@ -3264,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop_reach": q_two_hop_reach,
         "trussness": q_trussness,
         "node2vec_walks": q_node2vec_walks,
+        "simrank": q_simrank,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4162,6 +4220,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["two_hop_reach"] = _two_hop_reach_sql()
     sqls["trussness"] = _trussness_sql()
     sqls["node2vec_walks"] = _node2vec_sql()
+    sqls["simrank"] = _simrank_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

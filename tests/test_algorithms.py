@@ -1968,6 +1968,57 @@ def test_cocitation_known(spark):
         cocitation(df_edges(spark, E), min_weight=1, max_degree=1)
 
 
+def test_simrank_dense_twin(spark):
+    """Truncated SimRank matches a dense numpy unroll of the Jeh-Widom
+    recurrence (sim(v,v)=1, C=1/2, true in-degree normalization) on a
+    random directed graph, with and without the propagation hub cap."""
+    import numpy as np
+
+    from combblas_spark.algorithms.linkanalysis import simrank
+
+    rng = np.random.RandomState(7)
+    n = 20
+    E = sorted({(int(a), int(b)) for a, b in rng.randint(0, n, (70, 2))
+                if a != b})
+
+    def dense(n_iter, cap):
+        ind = np.zeros(n)
+        for _, b in E:
+            ind[b] += 1
+        outd = np.zeros(n)
+        for a, _ in E:
+            outd[a] += 1
+        ek = [(a, b) for a, b in E if cap is None or outd[a] <= cap]
+        S = np.eye(n)
+        for _ in range(n_iter):
+            T = np.zeros((n, n))
+            for (x, a) in ek:
+                for (y, b) in ek:
+                    if a != b:
+                        T[a, b] += S[x, y]
+            S2 = np.eye(n)
+            for a in range(n):
+                for b in range(n):
+                    if a != b and ind[a] > 0 and ind[b] > 0:
+                        S2[a, b] = 0.5 * T[a, b] / (ind[a] * ind[b])
+            S = S2
+        return {(a, b): round(S[a, b], 6)
+                for a in range(n) for b in range(a + 1, n) if S[a, b] > 0}
+
+    for n_iter, cap in [(1, None), (3, None), (3, 3)]:
+        got = {(r["a"], r["b"]): r["sim"]
+               for r in simrank(df_edges(spark, E), n_iter=n_iter,
+                                max_source_outdegree=cap).collect()}
+        want = dense(n_iter, cap)
+        assert set(got) == set(want), (n_iter, cap)
+        assert all(abs(got[k] - want[k]) < 2e-6 for k in got), (n_iter, cap)
+
+    with pytest.raises(ValueError, match="n_iter"):
+        simrank(df_edges(spark, E), n_iter=0)
+    with pytest.raises(ValueError, match="max_source_outdegree"):
+        simrank(df_edges(spark, E), max_source_outdegree=0)
+
+
 def test_cocitation_rmat_vs_oracle(spark):
     from combblas_spark.algorithms.linkanalysis import (
         bibliographic_coupling, cocitation)
