@@ -975,6 +975,71 @@ SELECT d.doc_id AS id, coalesce(n_windows, 0) AS n_windows,
 FROM documents d LEFT JOIN pd ON pd.id = d.doc_id"""
 
 
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def q_winnow_fp(spark, sf):
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003): per-window
+    rightmost-min k-gram hash selection, packed-BIGINT argmin — the
+    guaranteed-coverage document fingerprint for substring matching."""
+    from combblas_spark.functions.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf), k=WINNOW_K, w=WINNOW_W)
+
+
+def q_winnow_pairs(spark, sf):
+    """MOSS match ranking: document pairs sharing >= 2 distinct
+    winnowing fingerprints, boilerplate fingerprints (df > 50)
+    suppressed before the pair join."""
+    from combblas_spark.functions.dedup import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf), k=WINNOW_K, w=WINNOW_W,
+                        min_shared=2, max_df=50)
+
+
+def _winnow_fp_ctes(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """Shared winnowing CTE block (fingerprints in CTE ``wfp``):
+    identical k-gram md5-prefix hashes and packed (h+1)*2^21 - pos
+    window minimum as the Spark operator."""
+    m = 1 << 21
+    gram = " || ' ' || ".join(f"tw[i+{j}]" for j in range(k))
+    return f"""wwords AS (SELECT doc_id, string_split(text, ' ') AS tw FROM documents),
+wg AS (
+  SELECT doc_id AS id, i - 1 AS pos,
+         (('0x' || substr(md5({gram}), 1, 8))::BIGINT + 1) * {m} - (i - 1) AS key
+  FROM wwords, unnest(generate_series(1, greatest(len(tw) - {k - 1}, 0))) AS t(i)
+  WHERE len(tw) >= {k} AND i - 1 < {m}
+),
+ws AS (
+  SELECT id, pos,
+         min(key) OVER (PARTITION BY id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel,
+         count(*) OVER (PARTITION BY id) AS n
+  FROM wg
+),
+wd AS (SELECT DISTINCT id, sel FROM ws WHERE pos <= n - {w}),
+wfp AS (
+  SELECT id, CAST(({m} - sel % {m}) % {m} AS INT) AS pos,
+         (sel + ({m} - sel % {m}) % {m}) // {m} - 1 AS fp
+  FROM wd
+)"""
+
+
+def _winnow_fp_sql() -> str:
+    return f"WITH {_winnow_fp_ctes()}\nSELECT id, pos, fp FROM wfp"
+
+
+def _winnow_pairs_sql(min_shared: int = 2, max_df: int = 50) -> str:
+    return f"""WITH {_winnow_fp_ctes()},
+wdist AS (SELECT DISTINCT id, fp FROM wfp),
+wrare AS (SELECT fp FROM wdist GROUP BY fp HAVING count(*) <= {max_df}),
+wk AS (SELECT id, fp FROM wdist JOIN wrare USING (fp))
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+FROM wk a JOIN wk b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+
+
 TEXTRANK_K = 20
 
 
@@ -3322,6 +3387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trussness": q_trussness,
         "node2vec_walks": q_node2vec_walks,
         "simrank": q_simrank,
+        "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4221,6 +4288,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["trussness"] = _trussness_sql()
     sqls["node2vec_walks"] = _node2vec_sql()
     sqls["simrank"] = _simrank_sql()
+    sqls["winnow_fp"] = _winnow_fp_sql()
+    sqls["winnow_pairs"] = _winnow_pairs_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

@@ -597,6 +597,58 @@ def test_remove_duplicate_spans(spark):
     assert out[4]["clean_text"] == rows[4][1] and out[4]["n_removed"] == 0
 
 
+def test_winnow_fingerprints(spark):
+    """Winnowing selection matches a pure-Python MOSS twin (rightmost
+    min per window) and honors the k+w-1 completeness guarantee."""
+    import hashlib
+
+    from combblas_spark.functions.dedup import (winnow_fingerprints,
+                                                winnow_pairs)
+
+    K, W = 3, 3
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again today",
+        2: "something else entirely but the quick brown fox jumps over here",
+        3: "completely unrelated words in this one document here now",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+
+    def py_winnow(text):
+        toks = text.split(" ")
+        grams = [" ".join(toks[i:i + K]) for i in range(len(toks) - K + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        sel = set()
+        for t in range(len(hs) - W + 1):
+            win = hs[t:t + W]
+            mn = min(win)
+            # rightmost occurrence of the minimum
+            p = t + max(j for j, h in enumerate(win) if h == mn)
+            sel.add((p, hs[p]))
+        return sel
+
+    got = {}
+    for r in winnow_fingerprints(docs, k=K, w=W).collect():
+        got.setdefault(r["id"], set()).add((r["pos"], r["fp"]))
+    assert got == {i: py_winnow(t) for i, t in texts.items()}
+
+    # completeness: docs 1 and 2 share the 5-token (= k+w-1) substring
+    # "the quick brown fox jumps" -> at least one shared fingerprint hash
+    shared = {f for _, f in got[1]} & {f for _, f in got[2]}
+    assert shared
+    pairs = {(r["id_a"], r["id_b"]): r["shared"]
+             for r in winnow_pairs(docs, k=K, w=W, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == len(shared)
+    assert not any(3 in p for p in pairs)
+
+    with pytest.raises(ValueError, match="k and w"):
+        winnow_fingerprints(docs, k=0)
+    with pytest.raises(ValueError, match="min_shared"):
+        winnow_pairs(docs, min_shared=0)
+    with pytest.raises(ValueError, match="max_df"):
+        winnow_pairs(docs, max_df=1)
+
+
 def test_decontaminate(spark):
     from combblas_spark.functions.dedup import decontaminate
 
