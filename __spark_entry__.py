@@ -1835,6 +1835,60 @@ def _node2vec_sql(length: int = N2V_LEN, seed: int = WALK_SEED) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + selects
 
 
+PIC_K = 4
+PIC_ITERS = 6
+
+
+def q_pic(spark, sf):
+    """Power iteration clustering (Lin & Cohen 2010) on the thinned
+    events graph: k<=4 clusters from the 1-D early-stopped random-walk
+    embedding, gap-split readout, CC-style min-id cluster labels."""
+    from combblas_spark.algorithms.pic import power_iteration_clustering
+
+    g = _thin_edges(events_graph(spark, sf))
+    return power_iteration_clustering(g, k=PIC_K, n_iter=PIC_ITERS)
+
+
+def _pic_sql(k: int = PIC_K, n_iter: int = PIC_ITERS) -> str:
+    """Unrolled twin of q_pic: same W = D^-1 A iteration with the same
+    L1 renormalization each step, same 9dp rounding before the sort,
+    same gap ranking (gap DESC, pos ASC) and min-id relabeling."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        "FROM edges WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM und "
+        "UNION ALL SELECT v AS src, u AS dst FROM und)",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM adj GROUP BY src)",
+        "vol AS (SELECT sum(deg) AS vol FROM deg)",
+        "x0 AS (SELECT id, CAST(deg AS DOUBLE) / vol AS x FROM deg, vol)",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"i{t} AS (SELECT a.dst AS id, sum(x.x) AS inflow "
+            f"FROM adj a JOIN x{t-1} x ON x.id = a.src GROUP BY a.dst)")
+        ctes.append(
+            f"r{t} AS (SELECT d.id, i.inflow / d.deg AS r "
+            f"FROM deg d JOIN i{t} i USING (id))")
+        ctes.append(f"t{t} AS (SELECT sum(r) AS tt FROM r{t})")
+        ctes.append(
+            f"x{t} AS MATERIALIZED (SELECT id, r / tt AS x FROM r{t}, t{t})")
+    ctes += [
+        f"e AS (SELECT id, round(x, 9) AS emb FROM x{n_iter})",
+        "p AS MATERIALIZED (SELECT id, emb, "
+        "row_number() OVER (ORDER BY emb, id) - 1 AS pos FROM e)",
+        "g AS (SELECT p1.pos, p2.emb - p1.emb AS gap "
+        "FROM p p1 JOIN p p2 ON p2.pos = p1.pos + 1)",
+        f"b AS (SELECT pos AS bpos FROM g WHERE gap > 0 "
+        f"ORDER BY gap DESC, pos ASC LIMIT {k - 1})",
+        "c AS (SELECT p.id, p.emb, p.pos, count(b.bpos) AS ci "
+        "FROM p LEFT JOIN b ON p.pos > b.bpos GROUP BY 1, 2, 3)",
+        "l AS (SELECT ci, min(id) AS cluster FROM c GROUP BY ci)",
+    ]
+    return ("WITH " + ",\n".join(ctes) +
+            "\nSELECT c.id, l.cluster, c.emb FROM c JOIN l USING (ci)")
+
+
 SIMRANK_ITERS = 3
 SIMRANK_CAP = 64
 
@@ -3389,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank": q_simrank,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
+        "pic": q_pic,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4290,6 +4345,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["simrank"] = _simrank_sql()
     sqls["winnow_fp"] = _winnow_fp_sql()
     sqls["winnow_pairs"] = _winnow_pairs_sql()
+    sqls["pic"] = _pic_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

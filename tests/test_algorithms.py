@@ -1968,6 +1968,35 @@ def test_cocitation_known(spark):
         cocitation(df_edges(spark, E), min_weight=1, max_degree=1)
 
 
+def test_power_iteration_clustering(spark):
+    """PIC separates two asymmetric cliques joined by one bridge edge
+    (symmetric structures are indistinguishable under the deterministic
+    degree init — asymmetry is what the early-stopped embedding reads);
+    cluster labels are min-member-id; k=1 puts everything together."""
+    import itertools
+
+    from combblas_spark.algorithms.pic import power_iteration_clustering
+
+    c1, c2 = list(range(5)), list(range(10, 18))
+    E = ([(a, b) for a, b in itertools.combinations(c1, 2)]
+         + [(a, b) for a, b in itertools.combinations(c2, 2)]
+         + [(4, 10)])
+    out = power_iteration_clustering(
+        df_edges(spark, E), k=2, n_iter=6).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["id"])
+    assert by_cluster == {0: set(c1), 10: set(c2)}
+
+    one = power_iteration_clustering(df_edges(spark, E), k=1, n_iter=3)
+    assert {r["cluster"] for r in one.collect()} == {0}
+
+    with pytest.raises(ValueError, match="k must be"):
+        power_iteration_clustering(df_edges(spark, E), k=0)
+    with pytest.raises(ValueError, match="n_iter"):
+        power_iteration_clustering(df_edges(spark, E), n_iter=0)
+
+
 def test_simrank_dense_twin(spark):
     """Truncated SimRank matches a dense numpy unroll of the Jeh-Widom
     recurrence (sim(v,v)=1, C=1/2, true in-degree normalization) on a
