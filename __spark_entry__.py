@@ -2222,6 +2222,42 @@ def q_k_core(spark, sf):
     return k_core(g, KCORE_K)
 
 
+SCORE_S = 18
+SCORE_ROUNDS = 24
+
+
+def q_s_core(spark, sf):
+    """Weighted k-core (s-core, Eidsaa & Almaas 2013) at strength 18 on
+    the thinned events MULTIGRAPH: peel on summed integer edge weights
+    (val = duplicate-edge multiplicity) instead of degree."""
+    from combblas_spark.algorithms.kcore import s_core
+
+    g = _thin_edges(events_graph(spark, sf))
+    return s_core(g, SCORE_S, weight_col="val")
+
+
+def _s_core_sql(s: int = SCORE_S, rounds: int = SCORE_ROUNDS) -> str:
+    """Twin of q_s_core: unrolled strength-peel rounds (extra rounds
+    past the fixed point are no-ops)."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "sym AS MATERIALIZED (SELECT src, dst, CAST(val AS BIGINT) AS w "
+        "FROM edges WHERE src <> dst "
+        "UNION ALL SELECT dst, src, CAST(val AS BIGINT) FROM edges WHERE src <> dst)",
+        "a0 AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+          SELECT s.dst AS id FROM sym s
+          JOIN a{r-1} x ON x.id = s.src
+          JOIN a{r-1} y ON y.id = s.dst
+          GROUP BY s.dst HAVING sum(s.w) >= {s})"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM a{rounds}"
+
+
 def q_coreness(spark, sf):
     """Full coreness decomposition via distributed h-index iteration
     (Lü et al. 2016) on the thinned events graph."""
@@ -3444,6 +3480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
         "pic": q_pic,
+        "s_core": q_s_core,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4346,6 +4383,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["winnow_fp"] = _winnow_fp_sql()
     sqls["winnow_pairs"] = _winnow_pairs_sql()
     sqls["pic"] = _pic_sql()
+    sqls["s_core"] = _s_core_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

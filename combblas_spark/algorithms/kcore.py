@@ -97,6 +97,87 @@ def k_core(
     return alive
 
 
+def s_core(
+    edges: DataFrame,
+    s: int,
+    weight_col: str | None = None,
+    max_rounds: int = 100,
+    broadcast_max_vertices: int = 8_000_000,
+    metrics: list | None = None,
+) -> DataFrame:
+    """Weighted k-core ("s-core", Eidsaa & Almaas, PRL 2013): the
+    maximal subgraph in which every vertex's STRENGTH — the sum of its
+    incident integer edge weights within the subgraph — is >= ``s``.
+    Returns (id). With unit weights this is exactly k_core.
+
+    ``weight_col`` names an integer-valued edge weight (cast to long —
+    exact in any aggregation order, the same integer-portability rule
+    as the other peels); None means weight 1 per edge ROW, so parallel
+    edges count their multiplicity (the multigraph strength).
+
+    Same loop/termination/maximality contract as k_core: the alive set
+    only shrinks, equal alive-count two rounds running is the fixed
+    point, and cap exhaustion raises (a truncated peel is a SUPERSET).
+    Scale shape identical too — one dst-partitioned weighted adjacency
+    cache, per-round semi-joins + a map-side-combinable sum.
+    """
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", w.alias("w"))
+    )
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"), "w"))
+        .repartition(shuffle_n, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym.count()
+
+    verts = vertices(edges).select("id")
+    n0 = verts.count()
+    can_broadcast = n0 <= broadcast_max_vertices
+    small = n0 <= 100_000
+
+    def _shape(df: DataFrame) -> DataFrame:
+        return df.coalesce(1) if small else df.repartition(shuffle_n, "id")
+
+    alive = _shape(verts).localCheckpoint(eager=True)
+    prev_n = None
+    converged = n0 == 0
+    for r in range(max_rounds):
+        av = alive.select(F.col("id"))
+        bc = F.broadcast(av) if can_broadcast else av
+        strength = (
+            sym.join(bc.withColumnRenamed("id", "src"), "src", "left_semi")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("_s"))
+            .join(bc, "id", "left_semi")
+        )
+        new_alive = strength.filter(F.col("_s") >= s).select("id")
+        obs = Observation()
+        new_alive = new_alive.observe(obs, F.count(F.lit(1)).alias("n"))
+        new_alive = superstep_checkpoint(_shape(new_alive), r)
+        n_alive = int(obs.get["n"])
+        if metrics is not None:
+            metrics.append({"round": r, "alive": n_alive})
+        alive = new_alive
+        if n_alive == 0 or n_alive == prev_n:
+            converged = True
+            break
+        prev_n = n_alive
+
+    sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"s_core did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (each round is one strength-agg job)")
+    return alive
+
+
 def core_numbers(
     edges: DataFrame,
     max_iters: int = 100,

@@ -1968,6 +1968,39 @@ def test_cocitation_known(spark):
         cocitation(df_edges(spark, E), min_weight=1, max_degree=1)
 
 
+def test_s_core(spark):
+    """s-core with unit weights == k_core; integer weights shift the
+    peel; cap exhaustion raises."""
+    from combblas_spark.algorithms.kcore import k_core, s_core
+
+    # triangle 0-1-2 plus pendant 3
+    E = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    got = {r["id"] for r in s_core(df_edges(spark, E), 2).collect()}
+    want = {r["id"] for r in k_core(df_edges(spark, E), 2).collect()}
+    assert got == want == {0, 1, 2}
+
+    # weighted: edge (2,3) weight 5 keeps the pendant in at s=5
+    # (strength(3)=5), while the triangle edges weigh 1 each
+    Ew = [(0, 1, 1), (1, 2, 1), (0, 2, 1), (2, 3, 5)]
+    dfw = spark.createDataFrame(Ew, "src long, dst long, w long")
+    assert {r["id"] for r in s_core(dfw, 5, weight_col="w").collect()} \
+        == {2, 3}
+    assert {r["id"] for r in s_core(dfw, 2, weight_col="w").collect()} \
+        == {0, 1, 2, 3}
+    assert s_core(dfw, 100, weight_col="w").count() == 0
+
+    # multigraph multiplicity: parallel rows count without weight_col
+    Em = [(0, 1), (0, 1), (1, 2)]
+    assert {r["id"] for r in s_core(df_edges(spark, Em), 2).collect()} \
+        == {0, 1}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # a 7-path at s=1... strength>=1 keeps everything; use s=2 on a
+        # long path: peels one pendant layer per round
+        path = [(i, i + 1) for i in range(8)]
+        s_core(df_edges(spark, path), 2, max_rounds=2)
+
+
 def test_power_iteration_clustering(spark):
     """PIC separates two asymmetric cliques joined by one bridge edge
     (symmetric structures are indistinguishable under the deterministic
