@@ -1351,6 +1351,38 @@ def q_embedding_topk(spark, sf):
     return brute_force_topk(q, e, k=5).select("query_id", "neighbor_id", "cos")
 
 
+MNN_K = 3
+
+
+def q_mnn_pairs(spark, sf):
+    """Reciprocal (mutual) nearest-neighbor pairs over the embedding
+    corpus: both endpoints in each other's cosine top-3 — the
+    high-precision anchor-pair rule for semantic dedup/alignment."""
+    from combblas_spark.functions.similarity import (brute_force_topk,
+                                                     mutual_topk_pairs)
+
+    e = _emb(spark, sf)
+    return mutual_topk_pairs(brute_force_topk(e, e, k=MNN_K))
+
+
+def _mnn_pairs_sql(k: int = MNN_K) -> str:
+    """Twin of q_mnn_pairs: identical full top-k (rank on the unrounded
+    cosine, neighbor-id tie-break) and reversed-key self-join."""
+    cos = ("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) "
+           "* sqrt(list_dot_product(b.e, b.e)))")
+    return f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+tk AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ROUND({cos}, 6) AS cos
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                             ORDER BY {cos} DESC, b.vec_id ASC) <= {k}
+)
+SELECT t1.query_id AS id_a, t1.neighbor_id AS id_b, t1.cos
+FROM tk t1 JOIN tk t2 ON t1.query_id = t2.neighbor_id
+                     AND t1.neighbor_id = t2.query_id
+WHERE t1.query_id < t1.neighbor_id"""
+
+
 def q_quantize(spark, sf):
     """Scalar int8 embedding quantization (FAISS SQ8 shape): per-dim
     corpus min/max grid, floor-coded — the 4x storage path for ANN at
@@ -3481,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "pic": q_pic,
         "s_core": q_s_core,
+        "mnn_pairs": q_mnn_pairs,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4384,6 +4417,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["winnow_pairs"] = _winnow_pairs_sql()
     sqls["pic"] = _pic_sql()
     sqls["s_core"] = _s_core_sql()
+    sqls["mnn_pairs"] = _mnn_pairs_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

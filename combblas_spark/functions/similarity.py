@@ -623,3 +623,29 @@ def quantize_embeddings(embs: DataFrame, id_col: str = "vec_id",
             lambda st: st["code"]).alias("codes"))
         .select(F.col("id").alias(id_col), "codes")
     )
+
+
+def mutual_topk_pairs(topk: DataFrame) -> DataFrame:
+    """Mutual-nearest-neighbor pairs from any (query_id, neighbor_id,
+    cos) top-k table (the brute_force_topk / lsh_topk / ivf_topk output
+    schema): (id_a, id_b, cos) with id_a < id_b kept only when BOTH
+    directions appear in the top-k — the reciprocal-match (MNN)
+    criterion, the high-precision pair rule for semantic-dedup anchors
+    and cross-batch alignment (Haghverdi et al. 2018's MNN notion,
+    applied to a document-embedding corpus).
+
+    One self-equi-join of the top-k table on the reversed (query,
+    neighbor) key — candidate-sized, never corpus-squared (the
+    quadratic part, if any, lives in how the caller built the top-k:
+    brute force at small n, LSH/IVF at scale). cos is taken from the
+    a->b row; cosine is symmetric and both engines round identically,
+    so the direction choice is value-neutral.
+    """
+    t2 = topk.select(F.col("query_id").alias("neighbor_id"),
+                     F.col("neighbor_id").alias("query_id"))
+    return (
+        topk.join(t2, ["query_id", "neighbor_id"], "left_semi")
+        .where(F.col("query_id") < F.col("neighbor_id"))
+        .select(F.col("query_id").alias("id_a"),
+                F.col("neighbor_id").alias("id_b"), "cos")
+    )

@@ -373,6 +373,34 @@ def test_brute_force_topk(vectors):
         assert r["cos"] == pytest.approx(round(s, 6), abs=2e-6)
 
 
+def test_mutual_topk_pairs(vectors):
+    """MNN keeps exactly the reciprocal top-k pairs (numpy twin), in
+    canonical order, with the a->b cosine."""
+    from combblas_spark.functions.similarity import mutual_topk_pairs
+
+    df, base = vectors
+    K = 3
+    got = {(r["id_a"], r["id_b"]): r["cos"]
+           for r in mutual_topk_pairs(brute_force_topk(df, df, k=K)).collect()}
+
+    def cos(a, b):
+        a, b = a.astype(np.float64), b.astype(np.float64)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    topk = {}
+    for i in range(20):
+        sims = sorted(((cos(base[i], base[j]), j)
+                       for j in range(20) if j != i),
+                      key=lambda t: (-t[0], t[1]))
+        topk[i] = [j for _, j in sims[:K]]
+    want = {(a, b) for a in range(20) for b in topk[a]
+            if a < b and a in topk[b]}
+    assert set(got) == want
+    assert (0, 1) in got  # the planted near-dup pair is mutual
+    for (a, b), c in got.items():
+        assert c == pytest.approx(round(cos(base[a], base[b]), 6), abs=2e-6)
+
+
 def test_lsh_topk_finds_planted_neighbor(vectors):
     df, _ = vectors
     got = lsh_topk(df, k=3, n_tables=1, n_planes=2, dim=8, per_bucket_cap=None)
