@@ -1921,6 +1921,60 @@ def _pic_sql(k: int = PIC_K, n_iter: int = PIC_ITERS) -> str:
             "\nSELECT c.id, l.cluster, c.emb FROM c JOIN l USING (ci)")
 
 
+DSWEEP_ROUNDS = 16
+
+
+def q_diameter_lb(spark, sf):
+    """Double-sweep diameter lower bound (Magnien et al. 2009) of the
+    undirected thinned events graph: BFS from min-id, re-BFS from the
+    farthest vertex — the exact-bound companion of the ANF estimate."""
+    from combblas_spark.algorithms.closeness import diameter_double_sweep
+
+    g = _thin_edges(events_graph(spark, sf))
+    return diameter_double_sweep(g)
+
+
+def _diameter_lb_sql(rounds: int = DSWEEP_ROUNDS) -> str:
+    """Twin of q_diameter_lb: two unrolled undirected BFS sweeps with
+    the same (level DESC, id ASC) farthest-vertex rule."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst "
+        "FROM edges) WHERE src <> dst)",
+        "r0 AS (SELECT min(id) AS root FROM verts)",
+        "b0 AS (SELECT root AS id, 0 AS level FROM r0)",
+    ]
+    for pre, seed in (("b", "b0"), ("c", "c0")):
+        if pre == "c":
+            ctes.append(
+                f"far AS (SELECT id, level FROM b{rounds} "
+                "ORDER BY level DESC, id ASC LIMIT 1)")
+            ctes.append("c0 AS (SELECT id, 0 AS level FROM far)")
+        for t in range(1, rounds + 1):
+            p = f"{pre}{t-1}"
+            ctes.append(
+                f"""{pre}{t} AS MATERIALIZED (
+  SELECT * FROM {p}
+  UNION ALL
+  SELECT id, {t} AS level FROM (
+    SELECT DISTINCT e.dst AS id FROM {p} f JOIN sym e ON e.src = f.id
+    WHERE f.level = {t - 1}
+  ) n WHERE NOT EXISTS (SELECT 1 FROM {p} x WHERE x.id = n.id))"""
+            )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT root FROM r0) AS root,
+       (SELECT id FROM far) AS far_id,
+       (SELECT level FROM far) AS ecc_root,
+       max(level) AS diameter_lb
+FROM c{rounds}"""
+    )
+
+
 SIMRANK_ITERS = 3
 SIMRANK_CAP = 64
 
@@ -3514,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pic": q_pic,
         "s_core": q_s_core,
         "mnn_pairs": q_mnn_pairs,
+        "diameter_lb": q_diameter_lb,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4418,6 +4473,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["pic"] = _pic_sql()
     sqls["s_core"] = _s_core_sql()
     sqls["mnn_pairs"] = _mnn_pairs_sql()
+    sqls["diameter_lb"] = _diameter_lb_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

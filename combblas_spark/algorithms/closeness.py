@@ -99,3 +99,44 @@ def closeness_centrality(
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def diameter_double_sweep(edges: DataFrame) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009):
+    BFS from a fixed start (the minimum vertex id), then BFS again from
+    the farthest vertex found (max level, min-id tie-break). Returns ONE
+    row (root, far_id, ecc_root, diameter_lb) where diameter_lb is the
+    second sweep's eccentricity — in practice within a few percent of
+    the true undirected diameter at a cost of exactly 2 BFS runs
+    (the exact diameter is all-pairs; the ANF/HyperBall sketches in
+    anf.py give the effective-diameter ESTIMATE, this gives the exact
+    LOWER BOUND — the standard companion pair).
+
+    Scale shape: two level-synchronous BFS supersteps (the engine's
+    existing bfs_levels loop — frontier-sized traffic per level) plus
+    two 1-row driver reads (the start id and the farthest id — scalar
+    convergence reads, the documented exception to no-collect).
+    """
+    from combblas_spark.algorithms.bfs import bfs_levels
+    from combblas_spark.graph import vertices
+
+    spark = edges.sparkSession
+    v0 = vertices(edges).agg(F.min("id").alias("m")).collect()[0]["m"]
+    if v0 is None:
+        return spark.createDataFrame(
+            [], "root long, far_id long, ecc_root long, diameter_lb long")
+    l1 = bfs_levels(edges, int(v0), directed=False)
+    far = (
+        l1.orderBy(F.col("level").desc(), F.col("id").asc())
+        .select("id", "level").limit(1).collect()[0]
+    )
+    l2 = bfs_levels(edges, int(far["id"]), directed=False)
+    return (
+        l2.agg(F.max("level").alias("diameter_lb"))
+        .select(
+            F.lit(int(v0)).alias("root"),
+            F.lit(int(far["id"])).alias("far_id"),
+            F.lit(int(far["level"])).alias("ecc_root"),
+            F.col("diameter_lb"),
+        )
+    )

@@ -1968,6 +1968,28 @@ def test_cocitation_known(spark):
         cocitation(df_edges(spark, E), min_weight=1, max_degree=1)
 
 
+def test_diameter_double_sweep(spark):
+    """Double sweep finds the exact diameter on a path (where the min-id
+    start is an endpoint) and a known bound on a lollipop; empty input
+    yields an empty frame."""
+    from combblas_spark.algorithms.closeness import diameter_double_sweep
+
+    # path 0-1-2-3-4: sweep1 from 0 reaches 4 at level 4; sweep2 back
+    path = [(i, i + 1) for i in range(4)]
+    r = diameter_double_sweep(df_edges(spark, path)).collect()[0]
+    assert (r["root"], r["far_id"], r["ecc_root"], r["diameter_lb"]) \
+        == (0, 4, 4, 4)
+
+    # lollipop: triangle {0,1,2} + tail 2-3-4-5 -> diameter 4 (0..5)
+    lolli = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    r = diameter_double_sweep(df_edges(spark, lolli)).collect()[0]
+    assert r["diameter_lb"] == 4 and r["far_id"] == 5
+
+    empty = diameter_double_sweep(
+        spark.createDataFrame([], "src long, dst long"))
+    assert empty.count() == 0
+
+
 def test_s_core(spark):
     """s-core with unit weights == k_core; integer weights shift the
     peel; cap exhaustion raises."""
