@@ -360,6 +360,70 @@ def main() -> None:
                     "PythonRDD")), name
         print(f"{name}: oriented-edge equi-joins, closing masks as "
               "semi-joins (>=3 asserted), window-free, PYTHON-FREE")
+
+    print("=== 15. r4 sixth-session ops: simrank iteration / winnowing / "
+          "s-core round / MNN / node2vec step — shapes asserted ===")
+    from combblas_spark.functions.dedup import winnow_fingerprints
+    from combblas_spark.functions.similarity import (brute_force_topk,
+                                                     mutual_topk_pairs)
+
+    # (a) one simrank iteration: pair table x two capped out-edge
+    # equi-joins + one sum agg + full-outer stitch — window-free
+    de = g.select("src", "dst").where(F.col("src") != F.col("dst")) \
+        .distinct().localCheckpoint()
+    ex = de.select(F.col("src").alias("x"), F.col("dst").alias("a"))
+    ey = de.select(F.col("src").alias("y"), F.col("dst").alias("b"))
+    simpairs = ex.join(ey, ex["x"] == ey["y"]).where(F.col("a") < F.col("b")) \
+        .groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("s")) \
+        .localCheckpoint()
+    sim_iter = (
+        simpairs.select(F.col("a").alias("x"), F.col("b").alias("y"), "s")
+        .join(ex, "x").join(ey, "y")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.sum("s").alias("ss"))
+    )
+    # (b) winnowing: per-doc windows ONLY (partitioned by id — the
+    # plan must have no single-partition exchange)
+    wfp = winnow_fingerprints(docs, k=5, w=4)
+    # (c) one s-core strength round (weighted degree agg, semi-joins)
+    from combblas_spark.algorithms.kcore import s_core  # noqa: F401  (shape below)
+    svm = g.filter(F.col("src") != F.col("dst")) \
+        .select("src", "dst", F.col("val").cast("long").alias("w"))
+    ssym = svm.unionByName(svm.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst"), "w"))
+    s_round = (
+        ssym.join(F.broadcast(av.withColumnRenamed("id", "src")),
+                  "src", "left_semi")
+        .groupBy(F.col("dst").alias("id")).agg(F.sum("w").alias("_s"))
+        .join(F.broadcast(av), "id", "left_semi")
+        .filter(F.col("_s") >= 18)
+    )
+    # (d) MNN: reciprocal semi-join over the top-k table (the top-k
+    # window is per-query, never global)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").limit(200) \
+        .localCheckpoint()
+    mnn = mutual_topk_pairs(brute_force_topk(emb, emb, k=3))
+    for name, df, win_ok in (("simrank_iter", sim_iter, 0),
+                             ("winnow_fingerprints", wfp, 2),
+                             ("s_core_round", s_round, 0),
+                             # the per-query top-k window subtree appears
+                             # on BOTH sides of the reciprocal self-join
+                             ("mnn_pairs", mnn, 4)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan, name
+        if name != "mnn_pairs":
+            # mnn's brute-force top-k stage IS the sanctioned broadcast
+            # cross join (small query side) — every other op bans it
+            assert "BroadcastNestedLoop" not in plan, name
+        assert plan.count("Window") <= win_ok, (name, plan.count("Window"))
+        assert "Exchange SinglePartition" not in plan, \
+            f"{name}: global window/exchange\n{plan}"
+        assert all(m not in plan for m in
+                   ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "PythonRDD")), name
+        print(f"{name}: equi-joins + hash aggs, windows <= {win_ok} "
+              "(all key-partitioned), no single-partition exchange, "
+              "PYTHON-FREE (asserted)")
     spark.stop()
 
 
