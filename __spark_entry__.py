@@ -3569,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_core": q_s_core,
         "mnn_pairs": q_mnn_pairs,
         "diameter_lb": q_diameter_lb,
+        "neighbor_jaccard": q_neighbor_jaccard,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4474,6 +4475,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["s_core"] = _s_core_sql()
     sqls["mnn_pairs"] = _mnn_pairs_sql()
     sqls["diameter_lb"] = _diameter_lb_sql()
+    sqls["neighbor_jaccard"] = _neighbor_jaccard_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
@@ -5477,6 +5479,51 @@ def _cocitation_sql() -> str:
 
 def _bib_coupling_sql() -> str:
     return _pair_counts_values_sql(1, 0, COCIT_MIN_WEIGHT, COUPLING_MAX_INDEG)
+
+
+def q_neighbor_jaccard(spark, sf):
+    """Structural-equivalence Jaccard over shared out-links of the page
+    graph (coupling counts normalized by the union of out-neighbor
+    sets): one integer division — bit-portable. Same hub cap as
+    bib_coupling (super-cited targets suppressed pre-join)."""
+    from combblas_spark.algorithms.linkanalysis import neighbor_jaccard
+
+    return neighbor_jaccard(_page_edges(spark),
+                            min_common=COCIT_MIN_WEIGHT,
+                            max_degree=COUPLING_MAX_INDEG,
+                            direction="out")
+
+
+def _neighbor_jaccard_sql() -> str:
+    """Twin of q_neighbor_jaccard: pair/degree INTEGERS from the
+    independent numpy derivation of the page edge set (same
+    independence argument as _pair_counts_values_sql); the one division
+    and its 6dp rounding are left to the engine so both sides run the
+    identical float op."""
+    from collections import Counter, defaultdict
+
+    groups: dict = defaultdict(set)
+    outdeg: Counter = Counter()
+    for src, dst in _page_edge_set():
+        groups[dst].add(src)
+        outdeg[src] += 1  # _page_edge_set is distinct pairs already
+    cnt: Counter = Counter()
+    for items in groups.values():
+        if len(items) > COUPLING_MAX_INDEG:
+            continue
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                cnt[(s[x], s[y])] += 1
+    rows = ", ".join(
+        f"('{a}','{b}',{c},{outdeg[a]},{outdeg[b]})"
+        for (a, b), c in sorted(cnt.items()) if c >= COCIT_MIN_WEIGHT
+    )
+    return (
+        "SELECT id_a, id_b, CAST(common AS BIGINT) AS common, "
+        "round(common * 1.0 / (da + db - common), 6) AS jaccard "
+        f"FROM (VALUES {rows}) AS t(id_a, id_b, common, da, db)"
+    )
 
 
 def q_decontaminate(spark, sf):

@@ -180,6 +180,51 @@ def rich_club(edges: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def neighbor_jaccard(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_degree: int | None = None,
+    direction: str = "out",
+) -> DataFrame:
+    """Structural-equivalence similarity: (id_a, id_b, common, jaccard)
+    with id_a < id_b for vertex pairs sharing at least ``min_common``
+    out-neighbors (``direction='out'``; 'in' transposes), where
+
+        jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+                = common / (deg(a) + deg(b) - common),
+
+    the classic role-equivalence measure (two pages are structurally
+    equivalent when they link to the same set of pages — the
+    bibliographic-coupling count turned into a normalized similarity).
+    A single integer division rounded 6dp: bit-portable across engines
+    in the doc_rarity/ppmi sense (no sums of floats anywhere).
+
+    Scale shape: the pair counts come from the capped wedge join
+    (_pair_counts — hub suppression BEFORE the quadratic expansion,
+    see the module docstring), degrees from one hash agg joined back
+    on each endpoint. ``max_degree`` caps the shared-NEIGHBOR's degree
+    for 'out' (a page cited by everyone couples everyone).
+    """
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    key, item = ("dst", "src") if direction == "out" else ("src", "dst")
+    pairs = _pair_counts(edges, key, item, min_common, max_degree)
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    deg = e.groupBy(F.col(item).alias("_v")).agg(F.count(F.lit(1)).alias("_d"))
+    da = deg.select(F.col("_v").alias("id_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("_v").alias("id_b"), F.col("_d").alias("_db"))
+    return (
+        pairs.join(da, "id_a").join(db, "id_b")
+        .select(
+            "id_a", "id_b", F.col("weight").alias("common"),
+            F.round(
+                F.col("weight").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("weight")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def simrank(
     edges: DataFrame,
     n_iter: int = 3,

@@ -2052,6 +2052,34 @@ def test_power_iteration_clustering(spark):
         power_iteration_clustering(df_edges(spark, E), n_iter=0)
 
 
+def test_neighbor_jaccard(spark):
+    """Known-graph Jaccard: 0,1 share dsts {2,3} of outdegs 3 and 2;
+    direction='in' transposes; hub cap drops super-cited targets."""
+    from combblas_spark.algorithms.linkanalysis import neighbor_jaccard
+
+    E = [(0, 2), (0, 3), (0, 4), (1, 2), (1, 3)]
+    got = {(r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+           for r in neighbor_jaccard(df_edges(spark, E)).collect()}
+    assert got == {(0, 1): (2, round(2 / (3 + 2 - 2), 6))}
+
+    # 'in' on the transpose reproduces the same pairs
+    ET = [(d, s) for s, d in E]
+    got_in = {(r["id_a"], r["id_b"]): (r["common"], r["jaccard"])
+              for r in neighbor_jaccard(df_edges(spark, ET),
+                                        direction="in").collect()}
+    assert got_in == got
+
+    # cap: target 2 cited by 3 pages > max_degree=2 -> only {3} shared
+    E2 = E + [(5, 2)]
+    capped = {(r["id_a"], r["id_b"]): r["common"]
+              for r in neighbor_jaccard(df_edges(spark, E2),
+                                        max_degree=2).collect()}
+    assert capped == {(0, 1): 1}
+
+    with pytest.raises(ValueError, match="direction"):
+        neighbor_jaccard(df_edges(spark, E), direction="both")
+
+
 def test_simrank_dense_twin(spark):
     """Truncated SimRank matches a dense numpy unroll of the Jeh-Widom
     recurrence (sim(v,v)=1, C=1/2, true in-degree normalization) on a
