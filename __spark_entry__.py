@@ -1975,6 +1975,54 @@ FROM c{rounds}"""
     )
 
 
+WW_LEN = 5
+
+
+def q_weighted_walks(spark, sf):
+    """Weight-proportional first-order walk corpus on the thinned
+    events MULTIGRAPH (transition prob ~ summed duplicate-edge
+    multiplicity val) — exact BIGINT cumulative-range sampling."""
+    from combblas_spark.algorithms.walks import weighted_walks
+
+    g = _thin_edges(events_graph(spark, sf))
+    return weighted_walks(g, weight_col="val", walk_length=WW_LEN,
+                          walks_per_vertex=1, seed=WALK_SEED)
+
+
+def _weighted_walks_sql(length: int = WW_LEN, seed: int = WALK_SEED) -> str:
+    """Unrolled twin of q_weighted_walks: identical per-(src,dst)
+    weight aggregation and cumulative-range pick."""
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "adjw AS MATERIALIZED (SELECT src, dst, CAST(sum(val) AS BIGINT) AS w "
+        "FROM edges GROUP BY src, dst HAVING sum(val) > 0)",
+        "s0 AS (SELECT id AS start, CAST(0 AS BIGINT) AS walk, id AS vertex "
+        "FROM verts)",
+    ]
+    for t in range(1, length + 1):
+        pick = (
+            f"('0x' || substr(md5(CAST(start AS VARCHAR) || ':' || "
+            f"CAST(walk AS VARCHAR) || ':{t}:{seed}'), 1, 8))::BIGINT"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT s.start, s.walk, a.dst, a.w "
+            f"FROM s{t-1} s JOIN adjw a ON a.src = s.vertex)")
+        ctes.append(
+            f"w{t} AS (SELECT *, sum(w) OVER (PARTITION BY start, walk "
+            f"ORDER BY dst ROWS UNBOUNDED PRECEDING) AS cum, "
+            f"sum(w) OVER (PARTITION BY start, walk) AS tot FROM c{t})")
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT start, walk, dst AS vertex FROM w{t} "
+            f"WHERE ({pick} % tot) >= cum - w AND ({pick} % tot) < cum)")
+    selects = " UNION ALL ".join(
+        f"SELECT start, walk, {t} AS step, vertex FROM s{t}"
+        for t in range(0, length + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
 SIMRANK_ITERS = 3
 SIMRANK_CAP = 64
 
@@ -3570,6 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mnn_pairs": q_mnn_pairs,
         "diameter_lb": q_diameter_lb,
         "neighbor_jaccard": q_neighbor_jaccard,
+        "weighted_walks": q_weighted_walks,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4476,6 +4525,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["mnn_pairs"] = _mnn_pairs_sql()
     sqls["diameter_lb"] = _diameter_lb_sql()
     sqls["neighbor_jaccard"] = _neighbor_jaccard_sql()
+    sqls["weighted_walks"] = _weighted_walks_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

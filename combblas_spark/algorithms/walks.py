@@ -230,6 +230,86 @@ def node2vec_walks(
     return out
 
 
+def weighted_walks(
+    edges: DataFrame,
+    weight_col: str = "val",
+    walk_length: int = 6,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """First-order random walks with transition probability proportional
+    to an INTEGER edge weight (parallel-edge multiplicity on a
+    multigraph, or any integer strength column): the DeepWalk corpus
+    generator for weighted link graphs. Same (start, walk, step,
+    vertex) schema and counter-hash determinism as random_walks; the
+    pick is the cumulative-range rule of node2vec_walks specialised to
+    first order —
+
+        r = md5("start:walk:t:seed") % strength(cur)
+        move to the neighbor (dst-ordered) whose cumulative-weight
+        range [cum - w, cum) contains r,
+
+    which IS weight-proportional sampling, exactly, in BIGINT
+    arithmetic (no float sampling; both engines unroll identically).
+
+    Scale shape: weights are pre-aggregated per (src, dst) once
+    (map-side combinable) and cached by src; each step is one
+    state-vector join plus one per-(start,walk) window bounded by
+    outdeg(cur) — the node2vec step minus the membership join.
+    """
+    if walk_length < 1:
+        raise ValueError(f"weighted_walks: walk_length must be >= 1, got {walk_length}")
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    w = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
+    adj = (
+        edges.select("src", "dst", w.alias("w"))
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        .where(F.col("w") > 0)
+        .repartition(shuffle_n, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj.count()
+
+    ks = spark.range(walks_per_vertex).select(F.col("id").cast("long").alias("walk"))
+    state = (
+        vertices(edges).crossJoin(F.broadcast(ks))
+        .select(F.col("id").alias("start"), "walk", F.col("id").alias("vertex"))
+        .repartition(shuffle_n, "start", "walk")
+        .localCheckpoint(eager=True)
+    )
+    out = state.select("start", "walk", F.lit(0).alias("step"), "vertex")
+
+    wcum = Window.partitionBy("start", "walk").orderBy("dst") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("start", "walk")
+    for t in range(1, walk_length + 1):
+        pick = _pick(F.col("start"), F.col("walk"), t, seed)
+        state = (
+            state.withColumnRenamed("vertex", "_cur")
+            .join(adj.select(F.col("src").alias("_cur"), "dst", "w"), "_cur")
+            .select(
+                "start", "walk", "dst", "w",
+                F.sum("w").over(wcum).alias("_cum"),
+                F.sum("w").over(wtot).alias("_tot"),
+            )
+            .where((pick % F.col("_tot") >= F.col("_cum") - F.col("w"))
+                   & (pick % F.col("_tot") < F.col("_cum")))
+            .select("start", "walk", F.col("dst").alias("vertex"))
+        )
+        state = superstep_checkpoint(state, t)
+        if state.isEmpty():
+            break
+        out = out.unionByName(
+            state.select("start", "walk", F.lit(t).alias("step"), "vertex"))
+
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    return out
+
+
 def skipgram_pairs(
     walks: DataFrame,
     window: int = 2,

@@ -1364,6 +1364,60 @@ def test_node2vec_walks_deterministic(spark):
     assert got != uni
 
 
+def test_weighted_walks_deterministic(spark):
+    """Weight-proportional picks match a pure-Python cumulative-range
+    twin; with all-equal weights the corpus equals random_walks."""
+    import hashlib
+
+    from combblas_spark.algorithms.walks import random_walks, weighted_walks
+
+    Ew = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 1), (2, 3, 5), (3, 4, 1)]
+    L, SEED = 4, 5
+    adj = {}
+    for s, d, w in Ew:
+        adj.setdefault(s, []).append((d, w))
+    for s in adj:
+        adj[s].sort()
+
+    expect = set()
+    for start in range(5):
+        cur = start
+        expect.add((start, 0, 0, cur))
+        for t in range(1, L + 1):
+            if cur not in adj:
+                break
+            tot = sum(w for _, w in adj[cur])
+            r = int(hashlib.md5(
+                f"{start}:0:{t}:{SEED}".encode()).hexdigest()[:8], 16) % tot
+            cum = 0
+            for d, w in adj[cur]:
+                cum += w
+                if r < cum:
+                    cur = d
+                    break
+            expect.add((start, 0, t, cur))
+
+    dfw = spark.createDataFrame(Ew, "src long, dst long, val long")
+    got = {(r["start"], r["walk"], r["step"], r["vertex"])
+           for r in weighted_walks(dfw, walk_length=L,
+                                   walks_per_vertex=1, seed=SEED).collect()}
+    assert got == expect
+
+    # unit weights reduce to the uniform corpus
+    E1 = [(s, d, 1) for s, d, _ in Ew]
+    df1 = spark.createDataFrame(E1, "src long, dst long, val long")
+    uni = {(r["start"], r["walk"], r["step"], r["vertex"])
+           for r in random_walks(df1.select("src", "dst"), walk_length=L,
+                                 walks_per_vertex=1, seed=SEED).collect()}
+    w1 = {(r["start"], r["walk"], r["step"], r["vertex"])
+          for r in weighted_walks(df1, walk_length=L,
+                                  walks_per_vertex=1, seed=SEED).collect()}
+    assert w1 == uni
+
+    with pytest.raises(ValueError, match="walk_length"):
+        weighted_walks(dfw, walk_length=0)
+
+
 def test_node2vec_walks_validation(spark):
     from combblas_spark.algorithms.walks import node2vec_walks
 
