@@ -1944,8 +1944,10 @@ def _diameter_lb_sql(rounds: int = DSWEEP_ROUNDS) -> str:
         "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
         "(SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst "
         "FROM edges) WHERE src <> dst)",
-        "r0 AS (SELECT min(id) AS root FROM verts)",
-        "b0 AS (SELECT root AS id, 0 AS level FROM r0)",
+        # root IS NOT NULL: an empty graph must yield ZERO rows (the
+        # engine returns an empty frame), not one all-NULL row
+        "r0 AS (SELECT min(id) AS root FROM verts WHERE id IS NOT NULL)",
+        "b0 AS (SELECT root AS id, 0 AS level FROM r0 WHERE root IS NOT NULL)",
     ]
     for pre, seed in (("b", "b0"), ("c", "c0")):
         if pre == "c":
@@ -1967,11 +1969,9 @@ def _diameter_lb_sql(rounds: int = DSWEEP_ROUNDS) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
-SELECT (SELECT root FROM r0) AS root,
-       (SELECT id FROM far) AS far_id,
-       (SELECT level FROM far) AS ecc_root,
-       max(level) AS diameter_lb
-FROM c{rounds}"""
+SELECT r0.root AS root, far.id AS far_id, far.level AS ecc_root,
+       (SELECT max(level) FROM c{rounds}) AS diameter_lb
+FROM far CROSS JOIN r0"""
     )
 
 

@@ -134,9 +134,11 @@ def diameter_double_sweep(edges: DataFrame) -> DataFrame:
     return (
         l2.agg(F.max("level").alias("diameter_lb"))
         .select(
-            F.lit(int(v0)).alias("root"),
-            F.lit(int(far["id"])).alias("far_id"),
-            F.lit(int(far["level"])).alias("ecc_root"),
-            F.col("diameter_lb"),
+            # explicit longs: F.lit(int) types by magnitude, and the
+            # empty-input branch declares long — keep one schema
+            F.lit(int(v0)).cast("long").alias("root"),
+            F.lit(int(far["id"])).cast("long").alias("far_id"),
+            F.lit(int(far["level"])).cast("long").alias("ecc_root"),
+            F.col("diameter_lb").cast("long").alias("diameter_lb"),
         )
     )

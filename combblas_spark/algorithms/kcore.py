@@ -31,6 +31,76 @@ from combblas_spark.graph import symmetrize_partitioned, vertices
 from combblas_spark.runtime.plans import superstep_checkpoint
 
 
+def _peel_loop(
+    edges: DataFrame,
+    sym: DataFrame,
+    round_agg,
+    threshold,
+    op_name: str,
+    max_rounds: int,
+    broadcast_max_vertices: int,
+    metrics: list | None,
+) -> DataFrame:
+    """Shared threshold-peel driver for k_core / s_core: iterate
+    (per-alive-subgraph aggregate over ``sym`` grouped by dst) >=
+    ``threshold`` until the alive set stops shrinking. ``round_agg`` is
+    the aggregate Column (count for degree, sum(w) for strength) —
+    the ONLY thing that differs between the peels besides the sym
+    build. Same termination/maximality contract everywhere: equal
+    alive-count two rounds running is the fixed point, cap exhaustion
+    raises (a truncated peel is a SUPERSET of the core).
+
+    ``sym`` must be persisted by the caller (it is unpersisted here)."""
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = vertices(edges).select("id")
+    n0 = verts.count()
+    can_broadcast = n0 <= broadcast_max_vertices
+    small = n0 <= 100_000
+
+    def _shape(df: DataFrame) -> DataFrame:
+        return df.coalesce(1) if small else df.repartition(shuffle_n, "id")
+
+    alive = _shape(verts).localCheckpoint(eager=True)
+    prev_n = None
+    converged = n0 == 0
+    for r in range(max_rounds):
+        av = alive.select(F.col("id"))
+        bc = F.broadcast(av) if can_broadcast else av
+        # aggregate within the alive-induced subgraph: both endpoints
+        # alive. semi-join on src first (filters the edge stream), dst
+        # filter rides the aggregation's own key via the post-agg
+        # semi-join.
+        agg = (
+            sym.join(bc.withColumnRenamed("id", "src"), "src", "left_semi")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(round_agg.alias("_d"))
+            .join(bc, "id", "left_semi")
+        )
+        new_alive = agg.filter(F.col("_d") >= threshold).select("id")
+        obs = Observation()
+        new_alive = new_alive.observe(obs, F.count(F.lit(1)).alias("n"))
+        new_alive = superstep_checkpoint(_shape(new_alive), r)
+        n_alive = int(obs.get["n"])
+        if metrics is not None:
+            metrics.append({"round": r, "alive": n_alive})
+        alive = new_alive
+        if n_alive == 0 or n_alive == prev_n:
+            converged = True
+            break
+        prev_n = n_alive
+
+    sym.unpersist()
+    if not converged:
+        # peel depth can exceed any fixed cap (a path of 2L+1 vertices
+        # needs L rounds at k=2); a silent return would be a SUPERSET of
+        # the core — same maximality contract as mis.py/matching.py
+        raise RuntimeError(
+            f"{op_name} did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (each round is one aggregate job)")
+    return alive
+
+
 def k_core(
     edges: DataFrame,
     k: int,
@@ -49,52 +119,8 @@ def k_core(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sym.count()
-
-    verts = vertices(edges).select("id")
-    n0 = verts.count()
-    can_broadcast = n0 <= broadcast_max_vertices
-    small = n0 <= 100_000
-
-    def _shape(df: DataFrame) -> DataFrame:
-        return df.coalesce(1) if small else df.repartition(shuffle_n, "id")
-
-    alive = _shape(verts).localCheckpoint(eager=True)
-    prev_n = None
-    converged = n0 == 0
-    for r in range(max_rounds):
-        av = alive.select(F.col("id"))
-        bc = F.broadcast(av) if can_broadcast else av
-        # degree within the alive-induced subgraph: both endpoints alive.
-        # semi-join on src first (filters the edge stream), dst filter
-        # rides the aggregation's own key via the post-agg semi-join.
-        deg = (
-            sym.join(bc.withColumnRenamed("id", "src"), "src", "left_semi")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.count(F.lit(1)).alias("_d"))
-            .join(bc, "id", "left_semi")
-        )
-        new_alive = deg.filter(F.col("_d") >= k).select("id")
-        obs = Observation()
-        new_alive = new_alive.observe(obs, F.count(F.lit(1)).alias("n"))
-        new_alive = superstep_checkpoint(_shape(new_alive), r)
-        n_alive = int(obs.get["n"])
-        if metrics is not None:
-            metrics.append({"round": r, "alive": n_alive})
-        alive = new_alive
-        if n_alive == 0 or n_alive == prev_n:
-            converged = True
-            break
-        prev_n = n_alive
-
-    sym.unpersist()
-    if not converged:
-        # peel depth can exceed any fixed cap (a path of 2L+1 vertices
-        # needs L rounds at k=2); a silent return would be a SUPERSET of
-        # the k-core — same maximality contract as mis.py/matching.py
-        raise RuntimeError(
-            f"k_core did not converge within max_rounds={max_rounds}; "
-            "raise max_rounds (each round is one degree-agg job)")
-    return alive
+    return _peel_loop(edges, sym, F.count(F.lit(1)), k, "k_core",
+                      max_rounds, broadcast_max_vertices, metrics)
 
 
 def s_core(
@@ -108,18 +134,26 @@ def s_core(
     """Weighted k-core ("s-core", Eidsaa & Almaas, PRL 2013): the
     maximal subgraph in which every vertex's STRENGTH — the sum of its
     incident integer edge weights within the subgraph — is >= ``s``.
-    Returns (id). With unit weights this is exactly k_core.
+    Returns (id).
 
-    ``weight_col`` names an integer-valued edge weight (cast to long —
-    exact in any aggregation order, the same integer-portability rule
-    as the other peels); None means weight 1 per edge ROW, so parallel
-    edges count their multiplicity (the multigraph strength).
+    ``weight_col`` names a NON-NEGATIVE integer-valued edge weight
+    (cast to long — exact in any aggregation order, the same
+    integer-portability rule as the other peels; negative weights
+    would break peel monotonicity, so they raise). None means weight 1
+    per edge ROW.
 
-    Same loop/termination/maximality contract as k_core: the alive set
-    only shrinks, equal alive-count two rounds running is the fixed
-    point, and cap exhaustion raises (a truncated peel is a SUPERSET).
-    Scale shape identical too — one dst-partitioned weighted adjacency
-    cache, per-round semi-joins + a map-side-combinable sum.
+    MULTIGRAPH semantics: every directed edge row contributes its
+    weight to both endpoints — parallel rows AND reciprocal directed
+    pairs (u->v plus v->u) each count. That is the natural weighted
+    view of a link multigraph, but it means unit-weight s_core equals
+    k_core ONLY on inputs with no reciprocal pairs/parallel rows
+    (k_core dedups to the simple undirected graph first); on a graph
+    with mutual links, s_core(.., 2) keeps a mutual pair that
+    k_core(.., 2) peels. Pre-aggregate to canonical undirected edges
+    yourself if you want simple-graph strength.
+
+    Peel driver (loop/termination/maximality contract and per-round
+    plan shape) is shared with k_core — see _peel_loop.
     """
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -136,46 +170,16 @@ def s_core(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sym.count()
-
-    verts = vertices(edges).select("id")
-    n0 = verts.count()
-    can_broadcast = n0 <= broadcast_max_vertices
-    small = n0 <= 100_000
-
-    def _shape(df: DataFrame) -> DataFrame:
-        return df.coalesce(1) if small else df.repartition(shuffle_n, "id")
-
-    alive = _shape(verts).localCheckpoint(eager=True)
-    prev_n = None
-    converged = n0 == 0
-    for r in range(max_rounds):
-        av = alive.select(F.col("id"))
-        bc = F.broadcast(av) if can_broadcast else av
-        strength = (
-            sym.join(bc.withColumnRenamed("id", "src"), "src", "left_semi")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("w").alias("_s"))
-            .join(bc, "id", "left_semi")
-        )
-        new_alive = strength.filter(F.col("_s") >= s).select("id")
-        obs = Observation()
-        new_alive = new_alive.observe(obs, F.count(F.lit(1)).alias("n"))
-        new_alive = superstep_checkpoint(_shape(new_alive), r)
-        n_alive = int(obs.get["n"])
-        if metrics is not None:
-            metrics.append({"round": r, "alive": n_alive})
-        alive = new_alive
-        if n_alive == 0 or n_alive == prev_n:
-            converged = True
-            break
-        prev_n = n_alive
-
-    sym.unpersist()
-    if not converged:
-        raise RuntimeError(
-            f"s_core did not converge within max_rounds={max_rounds}; "
-            "raise max_rounds (each round is one strength-agg job)")
-    return alive
+    if weight_col is not None:
+        mn = sym.agg(F.min("w").alias("m")).collect()[0]["m"]
+        if mn is not None and mn < 0:
+            sym.unpersist()
+            raise ValueError(
+                f"s_core: weight_col {weight_col!r} contains negative "
+                f"values (min {mn}); the peel is only correct for "
+                "non-negative weights")
+    return _peel_loop(edges, sym, F.sum("w"), s, "s_core",
+                      max_rounds, broadcast_max_vertices, metrics)
 
 
 def core_numbers(

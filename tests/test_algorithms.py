@@ -1430,6 +1430,36 @@ def test_node2vec_walks_validation(spark):
                        w_return=0, w_common=0, w_far=0)
 
 
+def test_node2vec_weight_edge_cases(spark):
+    """The two branch edge cases the random fixture cannot hit:
+    (a) dst==prev takes w_return even when prev->dst is ALSO an edge
+    (a self-loop at prev makes both WHEN branches true), and
+    (b) w_return=0 makes the return candidate unpickable (its
+    cumulative range [cum-0, cum) is empty) for every hash value."""
+    from combblas_spark.algorithms.walks import node2vec_walks
+
+    # 0 <-> 1 with a self-loop at 0: from cur=1 with prev=0, candidate
+    # dst=0 has dst==prev AND edge prev->dst (the loop 0->0).
+    E = [(0, 1), (1, 0), (0, 0)]
+    # (a) w_return dominant: with w_return=1, w_common=0, w_far=0 the
+    # return candidate keeps total weight 1 -> ALWAYS picked; the walk
+    # from 0 must oscillate 0,?,0,... — if the common branch (weight 0)
+    # shadowed return, total would be 0 and the walk would die at t=2.
+    walks = node2vec_walks(df_edges(spark, E), walk_length=4,
+                           w_return=1, w_common=0, w_far=0, seed=3)
+    steps = {(r["start"], r["step"]): r["vertex"] for r in walks.collect()}
+    assert all((0, t) in steps for t in range(5)), steps
+    assert steps[(0, 2)] == 0 and steps[(0, 4)] == 0  # returned both times
+    # (b) w_return=0: from 1 (prev=0) the only candidate is dst=0 with
+    # weight 0 -> total 0 -> the walk TERMINATES at t=2 (never div/0)
+    dead = node2vec_walks(df_edges(spark, [(0, 1), (1, 0)]), walk_length=4,
+                          w_return=0, w_common=0, w_far=1, seed=3)
+    by_start = {}
+    for r in dead.collect():
+        by_start.setdefault(r["start"], set()).add(r["step"])
+    assert max(by_start[0]) == 1 and max(by_start[1]) == 1
+
+
 def test_skipgram_pairs(spark):
     """Window-2 co-occurrence counts from a hand corpus; the self-join
     must plan as an equi-join on the walk key, never cartesian."""
@@ -2045,8 +2075,10 @@ def test_diameter_double_sweep(spark):
 
 
 def test_s_core(spark):
-    """s-core with unit weights == k_core; integer weights shift the
-    peel; cap exhaustion raises."""
+    """s-core with unit weights == k_core on reciprocal-free input
+    (multigraph semantics DIVERGE on mutual links — documented);
+    integer weights shift the peel; negative weights and cap
+    exhaustion raise."""
     from combblas_spark.algorithms.kcore import k_core, s_core
 
     # triangle 0-1-2 plus pendant 3
@@ -2069,6 +2101,19 @@ def test_s_core(spark):
     Em = [(0, 1), (0, 1), (1, 2)]
     assert {r["id"] for r in s_core(df_edges(spark, Em), 2).collect()} \
         == {0, 1}
+
+    # documented divergence from k_core: a reciprocal directed pair
+    # carries strength 2 per endpoint for s_core (multigraph view),
+    # degree 1 for k_core (simple undirected view)
+    Er = [(0, 1), (1, 0)]
+    assert {r["id"] for r in s_core(df_edges(spark, Er), 2).collect()} \
+        == {0, 1}
+    assert k_core(df_edges(spark, Er), 2).count() == 0
+
+    # negative weights break peel monotonicity -> loud error
+    dfneg = spark.createDataFrame([(0, 1, -1)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="negative"):
+        s_core(dfneg, 1, weight_col="w")
 
     with pytest.raises(RuntimeError, match="did not converge"):
         # a 7-path at s=1... strength>=1 keeps everything; use s=2 on a
