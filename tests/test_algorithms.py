@@ -2151,6 +2151,50 @@ def test_power_iteration_clustering(spark):
         power_iteration_clustering(df_edges(spark, E), n_iter=0)
 
 
+def test_sixth_session_ops_partition_invariance(spark):
+    """The session's new operators are partitioning-invariant: identical
+    rows regardless of how the input edges are partitioned (the same
+    determinism contract the north rule's resumability rests on)."""
+    from combblas_spark.algorithms.linkanalysis import (neighbor_jaccard,
+                                                        simrank)
+    from combblas_spark.algorithms.pic import power_iteration_clustering
+    from combblas_spark.algorithms.walks import (node2vec_walks,
+                                                 weighted_walks)
+
+    E = [(i, (i * 7 + 3) % 23) for i in range(60) if i != (i * 7 + 3) % 23]
+    e1 = df_edges(spark, E)
+    e2 = e1.repartition(11)
+    for name, fn in (
+        ("simrank", lambda d: simrank(d, n_iter=2)),
+        ("neighbor_jaccard", lambda d: neighbor_jaccard(d)),
+        ("pic", lambda d: power_iteration_clustering(d, k=3, n_iter=4)),
+        ("node2vec", lambda d: node2vec_walks(d, walk_length=3)),
+    ):
+        a = sorted(map(tuple, fn(e1).collect()))
+        b = sorted(map(tuple, fn(e2).collect()))
+        assert a == b, name
+
+    Ew = [(s, d, (s + d) % 4 + 1) for s, d in E]
+    w1 = spark.createDataFrame(Ew, "src long, dst long, val long")
+    a = sorted(map(tuple, weighted_walks(w1, walk_length=3).collect()))
+    b = sorted(map(tuple,
+                   weighted_walks(w1.repartition(7), walk_length=3).collect()))
+    assert a == b
+
+
+def test_winnow_partition_invariance(spark):
+    from combblas_spark.functions.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * j + j) % 13}" for j in range(30)))
+         for i in range(12)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, winnow_fingerprints(docs).collect()))
+    b = sorted(map(tuple,
+                   winnow_fingerprints(docs.repartition(5)).collect()))
+    assert a == b and a
+
+
 def test_neighbor_jaccard(spark):
     """Known-graph Jaccard: 0,1 share dsts {2,3} of outdegs 3 and 2;
     direction='in' transposes; hub cap drops super-cited targets."""
