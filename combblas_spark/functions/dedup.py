@@ -772,9 +772,14 @@ def winnow_pairs(
         raise ValueError(f"winnow_pairs: min_shared must be >= 1, got {min_shared}")
     if max_df < 2:
         raise ValueError(f"winnow_pairs: max_df must be >= 2, got {max_df}")
+    # eager checkpoint: the fingerprint subtree (explode + two windows)
+    # feeds THREE consumers (df filter + both join sides) — without it
+    # the corpus is re-winnowed per branch (measured 14x wall at 5k
+    # docs in scripts/winnow_scale_bench.py), same pattern as
+    # ngram_jaccard's per-side checkpoints
     fps = (
         winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
-        .select("id", "fp").distinct()
+        .select("id", "fp").distinct().localCheckpoint(eager=True)
     )
     rare = (
         fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
