@@ -2023,6 +2023,55 @@ def _weighted_walks_sql(length: int = WW_LEN, seed: int = WALK_SEED) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + selects
 
 
+def q_sweep_cut(spark, sf):
+    """ACL sweep cut: the conductance profile over the PageRank order
+    of the thinned events graph — cut/vol by integer difference-array
+    prefix sums over the degree-normalized score order, ONE division
+    per row at the end."""
+    from combblas_spark.algorithms.sweep import sweep_cut
+
+    g = _thin_edges(events_graph(spark, sf))
+    r = pagerank(g, alpha=ALPHA, n_iter=PR_ITERS)
+    return sweep_cut(g, r, score_col="rank")
+
+
+def _sweep_cut_sql(iters: int = None, alpha: float = None) -> str:
+    """Twin of q_sweep_cut: the shared _pr_chain_ctes unroll over the
+    thinned edge rule feeding the identical rank/vol/cut windows."""
+    iters = PR_ITERS if iters is None else iters
+    alpha = ALPHA if alpha is None else alpha
+    thinned = f"SELECT * FROM ({EDGES}) WHERE {_THIN_PRED}"
+    ctes = _pr_chain_ctes(iters, alpha, thinned, prefix="sw")
+    ctes += [
+        f"swsc AS (SELECT id, round(pr, 6) AS s FROM swr{iters})",
+        "swund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM swedges WHERE src <> dst)",
+        "swdirs AS (SELECT u, v FROM swund UNION ALL SELECT v AS u, u AS v FROM swund)",
+        "swdeg AS (SELECT u AS id, count(*) AS deg FROM swdirs GROUP BY u)",
+        "swkey AS (SELECT d.id, d.deg, coalesce(s.s, 0.0) / d.deg AS s2 "
+        "FROM swdeg d LEFT JOIN swsc s USING (id))",
+        "swp AS MATERIALIZED (SELECT id, deg, "
+        "row_number() OVER (ORDER BY s2 DESC, id) - 1 AS pos FROM swkey)",
+        "swer AS (SELECT least(pu.pos, pv.pos) AS ru, "
+        "greatest(pu.pos, pv.pos) AS rv FROM swund "
+        "JOIN swp pu ON pu.id = swund.u JOIN swp pv ON pv.id = swund.v)",
+        "swst AS (SELECT ru AS pos, count(*) AS c FROM swer GROUP BY ru)",
+        "swen AS (SELECT rv AS pos, count(*) AS c FROM swer GROUP BY rv)",
+        "swf AS (SELECT p.pos, p.id, p.deg, "
+        "coalesce(st.c, 0) - coalesce(en.c, 0) AS d "
+        "FROM swp p LEFT JOIN swst st ON st.pos = p.pos "
+        "LEFT JOIN swen en ON en.pos = p.pos)",
+        "swacc AS (SELECT pos, id, deg, "
+        "sum(deg) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS vol, "
+        "sum(d) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cut FROM swf)",
+        "swtot AS (SELECT max(vol) AS tv FROM swacc)",
+    ]
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT pos, id, deg, cut, vol,
+       round(cut * 1.0 / least(vol, tv - vol), 6) AS conductance
+FROM swacc, swtot WHERE vol < tv""")
+
+
 SIMRANK_ITERS = 3
 SIMRANK_CAP = 64
 
@@ -3619,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_lb": q_diameter_lb,
         "neighbor_jaccard": q_neighbor_jaccard,
         "weighted_walks": q_weighted_walks,
+        "sweep_cut": q_sweep_cut,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4526,6 +4576,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["diameter_lb"] = _diameter_lb_sql()
     sqls["neighbor_jaccard"] = _neighbor_jaccard_sql()
     sqls["weighted_walks"] = _weighted_walks_sql()
+    sqls["sweep_cut"] = _sweep_cut_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

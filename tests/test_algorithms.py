@@ -2151,6 +2151,46 @@ def test_power_iteration_clustering(spark):
         power_iteration_clustering(df_edges(spark, E), n_iter=0)
 
 
+def test_sweep_cut(spark):
+    """Sweep profile matches a pure-python twin on two bridged
+    triangles, and the best cut is the bridge (cut=1) exactly between
+    the communities."""
+    import itertools
+
+    from combblas_spark.algorithms.sweep import sweep_cut
+
+    A, B = [0, 1, 2], [10, 11, 12]
+    E = ([(a, b) for a, b in itertools.combinations(A, 2)]
+         + [(a, b) for a, b in itertools.combinations(B, 2)]
+         + [(2, 10)])
+    # score 1.0 on A, 0.0 on B -> A sweeps first
+    scores = spark.createDataFrame(
+        [(v, 1.0) for v in A] + [(v, 0.0) for v in B],
+        "id long, rank double")
+    rows = {r["pos"]: r for r in
+            sweep_cut(df_edges(spark, E), scores).collect()}
+
+    # python twin: order by score/deg desc, id asc
+    deg = {0: 2, 1: 2, 2: 3, 10: 3, 11: 2, 12: 2}
+    sc = {v: (1.0 if v in A else 0.0) / deg[v] for v in deg}
+    order = sorted(deg, key=lambda v: (-sc[v], v))
+    und = {(min(a, b), max(a, b)) for a, b in E}
+    tv = sum(deg.values())
+    volc, member = 0, set()
+    for t, v in enumerate(order[:-1]):
+        member.add(v)
+        volc += deg[v]
+        cut = sum(1 for (a, b) in und if (a in member) != (b in member))
+        r = rows[t]
+        assert (r["id"], r["deg"], r["cut"], r["vol"]) == (v, deg[v], cut, volc)
+        assert r["conductance"] == pytest.approx(
+            round(cut / min(volc, tv - volc), 6), abs=1e-9)
+    # the best-conductance prefix is exactly community A (cut=1)
+    best = min(rows.values(), key=lambda r: (r["conductance"], r["pos"]))
+    assert best["pos"] == 2 and best["cut"] == 1
+    assert len(rows) == len(deg) - 1  # full-set prefix excluded
+
+
 def test_sixth_session_ops_partition_invariance(spark):
     """The session's new operators are partitioning-invariant: identical
     rows regardless of how the input edges are partitioned (the same
