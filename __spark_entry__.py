@@ -3669,6 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "weighted_walks": q_weighted_walks,
         "sweep_cut": q_sweep_cut,
+        "local_cluster": q_local_cluster,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4097,18 +4098,26 @@ lab AS (
 SELECT id, cluster, id = cluster AS is_canonical FROM lab"""
 
 
-def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
+def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
+                               edges_sql: str | None = None,
+                               tele_case: str | None = None) -> str:
     """Unrolled personalized-PageRank twin of q_pagerank_personalized:
     teleport weight 1 + id%3 on vertices with id%7==0, normalized; both
     the restart term and the dangling mass scale by t(v). Expression
-    order mirrors the Spark Columns exactly (memory: bit-stability)."""
+    order mirrors the Spark Columns exactly (memory: bit-stability).
+    ``edges_sql``/``tele_case`` parametrize the edge rule and the
+    per-vertex teleport weight CASE (defaults = the registry query);
+    the final rank CTE is r{iters} for callers composing further."""
+    if tele_case is None:
+        tele_case = ("CASE WHEN v.id % 7 = 0 "
+                     "THEN 1.0 + CAST(v.id % 3 AS DOUBLE) "
+                     "ELSE CAST(0.0 AS DOUBLE) END")
     ctes = [
-        f"edges AS MATERIALIZED ({EDGES})",
+        f"edges AS MATERIALIZED ({edges_sql if edges_sql is not None else EDGES})",
         "verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
         "outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)",
         "srcs AS MATERIALIZED (SELECT DISTINCT src FROM edges)",
-        "tw AS (SELECT v.id, CASE WHEN v.id % 7 = 0 "
-        "THEN 1.0 + CAST(v.id % 3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS w FROM verts v)",
+        f"tw AS (SELECT v.id, {tele_case} AS w FROM verts v)",
         "tt AS (SELECT sum(w) AS s FROM tw)",
         "tpv AS MATERIALIZED (SELECT tw.id, tw.w / tt.s AS tp FROM tw CROSS JOIN tt)",
         "r0 AS MATERIALIZED (SELECT id, tp AS pr FROM tpv)",
@@ -4137,6 +4146,79 @@ def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> s
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(pr, 6) AS \"rank\" FROM r{iters}"
     )
+
+
+LOCAL_CLUSTER_SEED = 0
+
+
+def q_local_cluster(spark, sf):
+    """ACL local clustering end to end: single-seed personalized
+    PageRank on the thinned events graph -> sweep cut -> the members of
+    the best-conductance prefix (min conductance, earliest pos
+    tie-break). The 'community around this page' query the sweep/PPR
+    machinery exists for. Returns (pos, id, conductance) of members."""
+    from combblas_spark.algorithms.sweep import sweep_cut
+
+    g = _thin_edges(events_graph(spark, sf))
+    tele = spark.createDataFrame([(LOCAL_CLUSTER_SEED, 1.0)],
+                                 "id long, w double")
+    r = pagerank(g, alpha=ALPHA, n_iter=PR_ITERS, teleport=tele)
+    prof = sweep_cut(g, r, score_col="rank")
+    best = (
+        prof.orderBy(F.col("conductance").asc(), F.col("pos").asc())
+        .limit(1).select(F.col("pos").alias("_bp"),
+                         F.col("conductance").alias("_bc"))
+    )
+    return (
+        prof.crossJoin(F.broadcast(best))
+        .where(F.col("pos") <= F.col("_bp"))
+        .select("pos", "id", F.col("_bc").alias("conductance"))
+    )
+
+
+def _local_cluster_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
+                       seed: int = LOCAL_CLUSTER_SEED) -> str:
+    """Twin of q_local_cluster: the parametrized personalized chain
+    (single-seed teleport, thinned edges) composed with the identical
+    sweep windows and the (conductance, pos) argmin filter."""
+    thinned = f"SELECT * FROM ({EDGES}) WHERE {_THIN_PRED}"
+    tele = (f"CASE WHEN v.id = {seed} THEN CAST(1.0 AS DOUBLE) "
+            "ELSE CAST(0.0 AS DOUBLE) END")
+    chain = _pagerank_personalized_sql(iters, alpha, edges_sql=thinned,
+                                       tele_case=tele)
+    # reuse the chain's WITH block; swap its final SELECT for the
+    # sweep composition (the chain ends at CTE r{iters})
+    with_block = chain[:chain.rindex("\nSELECT id, ROUND(pr, 6)")]
+    sweep = f""",
+swsc AS (SELECT id, round(pr, 6) AS s FROM r{iters}),
+swund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+  greatest(src, dst) AS v FROM edges WHERE src <> dst),
+swdirs AS (SELECT u, v FROM swund UNION ALL SELECT v AS u, u AS v FROM swund),
+swdeg AS (SELECT u AS id, count(*) AS deg FROM swdirs GROUP BY u),
+swkey AS (SELECT d.id, d.deg, coalesce(s.s, 0.0) / d.deg AS s2
+  FROM swdeg d LEFT JOIN swsc s USING (id)),
+swp AS MATERIALIZED (SELECT id, deg,
+  row_number() OVER (ORDER BY s2 DESC, id) - 1 AS pos FROM swkey),
+swer AS (SELECT least(pu.pos, pv.pos) AS ru, greatest(pu.pos, pv.pos) AS rv
+  FROM swund JOIN swp pu ON pu.id = swund.u JOIN swp pv ON pv.id = swund.v),
+swst AS (SELECT ru AS pos, count(*) AS c FROM swer GROUP BY ru),
+swen AS (SELECT rv AS pos, count(*) AS c FROM swer GROUP BY rv),
+swf AS (SELECT p.pos, p.id, p.deg,
+  coalesce(st.c, 0) - coalesce(en.c, 0) AS d
+  FROM swp p LEFT JOIN swst st ON st.pos = p.pos
+  LEFT JOIN swen en ON en.pos = p.pos),
+swacc AS (SELECT pos, id, deg,
+  sum(deg) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS vol,
+  sum(d) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cut FROM swf),
+swtot AS (SELECT max(vol) AS tv FROM swacc),
+swprof AS (SELECT pos, id,
+  round(cut * 1.0 / least(vol, tv - vol), 6) AS conductance
+  FROM swacc, swtot WHERE vol < tv),
+swbest AS (SELECT pos AS bp, conductance AS bc FROM swprof
+  ORDER BY conductance ASC, pos ASC LIMIT 1)
+SELECT p.pos, p.id, b.bc AS conductance
+FROM swprof p CROSS JOIN swbest b WHERE p.pos <= b.bp"""
+    return with_block + sweep
 
 
 def _labelprop_ctes(rounds: int = LP_ROUNDS) -> list:
@@ -4577,6 +4659,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["neighbor_jaccard"] = _neighbor_jaccard_sql()
     sqls["weighted_walks"] = _weighted_walks_sql()
     sqls["sweep_cut"] = _sweep_cut_sql()
+    sqls["local_cluster"] = _local_cluster_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

@@ -2191,6 +2191,31 @@ def test_sweep_cut(spark):
     assert len(rows) == len(deg) - 1  # full-set prefix excluded
 
 
+def test_local_cluster_acl_composition(spark):
+    """Seeded PPR + sweep recovers the seed's community exactly on two
+    bridged 4-cliques (the ACL local-clustering promise at toy scale)."""
+    import itertools
+
+    from combblas_spark.algorithms.pagerank import pagerank
+    from combblas_spark.algorithms.sweep import sweep_cut
+
+    A, B = [0, 1, 2, 3], [10, 11, 12, 13]
+    E = ([(a, b) for a, b in itertools.combinations(A, 2)]
+         + [(a, b) for a, b in itertools.combinations(B, 2)]
+         + [(3, 10)])
+    # symmetrize for the PPR walk: the undirected-community intuition
+    # needs mass to flow both ways (sweep_cut symmetrizes internally,
+    # pagerank honors the edge directions it is given)
+    g = df_edges(spark, E + [(b, a) for a, b in E])
+    tele = spark.createDataFrame([(0, 1.0)], "id long, w double")
+    r = pagerank(g, alpha=0.85, n_iter=10, teleport=tele)
+    prof = sweep_cut(g, r, score_col="rank")
+    best = min(prof.collect(), key=lambda x: (x["conductance"], x["pos"]))
+    members = {x["id"] for x in prof.collect() if x["pos"] <= best["pos"]}
+    assert members == set(A)
+    assert best["cut"] == 1
+
+
 def test_sixth_session_ops_partition_invariance(spark):
     """The session's new operators are partitioning-invariant: identical
     rows regardless of how the input edges are partitioned (the same
