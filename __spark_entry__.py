@@ -2072,6 +2072,44 @@ SELECT pos, id, deg, cut, vol,
 FROM swacc, swtot WHERE vol < tv""")
 
 
+REDIR_HOPS = 16
+
+
+def q_redirects(spark, sf):
+    """Redirect-chain resolution on the thinned events graph (redirect
+    = min out-neighbor; finals = sink pages): absorbing pointer
+    doubling, 4 joins for a 16-hop cap, loop flag past the cap."""
+    from combblas_spark.functions.urls import resolve_redirects
+
+    g = _thin_edges(events_graph(spark, sf))
+    return resolve_redirects(g, max_hops=REDIR_HOPS)
+
+
+def _redirects_sql(max_hops: int = REDIR_HOPS) -> str:
+    """Twin of q_redirects: identical min-successor rule and absorbing
+    pointer doubling."""
+    rounds = max(1, (max_hops - 1).bit_length())
+    ctes = [
+        f"edges AS MATERIALIZED (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "f AS MATERIALIZED (SELECT src AS id, min(dst) AS t FROM edges "
+        "WHERE src <> dst GROUP BY src)",
+        "t0 AS (SELECT v.id, coalesce(f.t, v.id) AS t "
+        "FROM verts v LEFT JOIN f USING (id))",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"t{k} AS MATERIALIZED (SELECT a.id, b.t "
+            f"FROM t{k-1} a JOIN t{k-1} b ON b.id = a.t)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT a.id, a.t AS target, (fl.id IS NOT NULL) AS looped
+FROM t{rounds} a LEFT JOIN (SELECT DISTINCT id FROM f) fl ON fl.id = a.t"""
+    )
+
+
 SIMRANK_ITERS = 3
 SIMRANK_CAP = 64
 
@@ -3670,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_walks": q_weighted_walks,
         "sweep_cut": q_sweep_cut,
         "local_cluster": q_local_cluster,
+        "redirects": q_redirects,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4660,6 +4699,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["weighted_walks"] = _weighted_walks_sql()
     sqls["sweep_cut"] = _sweep_cut_sql()
     sqls["local_cluster"] = _local_cluster_sql()
+    sqls["redirects"] = _redirects_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

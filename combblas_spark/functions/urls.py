@@ -66,3 +66,54 @@ def url_dup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
         .agg(F.count_distinct("_u").alias("n_variants"),
              F.min("_u").alias("rep_url"))
     )
+
+
+def resolve_redirects(edges: DataFrame, max_hops: int = 16) -> DataFrame:
+    """Redirect-chain resolution — the crawl-frontier op after URL
+    canonicalization: follow each page's redirect to its final target.
+
+    ``edges`` is a redirect multigraph (src, dst); a page's redirect is
+    its MINIMUM dst (deterministic single-successor rule — real crawls
+    keep one Location header per fetch; on the synthetic multigraph the
+    min is the reproducible stand-in). Pages with no out-edge are FINAL.
+    Returns (id, target, looped): the absorbing page reached within
+    ``max_hops`` hops, or — when the chain is still unresolved after
+    the cap (a redirect loop, or a chain longer than any real client
+    follows; browsers cap at ~20) — the current chain position with
+    looped = true.
+
+    Pointer DOUBLING with absorbing terminals: t_0(v) = f(v) (self for
+    finals), t_{k+1}(v) = t_k(t_k(v)) — ceil(log2(max_hops)) self-joins
+    total resolve every chain of length <= max_hops, the same
+    SpMV/Extract composition as FastSV's grandparent step
+    (operators/indexing.py vector_extract; reference CC.h:1384 family).
+    Each round is ONE vertex-sized equi-join: the 10^12-page frontier
+    costs ~4 joins, not 16 sequential gathers.
+    """
+    if max_hops < 1:
+        raise ValueError(f"resolve_redirects: max_hops must be >= 1, got {max_hops}")
+    from combblas_spark.graph import vertices
+
+    verts = vertices(edges)
+    f = (
+        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("t"))
+    )
+    t = (
+        verts.join(f, "id", "left")
+        .select("id", F.coalesce("t", F.col("id")).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = max(1, (max_hops - 1).bit_length())
+    for _ in range(rounds):
+        nxt = t.select(F.col("id").alias("t"), F.col("t").alias("_tt"))
+        t = t.join(nxt, "t").select("id", F.col("_tt").alias("t"))
+        t = t.localCheckpoint(eager=True)
+    final = t.select(F.col("t").alias("id")).distinct() \
+        .join(f, "id", "left_semi")  # targets that still redirect = unresolved
+    return (
+        t.join(final.select(F.col("id").alias("t"), F.lit(True).alias("_l")),
+               "t", "left")
+        .select("id", F.col("t").alias("target"),
+                F.coalesce("_l", F.lit(False)).alias("looped"))
+    )

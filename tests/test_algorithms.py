@@ -2191,6 +2191,34 @@ def test_sweep_cut(spark):
     assert len(rows) == len(deg) - 1  # full-set prefix excluded
 
 
+def test_resolve_redirects(spark):
+    """Chains resolve to finals, loops flag, the hop cap truncates, and
+    multigraph successors take the min dst."""
+    from combblas_spark.functions.urls import resolve_redirects
+
+    # chain 0->1->2->3 (3 final), loop 10<->11, min-rule 20->{21,25}
+    E = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 10), (20, 25), (20, 21)]
+    got = {r["id"]: (r["target"], r["looped"])
+           for r in resolve_redirects(df_edges(spark, E)).collect()}
+    assert got[0] == (3, False) and got[1] == (3, False)
+    assert got[2] == (3, False) and got[3] == (3, False)
+    assert got[20] == (21, False)  # min-dst successor rule, 21 is final
+    assert got[10][1] is True and got[11][1] is True  # loop flagged
+    assert got[25] == (25, False) and got[21] == (21, False)
+
+    # hop cap: an 8-chain at max_hops=4 stays unresolved (looped flag
+    # here means "still redirecting at the cap")
+    chain = [(i, i + 1) for i in range(8)]
+    capped = {r["id"]: (r["target"], r["looped"])
+              for r in resolve_redirects(df_edges(spark, chain),
+                                         max_hops=4).collect()}
+    assert capped[0] == (4, True)
+    assert capped[7] == (8, False)
+
+    with pytest.raises(ValueError, match="max_hops"):
+        resolve_redirects(df_edges(spark, E), max_hops=0)
+
+
 def test_local_cluster_acl_composition(spark):
     """Seeded PPR + sweep recovers the seed's community exactly on two
     bridged 4-cliques (the ACL local-clustering promise at toy scale)."""
