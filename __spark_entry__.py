@@ -943,6 +943,41 @@ def q_doc_rarity(spark, sf):
         "id", "mean_rank", "oov_ratio")
 
 
+def q_langid(spark, sf):
+    """Char-trigram language ID (Cavnar-Trenkle profile vote): every
+    overlapping trigram of the normalized text that appears in a
+    64-row literal profile votes integer weight for its language;
+    argmax with lexicographic tiebreak, zero-hit docs 'unknown'."""
+    from combblas_spark.functions.text import lang_id_ngram
+
+    return lang_id_ngram(_docs(spark, sf)).select("id", "lang", "score")
+
+
+def _langid_sql() -> str:
+    """Twin of q_langid: identical profile VALUES, trigram generation
+    via generate_series, same argmax tiebreak (score desc, lang asc)."""
+    from combblas_spark.functions.text import LANG_TRIGRAM_PROFILES
+
+    vals = ", ".join(
+        "('{}', '{}', {})".format(lang, gram.replace("'", "''"), w)
+        for lang, gram, w in LANG_TRIGRAM_PROFILES)
+    return f"""WITH prof(lang, gram, w) AS (VALUES {vals}),
+t AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+      FROM documents),
+g AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+      FROM (SELECT * FROM t WHERE t IS NOT NULL AND length(t) >= 3),
+           unnest(generate_series(1, length(t) - 2)) AS s(i)),
+sc AS (SELECT doc_id, lang, sum(w) AS score
+       FROM g JOIN prof USING (gram) GROUP BY doc_id, lang),
+best AS (SELECT doc_id, lang, score, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+         FROM sc)
+SELECT d.doc_id AS id, coalesce(b.lang, 'unknown') AS lang,
+       CAST(coalesce(b.score, 0) AS BIGINT) AS score
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)"""
+
+
 def q_dup_spans(spark, sf):
     """Exact-substring duplication measurement (Lee et al. 2022 at
     5-token window granularity): per-doc duplicated-window fraction."""
@@ -3709,6 +3744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweep_cut": q_sweep_cut,
         "local_cluster": q_local_cluster,
         "redirects": q_redirects,
+        "langid": q_langid,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4700,6 +4736,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["sweep_cut"] = _sweep_cut_sql()
     sqls["local_cluster"] = _local_cluster_sql()
     sqls["redirects"] = _redirects_sql()
+    sqls["langid"] = _langid_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

@@ -71,6 +71,92 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+# Character-trigram language profiles for lang_id_ngram — a fixed
+# literal vote table (Cavnar & Trenkle 1994 reduced to membership
+# weights) so the DuckDB oracle twin is a VALUES list. Weight 2 marks
+# trigrams that are strongly distinctive for the language, 1 is
+# supporting evidence; shared trigrams (" de" en/de/fr/es) vote for
+# every language that lists them and cancel in the argmax.
+LANG_TRIGRAM_PROFILES = [
+    ("en", " th", 2), ("en", "the", 2), ("en", "he ", 1), ("en", "ing", 2),
+    ("en", "ng ", 1), ("en", " an", 1), ("en", "and", 1), ("en", " of", 2),
+    ("en", "of ", 1), ("en", " to", 1), ("en", "ion", 1), ("en", "ed ", 1),
+    ("en", " is", 1), ("en", "is ", 1), ("en", " wi", 1), ("en", "ith", 2),
+    ("de", " de", 1), ("de", "der", 2), ("de", "ie ", 1), ("de", "die", 2),
+    ("de", "und", 2), ("de", " un", 1), ("de", "ch ", 1), ("de", "ein", 2),
+    ("de", "ich", 2), ("de", "sch", 2), ("de", "ung", 2), ("de", " ge", 1),
+    ("de", "cht", 1), ("de", "das", 1), ("de", "en ", 1), ("de", "nd ", 1),
+    ("fr", " le", 2), ("fr", "le ", 1), ("fr", " la", 1), ("fr", "es ", 1),
+    ("fr", "ent", 1), ("fr", "et ", 1), ("fr", " et", 1), ("fr", " qu", 1),
+    ("fr", "que", 2), ("fr", "ue ", 1), ("fr", "les", 2), ("fr", "ait", 2),
+    ("fr", "eur", 1), ("fr", "ais", 2), ("fr", " es", 1), ("fr", "de ", 1),
+    ("es", " de", 1), ("es", "de ", 1), ("es", " la", 1), ("es", "la ", 2),
+    ("es", "os ", 2), ("es", "el ", 1), ("es", " el", 2), ("es", " en", 1),
+    ("es", "as ", 1), ("es", "ado", 2), ("es", " qu", 1), ("es", "que", 1),
+    ("es", " co", 1), ("es", "con", 1), ("es", "dad", 2), ("es", "nte", 1),
+]
+
+
+def lang_id_ngram(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  profiles: list[tuple[str, str, int]] | None = None) -> DataFrame:
+    """Character-trigram language identification (the n-gram heuristic).
+
+    Cavnar & Trenkle (1994) rank-order profiles reduced to a fixed
+    integer vote table: every overlapping character trigram of the
+    whitespace-normalized lowercase text that appears in a language
+    profile votes its weight for that language (occurrences count — a
+    doc repeating "the" votes en once per occurrence); the language
+    with the highest total wins, ties broken lexicographically, docs
+    with zero profile hits (or text shorter than 3 chars, or NULL)
+    come back "unknown" with score 0. Scores are integer sums, so the
+    result is bit-identical across engines and partitionings.
+
+    Scale shape: the trigram explode is ~1 row per character, but the
+    64-row profile broadcast-joins (and so filters) in the SAME stage
+    as the explode — only profile hits reach the groupBy shuffle, and
+    partial aggregation collapses them map-side to ≤(docs × langs)
+    rows. No window, no global exchange.
+
+    Returns (id, lang, score).
+    """
+    spark = docs.sparkSession
+    prof = spark.createDataFrame(
+        profiles if profiles is not None else LANG_TRIGRAM_PROFILES,
+        schema="lang string, gram string, w bigint")
+    # Materialize the normalized text as a projected column BEFORE the
+    # transform() lambda: referencing the regexp_replace subtree inside
+    # the lambda would re-evaluate it once per trigram (the shingles()
+    # lesson — codegen inlines lambda-captured subtrees per element).
+    t = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    base = docs.select(F.col(id_col).alias("id"), t.alias("t"))
+    n = F.length(F.col("t"))
+    grams = F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), n - 2),
+                    lambda i: F.substr(F.col("t"), i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select("id", F.explode(grams).alias("gram"))
+    scores = (
+        g.join(F.broadcast(prof), "gram")
+        .groupBy("id", "lang").agg(F.sum("w").alias("score"))
+    )
+    # argmax with deterministic tiebreak: min over (-score, lang) picks
+    # the highest score, then the lexicographically smallest language.
+    best = (
+        scores.groupBy("id")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                            F.col("lang").alias("lang"))).alias("b"))
+        .select("id", F.col("b.lang").alias("lang"),
+                (-F.col("b.ns")).alias("score"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id")).join(best, "id", "left")
+        .select("id", F.coalesce("lang", F.lit("unknown")).alias("lang"),
+                F.coalesce("score", F.lit(0)).cast("long").alias("score"))
+    )
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingles as an array<string> (single-space joined).
 

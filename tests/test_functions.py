@@ -1324,3 +1324,44 @@ def test_cms_validates_shape(spark):
         cms_sketch(df, "v", d=0)
     with pytest.raises(ValueError):
         cms_sketch(df, "v", w=1)
+
+
+def test_lang_id_ngram_classifies_and_handles_edges(spark):
+    from combblas_spark.functions.text import lang_id_ngram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox is running with the other animals of the forest."),
+            (2, "Die Kinder spielen und singen ein schönes Lied mit der ganzen Gruppe."),
+            (3, "Les enfants que nous aimons jouaient dans les jardins avec leurs amis."),
+            (4, "Los padres de la ciudad quieren que los jardines del parque sean buenos."),
+            (5, "zzz qqq xxx"),          # no profile trigrams -> unknown
+            (6, "ab"),                   # shorter than a trigram -> unknown
+            (7, None),                   # NULL text -> unknown
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (r["lang"], r["score"]) for r in lang_id_ngram(docs).collect()}
+    assert got[1][0] == "en" and got[1][1] > 0
+    assert got[2][0] == "de"
+    assert got[3][0] == "fr"
+    assert got[4][0] == "es"
+    assert got[5] == ("unknown", 0)
+    assert got[6] == ("unknown", 0)
+    assert got[7] == ("unknown", 0)
+
+
+def test_lang_id_ngram_counts_occurrences_and_breaks_ties_lexicographically(spark):
+    from combblas_spark.functions.text import lang_id_ngram
+
+    # custom 2-language profile; text "ababab" holds "aba" x2 and "bab" x2
+    # -> both languages score 2, tie broken to the smaller name "aa".
+    prof = [("bb", "aba", 1), ("aa", "bab", 1)]
+    docs = spark.createDataFrame([(1, "ababab")], "doc_id long, text string")
+    row = lang_id_ngram(docs, profiles=prof).collect()[0]
+    assert (row["lang"], row["score"]) == ("aa", 2)
+    # occurrence voting: repeating a weighted gram scales the score
+    prof2 = [("en", "the", 2)]
+    docs2 = spark.createDataFrame([(1, "the the the")], "doc_id long, text string")
+    row2 = lang_id_ngram(docs2, profiles=prof2).collect()[0]
+    assert (row2["lang"], row2["score"]) == ("en", 6)
