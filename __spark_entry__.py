@@ -2448,6 +2448,60 @@ def q_katz(spark, sf):
         "id", F.round("katz", 6).alias("katz"))
 
 
+FASTRP_D = 8
+FASTRP_ITERS = 3
+FASTRP_SEED = 17
+
+
+def q_fastrp(spark, sf):
+    """FastRP node embeddings (Chen et al. 2019): d=8 counter-hash
+    {-1,0,+1} projections pushed through 3 unnormalized adjacency
+    powers, levels mixed with power-of-two weights — every value a
+    BIGINT, so the oracle hash checks exact integers."""
+    from combblas_spark.algorithms.embeddings import fastrp
+
+    return fastrp(events_graph(spark, sf), d=FASTRP_D,
+                  n_iter=FASTRP_ITERS, seed=FASTRP_SEED)
+
+
+def _fastrp_sql(d: int = FASTRP_D, iters: int = FASTRP_ITERS,
+                seed: int = FASTRP_SEED) -> str:
+    """Twin of q_fastrp: identical counter-hash projection (the
+    walks.py md5 rule), unrolled SpMV levels, same 2^{K-k} mix."""
+    def proj(j):
+        return (f"CASE (('0x' || substr(md5(id || ':{j}:{seed}'), 1, 8))"
+                f"::BIGINT % 4) WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END"
+                f"::BIGINT AS x{j}")
+
+    xs = lambda p: ", ".join(f"{p}x{j}" for j in range(d))  # noqa: E731
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "s0 AS (SELECT id, " + ", ".join(proj(j) for j in range(d))
+        + " FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        sums = ", ".join(
+            f"CAST(sum(x.x{j}) AS BIGINT) AS x{j}" for j in range(d))
+        stitch = ", ".join(
+            f"coalesce(i.x{j}, 0)::BIGINT AS x{j}" for j in range(d))
+        ctes.append(
+            f"i{t} AS (SELECT e.dst AS id, {sums} FROM edges e "
+            f"JOIN s{t-1} x ON x.id = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT v.id, {stitch} "
+            f"FROM verts v LEFT JOIN i{t} i ON i.id = v.id)")
+    mix = ", ".join(
+        "CAST(" + " + ".join(f"{1 << (iters - t)} * s{t}.x{j}"
+                             for t in range(1, iters + 1))
+        + f" AS BIGINT) AS e{j}" for j in range(d))
+    joins = " ".join(f"JOIN s{t} ON s{t}.id = v.id"
+                     for t in range(1, iters + 1))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT v.id, {mix} FROM verts v {joins}")
+
+
 def q_eigencentrality(spark, sf):
     """Eigenvector centrality: pure attenuated power iteration (the
     fourth classic centrality — katz without the additive term),
@@ -3745,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_cluster": q_local_cluster,
         "redirects": q_redirects,
         "langid": q_langid,
+        "fastrp": q_fastrp,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4737,6 +4792,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["local_cluster"] = _local_cluster_sql()
     sqls["redirects"] = _redirects_sql()
     sqls["langid"] = _langid_sql()
+    sqls["fastrp"] = _fastrp_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

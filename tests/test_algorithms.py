@@ -3033,3 +3033,47 @@ def test_community_graph_contraction(spark):
            for r in community_graph(e, lab_df).collect()}
     assert got == want
     assert sum(got.values()) == len(und)  # contraction conserves edges
+
+
+def test_fastrp_matches_dense_numpy_twin_exactly(spark):
+    import hashlib
+    import numpy as np
+    from combblas_spark.algorithms.embeddings import fastrp
+
+    edges = df_edges(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (0, 3)])
+    d, K, seed = 4, 3, 17
+    got = {r["id"]: [r[f"e{j}"] for j in range(d)]
+           for r in fastrp(edges, d=d, n_iter=K, seed=seed).collect()}
+
+    ids = sorted(got)
+    n = len(ids)
+    A = np.zeros((n, n), dtype=np.int64)  # A[v][u]=count of u->v (in-links)
+    for s, dst in [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (0, 3)]:
+        A[ids.index(dst)][ids.index(s)] += 1
+    R = np.array([[
+        {0: 1, 1: -1}.get(int(hashlib.md5(f"{v}:{j}:{seed}".encode())
+                              .hexdigest()[:8], 16) % 4, 0)
+        for j in range(d)] for v in ids], dtype=np.int64)
+    x, acc = R, np.zeros_like(R)
+    for k in range(1, K + 1):
+        x = A @ x
+        acc += (1 << (K - k)) * x
+    for i, v in enumerate(ids):
+        assert got[v] == acc[i].tolist(), f"vertex {v}"
+
+
+def test_fastrp_l2_normalized_and_validation(spark):
+    import math
+    import pytest
+    from combblas_spark.algorithms.embeddings import fastrp
+
+    edges = df_edges(spark, [(0, 1), (1, 2), (2, 0)])
+    rows = fastrp(edges, d=6, n_iter=2, l2_normalized=True).collect()
+    for r in rows:
+        vec = [r[f"e{j}"] for j in range(6)]
+        nrm = math.sqrt(sum(v * v for v in vec))
+        assert nrm == 0.0 or abs(nrm - 1.0) < 1e-4
+    with pytest.raises(ValueError):
+        fastrp(edges, d=0)
+    with pytest.raises(ValueError):
+        fastrp(edges, n_iter=0)
