@@ -3800,6 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "langid": q_langid,
         "fastrp": q_fastrp,
+        "louvain": q_louvain,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4793,6 +4794,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["redirects"] = _redirects_sql()
     sqls["langid"] = _langid_sql()
     sqls["fastrp"] = _fastrp_sql()
+    sqls["louvain"] = _louvain_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
@@ -5969,6 +5971,102 @@ def _greedy_modularity_ctes(rounds: int = GREEDY_MOD_ROUNDS) -> list[str]:
             f" LEFT JOIN win{r} w ON w.id = l.id)",
         ]
     return ctes
+
+
+LOUVAIN_LEVELS = 2
+
+
+def q_louvain(spark, sf):
+    """Multi-level Louvain (2 levels x 2 sweeps) on the thinned events
+    graph: local moves, weighted contraction (inter-community weights +
+    internal self-loops), level-2 moves over whole communities, labels
+    composed. Integer moments -> bit-portable winner selection."""
+    from combblas_spark.algorithms.labelprop import louvain
+
+    return louvain(_thin_edges(events_graph(spark, sf)),
+                   n_levels=LOUVAIN_LEVELS, n_rounds=GREEDY_MOD_ROUNDS)
+
+
+def _louvain_sql(levels: int = LOUVAIN_LEVELS,
+                 rounds: int = GREEDY_MOD_ROUNDS) -> str:
+    """Twin of q_louvain: the weighted local-phase chain unrolled per
+    level with the SAME score composition as _greedy_modularity_ctes,
+    plus the contraction CTEs (symmetric inter-community sum(w), /2
+    internal weight + prior loops) and the final label composition."""
+    score = ("CAST(2 * mm.m AS DOUBLE) * CAST({k} AS DOUBLE)"
+             " - CAST(d.deg AS DOUBLE) * CAST({st} AS DOUBLE)")
+    ctes = [
+        f"edges AS (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
+        "fwd AS (SELECT src, dst FROM edges WHERE src <> dst)",
+        "sym1 AS MATERIALIZED (SELECT src, dst, 1::BIGINT AS w FROM"
+        " (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)))",
+        # 2m is GLOBAL (contraction preserves total weight): level-1 sum
+        "mm AS (SELECT CAST(sum(w) / 2 AS BIGINT) AS m FROM sym1)",
+        "lp1 AS (SELECT DISTINCT src AS id, 0::BIGINT AS lw FROM sym1)",
+    ]
+    for L in range(1, levels + 1):
+        ctes += [
+            f"deg{L} AS MATERIALIZED (SELECT s.src AS id,"
+            f" CAST(sum(s.w) + 2 * coalesce(p.lw, 0) AS BIGINT) AS deg"
+            f" FROM sym{L} s LEFT JOIN lp{L} p ON p.id = s.src"
+            f" GROUP BY s.src, p.lw)",
+            f"lab{L}_0 AS (SELECT DISTINCT src AS id, src AS c FROM sym{L})",
+        ]
+        for r in range(rounds):
+            cand_score = score.format(
+                k="kin.k",
+                st="t.st - CASE WHEN kin.cc = l.c THEN d.deg ELSE 0 END")
+            stay_score = score.format(k="coalesce(k.k, 0)", st="t.st - d.deg")
+            ctes += [
+                f"kin{L}_{r} AS MATERIALIZED (SELECT s.src AS id, l.c AS cc,"
+                f" CAST(sum(s.w) AS BIGINT) AS k FROM sym{L} s"
+                f" JOIN lab{L}_{r} l ON l.id = s.dst GROUP BY s.src, l.c)",
+                f"tot{L}_{r} AS (SELECT l.c AS cc, sum(d.deg) AS st"
+                f" FROM lab{L}_{r} l JOIN deg{L} d ON d.id = l.id GROUP BY l.c)",
+                f"cand{L}_{r} AS (SELECT kin.id, kin.cc, {cand_score} AS score"
+                f" FROM kin{L}_{r} kin JOIN tot{L}_{r} t ON t.cc = kin.cc"
+                f" JOIN deg{L} d ON d.id = kin.id"
+                f" JOIN lab{L}_{r} l ON l.id = kin.id, mm)",
+                f"win{L}_{r} AS (SELECT id, cc AS wc, score AS ws FROM"
+                f" (SELECT id, cc, score, row_number() OVER"
+                f" (PARTITION BY id ORDER BY score DESC, cc ASC) AS rn"
+                f" FROM cand{L}_{r}) WHERE rn = 1)",
+                f"stay{L}_{r} AS (SELECT l.id, {stay_score} AS ss"
+                f" FROM lab{L}_{r} l JOIN deg{L} d ON d.id = l.id"
+                f" JOIN tot{L}_{r} t ON t.cc = l.c"
+                f" LEFT JOIN kin{L}_{r} k ON k.id = l.id AND k.cc = l.c, mm)",
+                f"lab{L}_{r + 1} AS MATERIALIZED (SELECT l.id,"
+                f" CASE WHEN w.ws > s.ss THEN w.wc ELSE l.c END AS c"
+                f" FROM lab{L}_{r} l LEFT JOIN stay{L}_{r} s ON s.id = l.id"
+                f" LEFT JOIN win{L}_{r} w ON w.id = l.id)",
+            ]
+        if L < levels:
+            ctes += [
+                f"con{L} AS MATERIALIZED (SELECT la.c AS ca, lb.c AS cb, s.w"
+                f" FROM sym{L} s JOIN lab{L}_{rounds} la ON la.id = s.src"
+                f" JOIN lab{L}_{rounds} lb ON lb.id = s.dst)",
+                f"sym{L + 1} AS MATERIALIZED (SELECT ca AS src, cb AS dst,"
+                f" CAST(sum(w) AS BIGINT) AS w FROM con{L}"
+                f" WHERE ca <> cb GROUP BY ca, cb)",
+                f"lp{L + 1} AS (SELECT coalesce(i.id, o.id) AS id,"
+                f" CAST(coalesce(i.iw, 0) + coalesce(o.olw, 0) AS BIGINT) AS lw"
+                f" FROM (SELECT ca AS id, CAST(sum(w) / 2 AS BIGINT) AS iw"
+                f"       FROM con{L} WHERE ca = cb GROUP BY ca) i"
+                f" FULL OUTER JOIN"
+                f" (SELECT l.c AS id, sum(p.lw) AS olw FROM lp{L} p"
+                f"  JOIN lab{L}_{rounds} l ON l.id = p.id GROUP BY l.c) o"
+                f" ON o.id = i.id)",
+            ]
+    # label composition: lift each vertex's level-1 label through the
+    # higher levels, keeping the current label where a level dropped it
+    final = f"SELECT m.id, m.c AS community FROM lab1_{rounds} m"
+    sel, frm = "m.c", f"lab1_{rounds} m"
+    for L in range(2, levels + 1):
+        frm += f" LEFT JOIN lab{L}_{rounds} l{L} ON l{L}.id = {sel}"
+        sel = f"coalesce(l{L}.c, {sel})"
+    final = f"SELECT m.id, {sel} AS community FROM {frm}"
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 def q_modularity(spark, sf):

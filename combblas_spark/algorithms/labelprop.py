@@ -246,30 +246,67 @@ def greedy_modularity(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
     Louvain literature (it can oscillate on bipartite-ish structure,
     which fixed n_rounds bounds).
     """
-    from combblas_spark.runtime.plans import superstep_checkpoint
-
     fwd = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     sym = (
         fwd.unionByName(fwd.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
         .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     m = sym.count() // 2
-    deg = sym.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg"))
+    labels = _modularity_local_phase(sym, None, m, n_rounds)
+    sym.unpersist()
+    return labels.select("id", F.col("c").alias("community"))
+
+
+def _modularity_local_phase(
+    sym: DataFrame,
+    loops: DataFrame | None,
+    m_total: int,
+    n_rounds: int,
+    step_offset: int = 0,
+) -> DataFrame:
+    """Shared synchronous local-move driver over a WEIGHTED undirected
+    graph — the one implementation behind greedy_modularity (unit
+    weights) and every louvain() level (contracted weights +
+    self-loops), so the move rule cannot drift between them.
+
+    ``sym``: (src, dst, w) symmetric, loop-free, integer weights.
+    ``loops``: (id, lw) self-loop weights (None = all zero); a vertex's
+    self-loop contributes 2*lw to its degree and moves WITH the vertex,
+    so it cancels in the cross-community gain comparison — exactly the
+    standard Louvain treatment of contracted internal edges.
+    ``m_total``: the GLOBAL total edge weight (constant across Louvain
+    levels — contraction preserves it), used in the 2m factor.
+
+    Returns (id, c).
+    """
+    from combblas_spark.runtime.plans import superstep_checkpoint
+
+    degn = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").alias("_dw"))
+    if loops is not None:
+        degn = (
+            degn.join(loops.select("id", "lw"), "id", "left")
+            .select("id", (F.col("_dw")
+                           + 2 * F.coalesce(F.col("lw"), F.lit(0))).alias("deg"))
+        )
+    else:
+        degn = degn.select("id", F.col("_dw").alias("deg"))
+    deg = degn.persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
         sym.select(F.col("src").alias("id")).distinct()
         .select("id", F.col("id").alias("c"))
     )
-    two_m = float(2 * m)
+    two_m = float(2 * m_total)
     w = Window.partitionBy("id").orderBy(F.desc("_score"), F.asc("cc"))
     for r in range(n_rounds):
         kin = (
             sym.join(labels.select(F.col("id").alias("dst"),
                                    F.col("c").alias("cc")), "dst")
             .groupBy(F.col("src").alias("id"), "cc")
-            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(F.sum("w").alias("k"))
         )
         tot = (
             labels.join(deg, "id")
@@ -309,10 +346,10 @@ def greedy_modularity(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
                 F.when(F.col("_ws") > F.col("_ss"), F.col("_wc"))
                  .otherwise(F.col("c")).alias("c"),
             ),
-            r,
+            step_offset + r,
         )
-    sym.unpersist()
-    return labels.select("id", F.col("c").alias("community"))
+    deg.unpersist()
+    return labels
 
 
 def community_graph(edges: DataFrame, labels: DataFrame) -> DataFrame:
@@ -350,3 +387,103 @@ def community_graph(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .groupBy("c_a", "c_b")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+def _contract_weighted(
+    sym: DataFrame, loops: DataFrame | None, labels: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Contract the weighted symmetric graph by ``labels`` (id, c):
+    returns (sym', loops') where sym' keeps the symmetric loop-free
+    (src, dst, w) layout over community ids and loops' accumulates each
+    community's internal edge weight plus its members' prior self-loops.
+    Two vertex-keyed equi-joins + two map-side-combinable groupBys —
+    the Galerkin R A R^T shape of community_graph(), kept symmetric so
+    the next level's local phase reads it unchanged."""
+    la = labels.select(F.col("id").alias("src"), F.col("c").alias("_ca"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("c").alias("_cb"))
+    tagged = sym.join(la, "src").join(lb, "dst")
+    nsym = (
+        tagged.where(F.col("_ca") != F.col("_cb"))
+        .groupBy(F.col("_ca").alias("src"), F.col("_cb").alias("dst"))
+        .agg(F.sum("w").alias("w"))
+    )
+    # internal weight: each undirected in-community edge appears twice
+    # in sym (both directions), so sum/2 is exact.
+    internal = (
+        tagged.where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("id"))
+        .agg((F.sum("w") / 2).cast("long").alias("_iw"))
+    )
+    if loops is not None:
+        old = (
+            loops.join(labels, "id")
+            .groupBy(F.col("c").alias("id")).agg(F.sum("lw").alias("_olw"))
+        )
+        nloops = (
+            internal.join(old, "id", "full_outer")
+            .select("id", (F.coalesce("_iw", F.lit(0))
+                           + F.coalesce("_olw", F.lit(0))).alias("lw"))
+        )
+    else:
+        nloops = internal.select("id", F.col("_iw").alias("lw"))
+    return nsym, nloops
+
+
+def louvain(edges: DataFrame, n_levels: int = 2, n_rounds: int = 2) -> DataFrame:
+    """Multi-level Louvain (Blondel et al. 2008): alternate the
+    synchronous local-move phase with community contraction —
+    level 1 runs greedy modularity moves on the unit-weight simple
+    graph, the partition is contracted to a weighted super-graph
+    (inter-community weights + internal self-loops), level 2 moves
+    whole communities, and so on ``n_levels`` times; the final label
+    of a vertex is the composition of its level labels. Fixed level
+    and round counts keep the DuckDB oracle an exact unroll.
+    Returns (id, community).
+
+    Scale design: the contraction is where web-scale tractability
+    comes from — after level 1 the graph is communities-sized, so
+    levels beyond the first cost a vanishing fraction of level 1. The
+    local phase is the shared _modularity_local_phase driver (two hash
+    aggregates + a per-vertex window per round); 2m is the GLOBAL
+    total edge weight at every level (contraction preserves it), so
+    gain comparisons at level k are exactly the modularity gains of
+    moving whole level-(k-1) communities in the original graph.
+    Vertices whose community has no external edges at some level keep
+    their current label through that level (they are absent from the
+    contracted edge list — the coalesce in the mapping composition).
+    """
+    if n_levels < 1:
+        raise ValueError(f"louvain: n_levels must be >= 1, got {n_levels}")
+    fwd = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+        .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    m_total = sym.count() // 2
+    loops: DataFrame | None = None
+    mapping: DataFrame | None = None
+    for lvl in range(n_levels):
+        labels = _modularity_local_phase(
+            sym, loops, m_total, n_rounds, step_offset=lvl * n_rounds)
+        if mapping is None:
+            mapping = labels
+        else:
+            lift = labels.select(F.col("id").alias("c"),
+                                 F.col("c").alias("_c2"))
+            mapping = (
+                mapping.join(lift, "c", "left")
+                .select("id", F.coalesce("_c2", F.col("c")).alias("c"))
+            )
+        mapping = mapping.localCheckpoint(eager=True)
+        if lvl < n_levels - 1:
+            nsym, nloops = _contract_weighted(sym, loops, labels)
+            nsym = nsym.persist(StorageLevel.MEMORY_AND_DISK)
+            nsym.count()
+            sym.unpersist()
+            sym = nsym
+            loops = nloops.localCheckpoint(eager=True)
+    sym.unpersist()
+    return mapping.select("id", F.col("c").alias("community"))

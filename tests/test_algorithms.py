@@ -3077,3 +3077,47 @@ def test_fastrp_l2_normalized_and_validation(spark):
         fastrp(edges, d=0)
     with pytest.raises(ValueError):
         fastrp(edges, n_iter=0)
+
+
+def test_louvain_level1_equals_greedy_modularity(spark):
+    from combblas_spark.algorithms.labelprop import greedy_modularity, louvain
+
+    edges = df_edges(spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3),
+                             (6, 0), (6, 1)])
+    a = sorted(map(tuple, greedy_modularity(edges, n_rounds=2).collect()))
+    b = sorted(map(tuple, louvain(edges, n_levels=1, n_rounds=2).collect()))
+    assert a == b
+
+
+def test_louvain_merges_bridged_cliques_and_preserves_weight(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from combblas_spark.algorithms.labelprop import (
+        louvain, _contract_weighted, greedy_modularity)
+
+    # two 4-cliques joined by one bridge; a 2-level run must put each
+    # clique in ONE community and keep the cliques apart.
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = df_edges(spark, c1 + c2 + [(3, 10)])
+    got = {r["id"]: r["community"]
+           for r in louvain(edges, n_levels=2, n_rounds=2).collect()}
+    left = {got[v] for v in range(4)}
+    right = {got[v + 10] for v in range(4)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+    # contraction preserves total edge weight: sum(w)/2 + sum(lw) == m
+    fwd = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+           .distinct().withColumn("w", F.lit(1).cast("long")))
+    m = sym.count() // 2
+    labels = greedy_modularity(edges, n_rounds=2) \
+        .select("id", F.col("community").alias("c"))
+    nsym, nloops = _contract_weighted(sym, None, labels)
+    half = (nsym.agg(F.sum("w")).collect()[0][0] or 0) // 2
+    lw = nloops.agg(F.sum("lw")).collect()[0][0] or 0
+    assert half + lw == m
+
+    with pytest.raises(ValueError):
+        louvain(edges, n_levels=0)
