@@ -978,6 +978,53 @@ FROM documents d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)"""
 
 
+PHRASE_QUERY = "join part filter"
+
+
+def q_inverted_index(spark, sf):
+    """Positional inverted index build: one (term, id, pos) posting
+    per word occurrence — the materialize-me retrieval primitive."""
+    from combblas_spark.functions.text import inverted_index
+
+    return inverted_index(_docs(spark, sf))
+
+
+def q_phrase_search(spark, sf):
+    """Exact phrase query ('slow hash batch') via positional-postings
+    intersection: k-1 equi-joins on (doc, anchor_pos), term-frequency-
+    sized inputs."""
+    from combblas_spark.functions.text import phrase_search
+
+    return phrase_search(_docs(spark, sf), PHRASE_QUERY)
+
+
+_IDX_WORDS = (
+    "words AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
+    " '[^a-z0-9]+'), x -> x <> '') AS w FROM documents),\n"
+    "idx AS (SELECT w[i] AS term, doc_id AS id, CAST(i AS BIGINT) AS pos"
+    " FROM words, unnest(generate_series(1, greatest(len(w), 0))) t(i))")
+
+
+def _inverted_index_sql() -> str:
+    return f"WITH {_IDX_WORDS}\nSELECT term, id, pos FROM idx"
+
+
+def _phrase_search_sql(phrase: str = PHRASE_QUERY) -> str:
+    """Twin of q_phrase_search: same postings intersection unrolled."""
+    import re as _re
+
+    words = [w for w in _re.split("[^a-z0-9]+", phrase.lower()) if w]
+    ctes = [_IDX_WORDS,
+            f"b0 AS (SELECT id, pos AS p0 FROM idx WHERE term = '{words[0]}')"]
+    for i, w in enumerate(words[1:], start=1):
+        ctes.append(
+            f"b{i} AS (SELECT b.id, b.p0 FROM b{i-1} b JOIN idx x"
+            f" ON x.id = b.id AND x.pos = b.p0 + {i} AND x.term = '{w}')")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, count(*) AS n_matches, min(p0) AS first_pos"
+            f" FROM b{len(words) - 1} GROUP BY id")
+
+
 def q_dup_spans(spark, sf):
     """Exact-substring duplication measurement (Lee et al. 2022 at
     5-token window granularity): per-doc duplicated-window fraction."""
@@ -3801,6 +3848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fastrp": q_fastrp,
         "louvain": q_louvain,
+        "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4795,6 +4844,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["langid"] = _langid_sql()
     sqls["fastrp"] = _fastrp_sql()
     sqls["louvain"] = _louvain_sql()
+    sqls["inverted_index"] = _inverted_index_sql()
+    sqls["phrase_search"] = _phrase_search_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

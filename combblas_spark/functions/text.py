@@ -660,3 +660,51 @@ def textrank_keywords(docs: DataFrame, k: int = 20, n_iter: int = 10,
         .select("token", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("token")).limit(k)
     )
+
+
+def inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Positional inverted index: one (term, id, pos) posting per word
+    occurrence (word_tokens rule, 1-based positions over the filtered
+    token array). The retrieval-side primitive behind phrase_search —
+    at web scale this table is what you materialize (bucketed by term)
+    instead of re-tokenizing per query. One posexplode, no shuffle.
+    """
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_tokens(F.col(text_col))).alias("pos0", "term"),
+    ).select("term", "id", (F.col("pos0") + 1).cast("long").alias("pos"))
+
+
+def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  index: DataFrame | None = None) -> DataFrame:
+    """Exact phrase query over the positional inverted index: a doc
+    matches at position p iff word i of the phrase is at p+i for all i
+    (the classic positional-postings intersection). Returns
+    (id, n_matches, first_pos) for matching docs only.
+
+    Scale shape: one term-filtered posting slice per phrase word —
+    each a pushed-down filter on the (materialized, term-bucketed)
+    index — intersected by k-1 equi-joins on (id, anchor_pos). Join
+    input sizes are term-frequency-sized, not corpus-sized; the rarest
+    word bounds every intermediate (Catalyst reorders the equi-joins;
+    at web scale sort the words by df yourself if you skip the
+    optimizer). Pass ``index=`` to reuse a prebuilt/materialized
+    inverted_index instead of re-tokenizing ``docs``.
+    """
+    import re as _re
+
+    words = [w for w in _re.split("[^a-z0-9]+", phrase.lower()) if w]
+    if not words:
+        raise ValueError(f"phrase_search: no words in phrase {phrase!r}")
+    idx = index if index is not None else inverted_index(docs, id_col, text_col)
+    base = idx.where(F.col("term") == words[0]) \
+              .select("id", F.col("pos").alias("p0"))
+    for i, w in enumerate(words[1:], start=1):
+        nxt = idx.where(F.col("term") == w) \
+                 .select("id", (F.col("pos") - i).alias("p0"))
+        base = base.join(nxt, ["id", "p0"])
+    return base.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("p0").alias("first_pos"))

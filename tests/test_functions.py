@@ -1365,3 +1365,33 @@ def test_lang_id_ngram_counts_occurrences_and_breaks_ties_lexicographically(spar
     docs2 = spark.createDataFrame([(1, "the the the")], "doc_id long, text string")
     row2 = lang_id_ngram(docs2, profiles=prof2).collect()[0]
     assert (row2["lang"], row2["score"]) == ("en", 6)
+
+
+def test_phrase_search_positions_and_counts(spark):
+    import pytest
+    from combblas_spark.functions.text import phrase_search, inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "cat sat cat sat cat"),      # overlapping repeats: 2 matches
+            (3, "the sat cat"),              # words present, wrong order
+            (4, "Cat! Sat?"),                # punctuation/case-robust match
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (r["n_matches"], r["first_pos"])
+           for r in phrase_search(docs, "cat sat").collect()}
+    assert got == {1: (1, 2), 2: (2, 1), 4: (1, 1)}
+    # single-word phrase counts every occurrence
+    one = {r["id"]: r["n_matches"]
+           for r in phrase_search(docs, "cat").collect()}
+    assert one == {1: 1, 2: 3, 3: 1, 4: 1}
+    # prebuilt-index path gives identical results
+    idx = inverted_index(docs)
+    via_idx = {r["id"]: (r["n_matches"], r["first_pos"])
+               for r in phrase_search(docs, "cat sat", index=idx).collect()}
+    assert via_idx == got
+    with pytest.raises(ValueError):
+        phrase_search(docs, "!!!")
