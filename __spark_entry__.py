@@ -1025,6 +1025,40 @@ def _phrase_search_sql(phrase: str = PHRASE_QUERY) -> str:
             f" FROM b{len(words) - 1} GROUP BY id")
 
 
+CDC_MOD = 16
+
+
+def q_cdc_chunks(spark, sf):
+    """Content-defined chunking (token-level gear/Rabin): counter-hash
+    bigram cut rule, expected chunk ~16 tokens; one (id, chunk_idx,
+    chunk_hash, n_tokens) row per chunk — groupBy(chunk_hash) is the
+    storage-dedup key."""
+    from combblas_spark.functions.dedup import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf), mod=CDC_MOD)
+
+
+def _cdc_chunks_sql(mod: int = CDC_MOD) -> str:
+    """Twin of q_cdc_chunks: same bigram counter-hash cut rule via a
+    running-sum window, same md5 chunk hash (string_agg ORDER BY i)."""
+    return f"""WITH words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS w FROM documents),
+tok AS (
+  SELECT doc_id, i, w[i] AS token,
+         CASE WHEN i >= 2 AND ('0x' || substr(md5(w[i-1] || ' ' || w[i]),
+              1, 8))::BIGINT % {mod} = 0 THEN 1 ELSE 0 END AS cut
+  FROM words, unnest(generate_series(1, greatest(len(w), 0))) t(i)),
+ck AS (
+  SELECT doc_id, i, token,
+         1 + sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx
+  FROM tok)
+SELECT doc_id AS id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       md5(string_agg(token, ' ' ORDER BY i)) AS chunk_hash,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM ck GROUP BY doc_id, chunk_idx"""
+
+
 def q_dup_spans(spark, sf):
     """Exact-substring duplication measurement (Lee et al. 2022 at
     5-token window granularity): per-doc duplicated-window fraction."""
@@ -3850,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
+        "cdc_chunks": q_cdc_chunks,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4846,6 +4881,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["louvain"] = _louvain_sql()
     sqls["inverted_index"] = _inverted_index_sql()
     sqls["phrase_search"] = _phrase_search_sql()
+    sqls["cdc_chunks"] = _cdc_chunks_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

@@ -848,3 +848,70 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) >= min_overlap).alias("contaminated"),
         )
     )
+
+
+def cdc_chunks(docs: DataFrame, mod: int = 16, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (the gear/Rabin CDC idea at token
+    granularity): cut BEFORE token i whenever the counter-hash of the
+    bigram (w[i-1], w[i]) is 0 mod ``mod`` — boundaries depend only on
+    local content, so an insertion early in a document shifts chunk
+    CONTENTS by at most one chunk instead of re-keying every window
+    (the property that makes chunk-hash dedup robust to edits, unlike
+    fixed-size blocks). Expected chunk length ~``mod`` tokens.
+
+    Returns one row per chunk: (id, chunk_idx, chunk_hash, n_tokens)
+    with 1-based chunk_idx and chunk_hash = md5 of the space-joined
+    chunk. Dedup across a corpus = groupBy(chunk_hash).
+
+    Scale shape: entirely array-side per document (cut positions via
+    filter(sequence), chunks via slice+array_join — the shingles()
+    pattern), then ONE explode of chunk structs; no window, no
+    per-token shuffle rows. Bit-portable: the cut rule is the repo's
+    md5 counter-hash (walks.py twin) and chunk hashes are md5 strings.
+    """
+    if mod < 2:
+        raise ValueError(f"cdc_chunks: mod must be >= 2, got {mod}")
+    base = docs.select(F.col(id_col).alias("id"),
+                       word_tokens(F.col(text_col)).alias("w"))
+    w = F.col("w")
+    n = F.size(w)
+
+    def _cut(i):
+        key = F.concat_ws(" ", F.element_at(w, i - 1), F.element_at(w, i))
+        h = F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10) \
+            .cast("long")
+        return h % mod == 0
+
+    cuts = F.when(n >= 2, F.filter(F.sequence(F.lit(2), n), _cut)) \
+            .otherwise(F.array().cast("array<int>"))
+    # materialize cuts -> starts/ends as real columns BEFORE the chunk
+    # transform: element_at(starts, j) inside the lambda would otherwise
+    # re-evaluate the md5-filter subtree once per chunk (O(n^2) hashes).
+    staged = (
+        base.where(n >= 1)
+        .select("id", "w", cuts.alias("_cuts"))
+        .select(
+            "id", "w",
+            F.concat(F.array(F.lit(1)), F.col("_cuts")).alias("_starts"),
+            F.concat(F.transform(F.col("_cuts"), lambda c: c - 1),
+                     F.array(F.size(F.col("w")))).alias("_ends"),
+        )
+    )
+    starts, ends = F.col("_starts"), F.col("_ends")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(starts)),
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_idx"),
+            F.md5(F.array_join(
+                F.slice(F.col("w"), F.element_at(starts, j),
+                        F.element_at(ends, j) - F.element_at(starts, j) + 1),
+                " ").cast("binary")).alias("chunk_hash"),
+            (F.element_at(ends, j) - F.element_at(starts, j) + 1)
+            .cast("long").alias("n_tokens"),
+        ),
+    )
+    return (
+        staged.select("id", F.explode(chunks).alias("c"))
+        .select("id", "c.chunk_idx", "c.chunk_hash", "c.n_tokens")
+    )

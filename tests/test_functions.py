@@ -1395,3 +1395,33 @@ def test_phrase_search_positions_and_counts(spark):
     assert via_idx == got
     with pytest.raises(ValueError):
         phrase_search(docs, "!!!")
+
+
+def test_cdc_chunks_edit_robustness_and_reassembly(spark):
+    import pytest
+    from combblas_spark.functions.dedup import cdc_chunks
+
+    base_words = [f"tok{i % 97}x{i % 13}" for i in range(400)]
+    orig = " ".join(base_words)
+    edited = " ".join(["inserted"] + base_words)  # one early insertion
+    docs = spark.createDataFrame(
+        [(1, orig), (2, edited), (3, ""), (4, None)],
+        "doc_id long, text string")
+    rows = cdc_chunks(docs, mod=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    # empty/NULL docs produce no chunks
+    assert 3 not in by_doc and 4 not in by_doc
+    a = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    b = sorted(by_doc[2], key=lambda r: r["chunk_idx"])
+    # chunk token counts reassemble the doc exactly
+    assert sum(r["n_tokens"] for r in a) == 400
+    assert sum(r["n_tokens"] for r in b) == 401
+    # content-defined property: the edit only re-keys the prefix chunks —
+    # the suffix chunk hashes are SHARED between original and edited doc.
+    ha, hb = {r["chunk_hash"] for r in a}, {r["chunk_hash"] for r in b}
+    shared = ha & hb
+    assert len(shared) >= len(ha) - 2, (len(ha), len(hb), len(shared))
+    with pytest.raises(ValueError):
+        cdc_chunks(docs, mod=1)
