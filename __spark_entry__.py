@@ -2226,6 +2226,58 @@ FROM t{rounds} a LEFT JOIN (SELECT DISTINCT id FROM f) fl ON fl.id = a.t"""
     )
 
 
+PERC_LEVELS = (250, 500, 750)
+PERC_SEED = 7
+
+
+def q_robustness(spark, sf):
+    """Bond-percolation robustness curve on the events graph: FastSV
+    per deterministic keep-rate (250/500/750 permille, canonical-pair
+    md5 rule) -> (keep_permille, n_edges, n_components, giant_size)."""
+    from combblas_spark.algorithms.components import robustness_curve
+
+    return robustness_curve(events_graph(spark, sf), levels=PERC_LEVELS,
+                            seed=PERC_SEED)
+
+
+def _robustness_sql(levels: tuple[int, ...] = PERC_LEVELS,
+                    seed: int = PERC_SEED, denom: int = 1000) -> str:
+    """Twin of q_robustness: same canonical-pair hash keep rule, one
+    recursive reach per level, isolated survivors kept as singletons."""
+    keep = (f"('0x' || substr(md5(least(src, dst) || ':' ||"
+            f" greatest(src, dst) || ':{seed}'), 1, 8))::BIGINT"
+            f" % {denom}")
+    ctes = [
+        f"edges AS ({EDGES})",
+        "verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst FROM edges))",
+    ]
+    sels = []
+    for L, lvl in enumerate(sorted(levels), start=1):
+        ctes += [
+            f"kept{L} AS (SELECT DISTINCT least(src, dst) AS a,"
+            f" greatest(src, dst) AS b FROM edges"
+            f" WHERE src <> dst AND {keep} < {lvl})",
+            f"sym{L} AS (SELECT a AS src, b AS dst FROM kept{L}"
+            f" UNION ALL SELECT b, a FROM kept{L})",
+            f"reach{L}(id, r) AS (SELECT id, id FROM verts UNION"
+            f" SELECT re.id, s.dst FROM reach{L} re"
+            f" JOIN sym{L} s ON s.src = re.r)",
+            f"comp{L} AS (SELECT id, min(r) AS comp FROM reach{L}"
+            f" GROUP BY id)",
+            f"ne{L} AS (SELECT count(*)::BIGINT AS n_edges FROM kept{L})",
+            f"sz{L} AS (SELECT comp, count(*) AS cnt FROM comp{L}"
+            f" GROUP BY comp)",
+            f"stat{L} AS (SELECT {lvl}::BIGINT AS keep_permille,"
+            f" ne.n_edges, count(*)::BIGINT AS n_components,"
+            f" max(cnt)::BIGINT AS giant_size FROM sz{L}, ne{L} ne"
+            f" GROUP BY ne.n_edges)",
+        ]
+        sels.append(f"SELECT * FROM stat{L}")
+    return ("WITH RECURSIVE " + ",\n".join(ctes) + "\n"
+            + " UNION ALL ".join(sels))
+
+
 SIMRANK_ITERS = 3
 SIMRANK_CAP = 64
 
@@ -3885,6 +3937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "cdc_chunks": q_cdc_chunks,
+        "robustness": q_robustness,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4882,6 +4935,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["inverted_index"] = _inverted_index_sql()
     sqls["phrase_search"] = _phrase_search_sql()
     sqls["cdc_chunks"] = _cdc_chunks_sql()
+    sqls["robustness"] = _robustness_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

@@ -321,3 +321,69 @@ def connected_components_as(
     # class as the reference's LabelCC pass, CC.h:1384).
     canon = f.groupBy(F.col("val").alias("_root")).agg(F.min("id").alias("comp"))
     return f.join(canon, f["val"] == canon["_root"]).select("id", "comp")
+
+
+def robustness_curve(
+    edges: DataFrame,
+    levels: tuple[int, ...] = (250, 500, 750),
+    denom: int = 1000,
+    seed: int = 7,
+) -> DataFrame:
+    """Bond-percolation robustness curve: for each keep-rate
+    ``lvl/denom``, retain an undirected edge {a,b} iff the counter-hash
+    of its canonical pair key (least:greatest:seed, the walks.py md5
+    rule — both directions decided together) lands below the rate,
+    then measure the surviving component structure. The curve
+    (n_components, giant_size vs keep rate) is the standard
+    link-graph resilience / percolation-threshold diagnostic.
+
+    Returns one row per level: (keep_permille, n_edges, n_components,
+    giant_size), where n_edges counts distinct surviving undirected
+    pairs and EVERY original vertex stays in the universe (isolated
+    survivors are singleton components — the percolation reading).
+
+    Scale shape: |levels| FastSV runs over hash-filtered edge subsets
+    (the filter is pushed into the edge scan; sampling needs no
+    shuffle), each followed by one vertex-sized stitch + two hash
+    aggregates; per-level stats join as broadcast 1-row aggregates.
+    Deterministic across engines and partitionings (md5 rule, integer
+    counts).
+    """
+    if not levels:
+        raise ValueError("robustness_curve: need at least one level")
+    if any(lv < 0 or lv > denom for lv in levels):
+        raise ValueError(f"robustness_curve: levels must be in [0, {denom}]")
+    lo, hi = F.least("src", "dst"), F.greatest("src", "dst")
+    key = F.concat_ws(":", lo.cast("string"), hi.cast("string"),
+                      F.lit(str(seed)))
+    h = F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10) \
+        .cast("long") % denom
+    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count()
+    out = None
+    for lvl in sorted(levels):
+        kept = edges.where((F.col("src") != F.col("dst")) & (h < lvl))
+        pairs = kept.select(lo.alias("a"), hi.alias("b")).distinct()
+        ne = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+        if kept.limit(1).count() == 0:
+            comp = verts.select("id", F.col("id").alias("comp"))
+        else:
+            cc = connected_components(kept)
+            comp = (
+                verts.join(cc, "id", "left")
+                .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+            )
+        stats = (
+            comp.groupBy("comp").agg(F.count(F.lit(1)).alias("_sz"))
+            .agg(F.count(F.lit(1)).alias("n_components"),
+                 F.max("_sz").alias("giant_size"))
+        )
+        row = (
+            stats.crossJoin(F.broadcast(ne))
+            .select(F.lit(lvl).cast("long").alias("keep_permille"),
+                    "n_edges", "n_components", "giant_size")
+        )
+        out = row if out is None else out.unionByName(row)
+    result = out.localCheckpoint(eager=True)
+    verts.unpersist()
+    return result

@@ -3121,3 +3121,31 @@ def test_louvain_merges_bridged_cliques_and_preserves_weight(spark):
 
     with pytest.raises(ValueError):
         louvain(edges, n_levels=0)
+
+
+def test_robustness_curve_monotone_and_edge_cases(spark):
+    import pytest
+    from combblas_spark.algorithms.components import robustness_curve
+
+    # ring of 30 + a few chords: connected at keep=1000, fragments below
+    ring = [(i, (i + 1) % 30) for i in range(30)]
+    edges = df_edges(spark, ring + [(0, 15), (5, 20)])
+    rows = {r["keep_permille"]: r
+            for r in robustness_curve(edges, levels=(0, 400, 1000)).collect()}
+    # keep=0: no edges, every vertex a singleton
+    assert rows[0]["n_edges"] == 0
+    assert rows[0]["n_components"] == 30 and rows[0]["giant_size"] == 1
+    # keep=1000: the full graph, one component
+    assert rows[1000]["n_edges"] == 32
+    assert rows[1000]["n_components"] == 1 and rows[1000]["giant_size"] == 30
+    # monotone in the keep rate: more edges, fewer-or-equal components,
+    # bigger-or-equal giant
+    assert 0 <= rows[400]["n_edges"] <= 32
+    assert 1 <= rows[400]["n_components"] <= 30
+    assert rows[400]["giant_size"] <= 30
+    assert rows[400]["n_components"] >= rows[1000]["n_components"]
+    assert rows[400]["giant_size"] >= rows[0]["giant_size"]
+    with pytest.raises(ValueError):
+        robustness_curve(edges, levels=())
+    with pytest.raises(ValueError):
+        robustness_curve(edges, levels=(1500,))
