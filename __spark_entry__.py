@@ -3170,19 +3170,20 @@ def _eff_diameter_sql(max_hops: int = 8, q: float = 0.9, k: int = ANF_K,
               "(SELECT hs FROM stop) AS hops_run")
 
 
-def _hits_sql(iters: int = HITS_ITERS) -> str:
-    """DuckDB twin of algorithms.hits.hits: unrolled L2-normalized
-    power iterations (hub init 1.0)."""
+def _hits_power_ctes(src_table: str, iters: int) -> list[str]:
+    """The L2-normalized HITS power unroll over ``src_table`` (src,
+    dst) with vertex set ``{src_table}_verts`` — shared by _hits_sql
+    and _topic_hits_sql so the half-step rule lives in ONE place."""
+    e = src_table
     ctes = [
-        f"edges AS MATERIALIZED ({EDGES})",
-        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
-        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
-        "h0 AS (SELECT id, 1.0 AS v FROM verts)",
+        f"{e}_verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        f"(SELECT src AS id FROM {e} UNION ALL SELECT dst FROM {e}))",
+        f"h0 AS (SELECT id, 1.0 AS v FROM {e}_verts)",
     ]
     for t in range(1, iters + 1):
         ctes.append(
             f"ar{t} AS MATERIALIZED (SELECT e.dst AS id, sum(h.v) AS v "
-            f"FROM edges e JOIN h{t-1} h ON h.id = e.src GROUP BY e.dst)"
+            f"FROM {e} e JOIN h{t-1} h ON h.id = e.src GROUP BY e.dst)"
         )
         ctes.append(f"an{t} AS (SELECT sqrt(sum(v * v)) AS nrm FROM ar{t})")
         ctes.append(
@@ -3190,20 +3191,72 @@ def _hits_sql(iters: int = HITS_ITERS) -> str:
         )
         ctes.append(
             f"hr{t} AS MATERIALIZED (SELECT e.src AS id, sum(a.v) AS v "
-            f"FROM edges e JOIN a{t} a ON a.id = e.dst GROUP BY e.src)"
+            f"FROM {e} e JOIN a{t} a ON a.id = e.dst GROUP BY e.src)"
         )
         ctes.append(f"hn{t} AS (SELECT sqrt(sum(v * v)) AS nrm FROM hr{t})")
         ctes.append(
             f"h{t} AS MATERIALIZED (SELECT id, v / nrm AS v FROM hr{t} CROSS JOIN hn{t})"
         )
+    return ctes
+
+
+def _hits_final_select(src_table: str, iters: int) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
-        + f"""
+        f"""
         SELECT v.id, ROUND(coalesce(h.v, 0.0), 6) AS hub,
                ROUND(coalesce(a.v, 0.0), 6) AS auth
-        FROM verts v LEFT JOIN h{iters} h ON h.id = v.id
+        FROM {src_table}_verts v LEFT JOIN h{iters} h ON h.id = v.id
         LEFT JOIN a{iters} a ON a.id = v.id"""
     )
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """DuckDB twin of algorithms.hits.hits: unrolled L2-normalized
+    power iterations (hub init 1.0)."""
+    ctes = [f"edges AS MATERIALIZED ({EDGES})"]
+    ctes += _hits_power_ctes("edges", iters)
+    return "WITH " + ",\n".join(ctes) + _hits_final_select("edges", iters)
+
+
+TOPIC_ROOTS = 5
+TOPIC_D = 20
+
+
+def q_topic_hits(spark, sf):
+    """Topic-focused HITS (Kleinberg base-set recipe): top-5 in-degree
+    roots, out-neighbors + <=20 capped in-neighbors per root, HITS on
+    the induced subgraph."""
+    from combblas_spark.algorithms.hits import topic_hits
+
+    out = topic_hits(events_graph(spark, sf), n_roots=TOPIC_ROOTS,
+                     d=TOPIC_D, n_iter=HITS_ITERS)
+    return out.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+
+
+def _topic_hits_sql(n_roots: int = TOPIC_ROOTS, d: int = TOPIC_D,
+                    iters: int = HITS_ITERS) -> str:
+    """Twin of q_topic_hits: same root pick (indeg desc, id asc), same
+    per-root capped in-neighbor expansion, then the SHARED HITS power
+    unroll over the induced subgraph."""
+    ctes = [
+        f"edges AS MATERIALIZED ({EDGES})",
+        "pairs AS (SELECT DISTINCT src, dst FROM edges)",
+        "ind AS (SELECT dst AS id, count(*) AS c FROM pairs GROUP BY dst)",
+        f"roots AS (SELECT id FROM (SELECT id, row_number() OVER"
+        f" (ORDER BY c DESC, id ASC) AS rn FROM ind) WHERE rn <= {n_roots})",
+        "outs AS (SELECT DISTINCT p.dst AS id FROM pairs p"
+        " JOIN roots r ON r.id = p.src)",
+        f"ins AS (SELECT id FROM (SELECT p.dst AS root, p.src AS id,"
+        f" row_number() OVER (PARTITION BY p.dst ORDER BY p.src ASC) AS rn"
+        f" FROM pairs p JOIN roots r ON r.id = p.dst) WHERE rn <= {d})",
+        "base AS (SELECT DISTINCT id FROM (SELECT id FROM roots"
+        " UNION ALL SELECT id FROM outs UNION ALL SELECT id FROM ins))",
+        "sub AS MATERIALIZED (SELECT e.* FROM edges e"
+        " JOIN base a ON a.id = e.src JOIN base b ON b.id = e.dst)",
+    ]
+    ctes += _hits_power_ctes("sub", iters)
+    return "WITH " + ",\n".join(ctes) + _hits_final_select("sub", iters)
 
 
 def _salsa_sql(iters: int = HITS_ITERS) -> str:
@@ -3938,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "cdc_chunks": q_cdc_chunks,
         "robustness": q_robustness,
+        "topic_hits": q_topic_hits,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4936,6 +4990,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["phrase_search"] = _phrase_search_sql()
     sqls["cdc_chunks"] = _cdc_chunks_sql()
     sqls["robustness"] = _robustness_sql()
+    sqls["topic_hits"] = _topic_hits_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

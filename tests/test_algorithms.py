@@ -3149,3 +3149,24 @@ def test_robustness_curve_monotone_and_edge_cases(spark):
         robustness_curve(edges, levels=())
     with pytest.raises(ValueError):
         robustness_curve(edges, levels=(1500,))
+
+
+def test_topic_hits_base_set_restriction(spark):
+    import pytest
+    from combblas_spark.algorithms.hits import topic_hits
+
+    # hub 0 is the unique top-in-degree root (1,2,3 -> 0); 0 -> 4; the
+    # far pair 8 <-> 9 touches no root and must stay OUT of the base set.
+    edges = df_edges(spark, [(1, 0), (2, 0), (3, 0), (0, 4), (8, 9), (9, 8)])
+    rows = topic_hits(edges, n_roots=1, d=10, n_iter=3).collect()
+    ids = {r["id"] for r in rows}
+    assert ids == {0, 1, 2, 3, 4}
+    by = {r["id"]: r for r in rows}
+    assert by[0]["auth"] > 0  # the root is the authority
+    assert by[1]["hub"] > 0   # its in-neighbors are hubs
+    # in-neighbor cap: with d=1 only the smallest in-neighbor (1) stays
+    capped = {r["id"] for r in topic_hits(edges, n_roots=1, d=1,
+                                          n_iter=2).collect()}
+    assert capped == {0, 1, 4}
+    with pytest.raises(ValueError):
+        topic_hits(edges, n_roots=0)
