@@ -1038,10 +1038,13 @@ def q_cdc_chunks(spark, sf):
     return cdc_chunks(_docs(spark, sf), mod=CDC_MOD)
 
 
-def _cdc_chunks_sql(mod: int = CDC_MOD) -> str:
-    """Twin of q_cdc_chunks: same bigram counter-hash cut rule via a
-    running-sum window, same md5 chunk hash (string_agg ORDER BY i)."""
-    return f"""WITH words AS (
+def _cdc_chunk_ctes(mod: int = CDC_MOD) -> str:
+    """The CDC chunk CTE chain (bigram counter-hash cut rule via a
+    running-sum window, md5 chunk hash over string_agg ORDER BY i),
+    ending in ``chunks(id, chunk_idx, chunk_hash, n_tokens)`` — shared
+    by _cdc_chunks_sql and _chunk_dedup_sql so the cut rule lives in
+    ONE place."""
+    return f"""words AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
          '[^a-z0-9]+'), x -> x <> '') AS w FROM documents),
 tok AS (
@@ -1052,11 +1055,49 @@ tok AS (
 ck AS (
   SELECT doc_id, i, token,
          1 + sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_idx
-  FROM tok)
-SELECT doc_id AS id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-       md5(string_agg(token, ' ' ORDER BY i)) AS chunk_hash,
-       CAST(count(*) AS BIGINT) AS n_tokens
-FROM ck GROUP BY doc_id, chunk_idx"""
+  FROM tok),
+chunks AS (
+  SELECT doc_id AS id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         md5(string_agg(token, ' ' ORDER BY i)) AS chunk_hash,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM ck GROUP BY doc_id, chunk_idx)"""
+
+
+def _cdc_chunks_sql(mod: int = CDC_MOD) -> str:
+    """Twin of q_cdc_chunks."""
+    return (f"WITH {_cdc_chunk_ctes(mod)}\n"
+            "SELECT id, chunk_idx, chunk_hash, n_tokens FROM chunks")
+
+
+def q_chunk_dedup(spark, sf):
+    """Chunk-level near-dup pairs over the CDC chunking: docs sharing
+    >=2 distinct chunk hashes (df-capped join key), containment frac =
+    shared / min(n_chunks)."""
+    from combblas_spark.functions.dedup import chunk_dedup_pairs
+
+    return chunk_dedup_pairs(_docs(spark, sf), mod=CDC_MOD)
+
+
+def _chunk_dedup_sql(mod: int = CDC_MOD, min_shared: int = 2,
+                     max_df: int = 64) -> str:
+    """Twin of q_chunk_dedup: the shared cdc chunk CTEs, then the
+    df-capped chunk-hash pair join with the same containment frac."""
+    return f"""WITH {_cdc_chunk_ctes(mod)},
+per_doc AS (SELECT DISTINCT id, chunk_hash FROM chunks),
+nch AS (SELECT id, count(*) AS n FROM per_doc GROUP BY id),
+rare AS (SELECT chunk_hash FROM (SELECT chunk_hash, count(*) AS df
+         FROM per_doc GROUP BY chunk_hash) WHERE df <= {max_df}),
+keyed AS (SELECT p.id, p.chunk_hash FROM per_doc p
+          JOIN rare r ON r.chunk_hash = p.chunk_hash),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared
+  FROM keyed a JOIN keyed b
+    ON b.chunk_hash = a.chunk_hash AND a.id < b.id
+  GROUP BY a.id, b.id HAVING count(*) >= {min_shared})
+SELECT p.id_a, p.id_b, p.shared,
+       ROUND(CAST(p.shared AS DOUBLE)
+             / CAST(least(na.n, nb.n) AS DOUBLE), 6) AS frac
+FROM pairs p JOIN nch na ON na.id = p.id_a JOIN nch nb ON nb.id = p.id_b"""
 
 
 def q_dup_spans(spark, sf):
@@ -3992,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "robustness": q_robustness,
         "topic_hits": q_topic_hits,
+        "chunk_dedup": q_chunk_dedup,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4991,6 +5033,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["cdc_chunks"] = _cdc_chunks_sql()
     sqls["robustness"] = _robustness_sql()
     sqls["topic_hits"] = _topic_hits_sql()
+    sqls["chunk_dedup"] = _chunk_dedup_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

@@ -915,3 +915,57 @@ def cdc_chunks(docs: DataFrame, mod: int = 16, id_col: str = "doc_id",
         staged.select("id", F.explode(chunks).alias("c"))
         .select("id", "c.chunk_idx", "c.chunk_hash", "c.n_tokens")
     )
+
+
+def chunk_dedup_pairs(docs: DataFrame, mod: int = 16, min_shared: int = 2,
+                      max_df: int = 64, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Chunk-level near-duplicate pairs over the CDC chunking: two docs
+    pair when they share >= ``min_shared`` distinct chunk hashes;
+    overlap is reported as containment frac = shared / min(n_chunks) —
+    robust to insertions/deletions because CDC boundaries are content-
+    defined (an edit re-keys ~1 chunk, the rest still match — the
+    property test on cdc_chunks). Returns (id_a, id_b, shared, frac)
+    with id_a < id_b.
+
+    Scale shape: the pair join is on chunk_hash with a document-
+    frequency cap (``max_df``, the winnow_pairs rationale) — a chunk
+    shared by the whole corpus is boilerplate, not duplication, and
+    would otherwise quadratically explode one join key; per-key
+    candidate work is bounded by max_df^2. Everything else is hash
+    aggregates. Deterministic (md5 chunks, integer counts, ONE
+    division rounded 6dp).
+    """
+    if min_shared < 1:
+        raise ValueError(
+            f"chunk_dedup_pairs: min_shared must be >= 1, got {min_shared}")
+    if max_df < 2:
+        raise ValueError(
+            f"chunk_dedup_pairs: max_df must be >= 2, got {max_df}")
+    ch = cdc_chunks(docs, mod=mod, id_col=id_col, text_col=text_col)
+    per_doc = ch.select("id", "chunk_hash").distinct() \
+        .localCheckpoint(eager=True)
+    nch = per_doc.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
+    rare = (
+        per_doc.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df).select("chunk_hash")
+    )
+    keyed = per_doc.join(rare, "chunk_hash")
+    a = keyed.select(F.col("chunk_hash"), F.col("id").alias("id_a"))
+    b = keyed.select(F.col("chunk_hash"), F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, "chunk_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    na = nch.select(F.col("id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = nch.select(F.col("id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        pairs.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b", "shared",
+            F.round(F.col("shared").cast("double")
+                    / F.least("_na", "_nb").cast("double"), 6).alias("frac"),
+        )
+    )

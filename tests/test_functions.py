@@ -1425,3 +1425,25 @@ def test_cdc_chunks_edit_robustness_and_reassembly(spark):
     assert len(shared) >= len(ha) - 2, (len(ha), len(hb), len(shared))
     with pytest.raises(ValueError):
         cdc_chunks(docs, mod=1)
+
+
+def test_chunk_dedup_pairs_finds_edited_near_dup(spark):
+    import pytest
+    from combblas_spark.functions.dedup import chunk_dedup_pairs
+
+    words = [f"tok{i % 89}y{i % 11}" for i in range(300)]
+    orig = " ".join(words)
+    edited = " ".join(words[:5] + ["spliced", "in"] + words[5:])
+    unrelated = " ".join(f"zed{i}q{i % 7}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, orig), (2, edited), (3, unrelated)],
+        "doc_id long, text string")
+    rows = chunk_dedup_pairs(docs, mod=8, min_shared=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert (1, 2) in pairs          # the edit survives chunk-level dedup
+    assert pairs[(1, 2)]["frac"] > 0.5
+    assert all(3 not in p for p in pairs)  # unrelated doc pairs with no one
+    with pytest.raises(ValueError):
+        chunk_dedup_pairs(docs, min_shared=0)
+    with pytest.raises(ValueError):
+        chunk_dedup_pairs(docs, max_df=1)
