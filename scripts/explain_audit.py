@@ -424,6 +424,51 @@ def main() -> None:
         print(f"{name}: equi-joins + hash aggs, windows <= {win_ok} "
               "(all key-partitioned), no single-partition exchange, "
               "PYTHON-FREE (asserted)")
+
+    print("=== 18. round-4g ops: langid / fastrp superstep / louvain "
+          "contraction / phrase intersection / CDC chunking + dedup ===")
+    from combblas_spark.functions.text import lang_id_ngram, phrase_search
+    from combblas_spark.functions.dedup import cdc_chunks, chunk_dedup_pairs
+    from combblas_spark.algorithms.labelprop import (
+        greedy_modularity, _contract_weighted)
+    from combblas_spark.algorithms.embeddings import projection_entry
+
+    docs18 = spark.read.parquet(f"{sf}/documents.parquet").localCheckpoint()
+    lid = lang_id_ngram(docs18)
+    # one fastrp superstep shape: d-column inflow over broadcast state
+    st = vertices(g).select(
+        "id", *[projection_entry(F.col("id"), j, 17).alias(f"x{j}")
+                for j in range(4)]).localCheckpoint()
+    frp = (
+        g.join(F.broadcast(st.withColumnRenamed("id", "src")), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(*[F.sum(f"x{j}").alias(f"i{j}") for j in range(4)])
+    )
+    lvsym = g.select("src", "dst").where(F.col("src") != F.col("dst")) \
+        .distinct().withColumn("w", F.lit(1).cast("long")).localCheckpoint()
+    lab18 = greedy_modularity(g, n_rounds=1) \
+        .select("id", F.col("community").alias("c")).localCheckpoint()
+    lcon = _contract_weighted(lvsym, None, lab18)[0]
+    phr = phrase_search(docs18, "join part filter")
+    cdc = cdc_chunks(docs18, mod=16)
+    cdp = chunk_dedup_pairs(docs18, mod=16)
+    for name, df, win_ok in (("lang_id_ngram", lid, 0),
+                             ("fastrp_superstep", frp, 0),
+                             ("louvain_contract", lcon, 0),
+                             ("phrase_search", phr, 0),
+                             ("cdc_chunks", cdc, 0),
+                             ("chunk_dedup_pairs", cdp, 0)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert plan.count("Window") <= win_ok, (name, plan.count("Window"))
+        assert "Exchange SinglePartition" not in plan, \
+            f"{name}: global window/exchange\n{plan}"
+        assert all(m not in plan for m in
+                   ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "PythonRDD")), name
+        print(f"{name}: equi-joins + hash aggs, NO window, no "
+              "single-partition exchange, PYTHON-FREE (asserted)")
     spark.stop()
 
 
