@@ -6299,7 +6299,6 @@ def _louvain_sql(levels: int = LOUVAIN_LEVELS,
             ]
     # label composition: lift each vertex's level-1 label through the
     # higher levels, keeping the current label where a level dropped it
-    final = f"SELECT m.id, m.c AS community FROM lab1_{rounds} m"
     sel, frm = "m.c", f"lab1_{rounds} m"
     for L in range(2, levels + 1):
         frm += f" LEFT JOIN lab{L}_{rounds} l{L} ON l{L}.id = {sel}"

@@ -364,8 +364,10 @@ def robustness_curve(
     for lvl in sorted(levels):
         kept = edges.where((F.col("src") != F.col("dst")) & (h < lvl))
         pairs = kept.select(lo.alias("a"), hi.alias("b")).distinct()
-        ne = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-        if kept.limit(1).count() == 0:
+        # ONE action per level: the pair count doubles as the emptiness
+        # test and folds back in as a literal (no crossJoin stitch).
+        n_edges = pairs.count()
+        if n_edges == 0:
             comp = verts.select("id", F.col("id").alias("comp"))
         else:
             cc = connected_components(kept)
@@ -373,15 +375,13 @@ def robustness_curve(
                 verts.join(cc, "id", "left")
                 .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
             )
-        stats = (
+        row = (
             comp.groupBy("comp").agg(F.count(F.lit(1)).alias("_sz"))
             .agg(F.count(F.lit(1)).alias("n_components"),
                  F.max("_sz").alias("giant_size"))
-        )
-        row = (
-            stats.crossJoin(F.broadcast(ne))
             .select(F.lit(lvl).cast("long").alias("keep_permille"),
-                    "n_edges", "n_components", "giant_size")
+                    F.lit(n_edges).cast("long").alias("n_edges"),
+                    "n_components", "giant_size")
         )
         out = row if out is None else out.unionByName(row)
     result = out.localCheckpoint(eager=True)

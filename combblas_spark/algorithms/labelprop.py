@@ -246,6 +246,17 @@ def greedy_modularity(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
     Louvain literature (it can oscillate on bipartite-ish structure,
     which fixed n_rounds bounds).
     """
+    sym, m = _unit_sym(edges)
+    labels = _modularity_local_phase(sym, None, m, n_rounds)
+    sym.unpersist()
+    return labels.select("id", F.col("c").alias("community"))
+
+
+def _unit_sym(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Loop-free symmetric unit-weight graph (src, dst, w=1) persisted,
+    plus total edge weight m — the ONE construction rule shared by
+    greedy_modularity and louvain level 1 (their equivalence test
+    depends on it not drifting)."""
     fwd = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     sym = (
         fwd.unionByName(fwd.select(F.col("dst").alias("src"),
@@ -255,9 +266,7 @@ def greedy_modularity(edges: DataFrame, n_rounds: int = 2) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     m = sym.count() // 2
-    labels = _modularity_local_phase(sym, None, m, n_rounds)
-    sym.unpersist()
-    return labels.select("id", F.col("c").alias("community"))
+    return sym, m
 
 
 def _modularity_local_phase(
@@ -454,15 +463,7 @@ def louvain(edges: DataFrame, n_levels: int = 2, n_rounds: int = 2) -> DataFrame
     """
     if n_levels < 1:
         raise ValueError(f"louvain: n_levels must be >= 1, got {n_levels}")
-    fwd = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    sym = (
-        fwd.unionByName(fwd.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
-        .distinct()
-        .withColumn("w", F.lit(1).cast("long"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    m_total = sym.count() // 2
+    sym, m_total = _unit_sym(edges)
     loops: DataFrame | None = None
     mapping: DataFrame | None = None
     for lvl in range(n_levels):
