@@ -1069,6 +1069,34 @@ def _cdc_chunks_sql(mod: int = CDC_MOD) -> str:
             "SELECT id, chunk_idx, chunk_hash, n_tokens FROM chunks")
 
 
+def q_readability(spark, sf):
+    """Flesch reading ease from integer counts (sentence runs, word
+    tokens, vowel-run syllable proxy); identical IEEE composition both
+    engines, rounded 6dp."""
+    from combblas_spark.functions.text import readability
+
+    return readability(_docs(spark, sf))
+
+
+def _readability_sql() -> str:
+    """Twin of q_readability. ::DOUBLE on every literal (bare decimals
+    are DECIMAL in DuckDB — the katz lesson)."""
+    return """WITH c AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS nw,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+  FROM documents)
+SELECT doc_id AS id, CAST(nw AS BIGINT) AS n_words,
+       CAST(ns AS BIGINT) AS n_sentences, CAST(sy AS BIGINT) AS n_syllables,
+       CASE WHEN nw > 0 THEN ROUND(206.835::DOUBLE
+            - 1.015::DOUBLE * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+            - 84.6::DOUBLE * (CAST(sy AS DOUBLE) / CAST(nw AS DOUBLE)), 6)
+       END AS flesch
+FROM c"""
+
+
 def q_chunk_dedup(spark, sf):
     """Chunk-level near-dup pairs over the CDC chunking: docs sharing
     >=2 distinct chunk hashes (df-capped join key), containment frac =
@@ -4034,6 +4062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustness": q_robustness,
         "topic_hits": q_topic_hits,
         "chunk_dedup": q_chunk_dedup,
+        "louvain_weighted": q_louvain_weighted,
+        "readability": q_readability,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -5034,6 +5064,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["robustness"] = _robustness_sql()
     sqls["topic_hits"] = _topic_hits_sql()
     sqls["chunk_dedup"] = _chunk_dedup_sql()
+    sqls["louvain_weighted"] = _louvain_sql(weighted=True)
+    sqls["readability"] = _readability_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
@@ -6226,20 +6258,45 @@ def q_louvain(spark, sf):
                    n_levels=LOUVAIN_LEVELS, n_rounds=GREEDY_MOD_ROUNDS)
 
 
+def q_louvain_weighted(spark, sf):
+    """Weighted multi-level Louvain on the thinned events MULTIGRAPH:
+    level-1 weights are the parallel-edge multiplicities (val), so
+    heavily-repeated links pull harder than single links."""
+    from combblas_spark.algorithms.labelprop import louvain
+
+    return louvain(_thin_edges(events_graph(spark, sf)),
+                   n_levels=LOUVAIN_LEVELS, n_rounds=GREEDY_MOD_ROUNDS,
+                   weighted=True)
+
+
 def _louvain_sql(levels: int = LOUVAIN_LEVELS,
-                 rounds: int = GREEDY_MOD_ROUNDS) -> str:
-    """Twin of q_louvain: the weighted local-phase chain unrolled per
-    level with the SAME score composition as _greedy_modularity_ctes,
-    plus the contraction CTEs (symmetric inter-community sum(w), /2
-    internal weight + prior loops) and the final label composition."""
+                 rounds: int = GREEDY_MOD_ROUNDS,
+                 weighted: bool = False) -> str:
+    """Twin of q_louvain / q_louvain_weighted: the weighted local-phase
+    chain unrolled per level with the SAME score composition as
+    _greedy_modularity_ctes, plus the contraction CTEs (symmetric
+    inter-community sum(w), /2 internal weight + prior loops) and the
+    final label composition. ``weighted`` switches ONLY the level-1
+    construction: undirected weight = summed val over both directions
+    (the multigraph multiplicity) instead of 1 per distinct pair."""
     score = ("CAST(2 * mm.m AS DOUBLE) * CAST({k} AS DOUBLE)"
              " - CAST(d.deg AS DOUBLE) * CAST({st} AS DOUBLE)")
+    if weighted:
+        sym1 = (
+            "und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,"
+            " CAST(sum(val) AS BIGINT) AS w FROM edges WHERE src <> dst"
+            " GROUP BY a, b),"
+            " sym1 AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM und"
+            " UNION ALL SELECT b, a, w FROM und)")
+    else:
+        sym1 = (
+            "fwd AS (SELECT src, dst FROM edges WHERE src <> dst),"
+            " sym1 AS MATERIALIZED (SELECT src, dst, 1::BIGINT AS w FROM"
+            " (SELECT DISTINCT src, dst FROM"
+            " (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)))")
     ctes = [
         f"edges AS (SELECT * FROM ({EDGES}) WHERE {_THIN_PRED})",
-        "fwd AS (SELECT src, dst FROM edges WHERE src <> dst)",
-        "sym1 AS MATERIALIZED (SELECT src, dst, 1::BIGINT AS w FROM"
-        " (SELECT DISTINCT src, dst FROM"
-        " (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)))",
+        sym1,
         # 2m is GLOBAL (contraction preserves total weight): level-1 sum
         "mm AS (SELECT CAST(sum(w) / 2 AS BIGINT) AS m FROM sym1)",
         "lp1 AS (SELECT DISTINCT src AS id, 0::BIGINT AS lw FROM sym1)",

@@ -269,6 +269,24 @@ def _unit_sym(edges: DataFrame) -> tuple[DataFrame, int]:
     return sym, m
 
 
+def _weighted_sym(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Weighted twin of _unit_sym: undirected weight of {a, b} is the
+    summed integer ``val`` over both directions; returns the symmetric
+    loop-free (src, dst, w) persisted plus m = total edge weight."""
+    fwd = edges.where(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"),
+        F.col("val").cast("long").alias("w"))
+    und = fwd.groupBy("a", "b").agg(F.sum("w").alias("w"))
+    sym = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(und.select(F.col("b").alias("src"),
+                                F.col("a").alias("dst"), "w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    m = (sym.agg(F.sum("w")).collect()[0][0] or 0) // 2
+    return sym, m
+
+
 def _modularity_local_phase(
     sym: DataFrame,
     loops: DataFrame | None,
@@ -438,7 +456,8 @@ def _contract_weighted(
     return nsym, nloops
 
 
-def louvain(edges: DataFrame, n_levels: int = 2, n_rounds: int = 2) -> DataFrame:
+def louvain(edges: DataFrame, n_levels: int = 2, n_rounds: int = 2,
+            weighted: bool = False) -> DataFrame:
     """Multi-level Louvain (Blondel et al. 2008): alternate the
     synchronous local-move phase with community contraction —
     level 1 runs greedy modularity moves on the unit-weight simple
@@ -463,7 +482,11 @@ def louvain(edges: DataFrame, n_levels: int = 2, n_rounds: int = 2) -> DataFrame
     """
     if n_levels < 1:
         raise ValueError(f"louvain: n_levels must be >= 1, got {n_levels}")
-    sym, m_total = _unit_sym(edges)
+    # weighted=True reads integer edge weights from ``val`` (the
+    # multigraph multiplicity events_graph sums into val): undirected
+    # weight of {a,b} = val(a->b) + val(b->a). The local phase is
+    # weight-generic already — only level-1 construction differs.
+    sym, m_total = _weighted_sym(edges) if weighted else _unit_sym(edges)
     loops: DataFrame | None = None
     mapping: DataFrame | None = None
     for lvl in range(n_levels):

@@ -708,3 +708,39 @@ def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
     return base.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("p0").alias("first_pos"))
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease scoring from integer counts: sentences =
+    runs of [.!?], words = word_tokens, syllables = vowel-runs
+    ([aeiouy]+) — the classic proxy; score = 206.835 - 1.015 * (words /
+    sentences) - 84.6 * (syllables / words), composed with identical
+    IEEE double ops in both engines and rounded 6dp (the
+    greedy-modularity bit-portability precedent: integer moments, one
+    fixed float composition). Zero-sentence docs count as one sentence
+    (an unpunctuated doc is one long sentence); zero-word docs score
+    NULL (nothing to read). Returns (id, n_words, n_sentences,
+    n_syllables, flesch).
+
+    Scale shape: three regexp_extract_all counts per row, one
+    projection — no explode, no shuffle at all.
+    """
+    t = F.col(text_col)
+    n_words = F.size(word_tokens(t))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))), F.lit(1))
+    n_syll = F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"),
+                                         F.lit(0)))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.when(n_words > 0, F.round(flesch, 6)).alias("flesch"),
+    )

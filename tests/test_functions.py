@@ -1447,3 +1447,48 @@ def test_chunk_dedup_pairs_finds_edited_near_dup(spark):
         chunk_dedup_pairs(docs, min_shared=0)
     with pytest.raises(ValueError):
         chunk_dedup_pairs(docs, max_df=1)
+
+
+def test_readability_counts_and_score(spark):
+    from combblas_spark.functions.text import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran! Did it rain?"),
+            (2, "no punctuation here at all"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string")
+    got = {r["id"]: r for r in readability(docs).collect()}
+    r1 = got[1]
+    assert r1["n_sentences"] == 3 and r1["n_words"] == 9
+    # vowel runs: the(1) cat(1) sat(1) the(1) dog(1) ran(1) did(1) it(1) rain(1-run "ai") = 9
+    assert r1["n_syllables"] == 9
+    expected = 206.835 - 1.015 * (9 / 3) - 84.6 * (9 / 9)
+    assert abs(r1["flesch"] - round(expected, 6)) < 1e-9
+    assert got[2]["n_sentences"] == 1  # unpunctuated = one sentence
+    assert got[3]["flesch"] is None and got[3]["n_words"] == 0
+    assert got[4]["flesch"] is None
+
+
+def test_louvain_weighted_respects_multiplicity(spark):
+    from combblas_spark.algorithms.labelprop import louvain
+
+    # star: center 100 with unit edges to 1,2,3 and ONE w=10 edge to 9.
+    # Unweighted (val ignored): all candidate scores tie at 2m*1 -
+    # deg*1, tiebreak to the smallest community -> center joins c1.
+    # Weighted: the heavy edge dominates (2m*10 - deg*deg(9)) ->
+    # center joins c9. One synchronous round isolates the decision
+    # (the synchronous variant oscillates on symmetric pairs, so we
+    # assert the move rule, not a converged partition).
+    edges = spark.createDataFrame(
+        [(100, 1, 1.0), (100, 2, 1.0), (100, 3, 1.0), (100, 9, 10.0)],
+        "src long, dst long, val double")
+    unw = {r["id"]: r["community"]
+           for r in louvain(edges, n_levels=1, n_rounds=1).collect()}
+    wtd = {r["id"]: r["community"]
+           for r in louvain(edges, n_levels=1, n_rounds=1,
+                            weighted=True).collect()}
+    assert unw[100] == 1
+    assert wtd[100] == 9
