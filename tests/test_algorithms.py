@@ -3170,3 +3170,54 @@ def test_topic_hits_base_set_restriction(spark):
     assert capped == {0, 1, 4}
     with pytest.raises(ValueError):
         topic_hits(edges, n_roots=0)
+
+
+def test_seventh_session_ops_partition_invariance(spark):
+    """This session's new operators are partitioning-invariant:
+    identical rows regardless of how the input is partitioned (the
+    determinism contract the north rule's resumability rests on)."""
+    from pyspark.sql import functions as F
+    from combblas_spark.algorithms.embeddings import fastrp
+    from combblas_spark.algorithms.labelprop import louvain
+    from combblas_spark.algorithms.components import robustness_curve
+    from combblas_spark.algorithms.hits import topic_hits
+
+    E = [(i, (i * 7 + 3) % 23) for i in range(60) if i != (i * 7 + 3) % 23]
+    e1 = df_edges(spark, E)
+    e2 = e1.repartition(11)
+    for name, fn in (
+        ("fastrp", lambda d: fastrp(d, d=4, n_iter=2)),
+        ("louvain", lambda d: louvain(d, n_levels=2, n_rounds=2)),
+        ("louvain_weighted", lambda d: louvain(d, n_levels=2, n_rounds=1,
+                                               weighted=True)),
+        ("robustness", lambda d: robustness_curve(d, levels=(300, 700))),
+        ("topic_hits", lambda d: topic_hits(d, n_roots=2, d=5, n_iter=2)
+         .select("id", F.round("hub", 6).alias("h"),
+                 F.round("auth", 6).alias("a"))),
+    ):
+        a = sorted(map(tuple, fn(e1).collect()))
+        b = sorted(map(tuple, fn(e2).collect()))
+        assert a == b and a, name
+
+
+def test_seventh_session_text_ops_partition_invariance(spark):
+    from combblas_spark.functions.text import (lang_id_ngram, phrase_search,
+                                               readability)
+    from combblas_spark.functions.dedup import cdc_chunks, chunk_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * j + j) % 13}tok" for j in range(40))
+          + (" the rain in spain." if i % 3 == 0 else " und der wind."))
+         for i in range(12)],
+        "doc_id long, text string")
+    d2 = docs.repartition(5)
+    for name, fn in (
+        ("lang_id_ngram", lang_id_ngram),
+        ("phrase_search", lambda d: phrase_search(d, "the rain")),
+        ("readability", readability),
+        ("cdc_chunks", lambda d: cdc_chunks(d, mod=8)),
+        ("chunk_dedup", lambda d: chunk_dedup_pairs(d, mod=8, min_shared=1)),
+    ):
+        a = sorted(map(tuple, fn(docs).collect()))
+        b = sorted(map(tuple, fn(d2).collect()))
+        assert a == b and a, name
