@@ -4064,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "louvain_weighted": q_louvain_weighted,
         "readability": q_readability,
+        "rank_delta": q_rank_delta,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -5066,6 +5067,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["chunk_dedup"] = _chunk_dedup_sql()
     sqls["louvain_weighted"] = _louvain_sql(weighted=True)
     sqls["readability"] = _readability_sql()
+    sqls["rank_delta"] = _rank_delta_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
@@ -7028,6 +7030,51 @@ def _pagerank_incremental_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id, ROUND(pr, 6) AS \"rank\" FROM n_r{PR_INC_NEW}"
+    )
+
+
+RANK_DELTA_ITERS = 6
+
+
+def q_rank_delta(spark, sf):
+    """Trending pages: PageRank of the parity-snapshot crawl vs the
+    full crawl, per-page rank movement (the 'what rose since the last
+    crawl' query). Deltas are taken between ROUNDED ranks (the
+    textrank lesson — full-precision ranks carry cross-engine
+    summation-order ulps); pages new in this crawl count a 0.0 old
+    rank."""
+    g_old = events_graph(spark, sf, pred=F.col("event_id") % 2 == 0)
+    r_old = pagerank(g_old, alpha=ALPHA, n_iter=RANK_DELTA_ITERS)
+    g_new = events_graph(spark, sf)
+    r_new = pagerank(g_new, alpha=ALPHA, n_iter=RANK_DELTA_ITERS)
+    ro = F.round(F.coalesce("rank_old", F.lit(0.0)), 6)
+    rn = F.round("rank", 6)
+    return (
+        r_new.join(r_old.select(F.col("id"),
+                                F.col("rank").alias("rank_old")),
+                   "id", "left")
+        .select("id", ro.alias("rank_old"), rn.alias("rank_new"),
+                F.round(rn - ro, 6).alias("delta"))
+    )
+
+
+def _rank_delta_sql() -> str:
+    """Twin of q_rank_delta: two namespaced _pr_chain_ctes unrolls +
+    the same rounded-difference join."""
+    old_e = events_graph_sql(with_val=False, pred="event_id % 2 = 0")
+    ctes = (
+        _pr_chain_ctes(RANK_DELTA_ITERS, ALPHA, old_e, prefix="o_")
+        + _pr_chain_ctes(RANK_DELTA_ITERS, ALPHA,
+                         events_graph_sql(with_val=False), prefix="n_")
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT n.id, ROUND(coalesce(o.pr, 0.0::DOUBLE), 6) AS rank_old,
+       ROUND(n.pr, 6) AS rank_new,
+       ROUND(ROUND(n.pr, 6) - ROUND(coalesce(o.pr, 0.0::DOUBLE), 6), 6)
+         AS delta
+FROM n_r{RANK_DELTA_ITERS} n
+LEFT JOIN o_r{RANK_DELTA_ITERS} o ON o.id = n.id"""
     )
 
 
