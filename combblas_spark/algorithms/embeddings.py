@@ -22,10 +22,10 @@ rationals (1/3...); normalize at readout if cosine geometry is needed
 (`l2_normalized=True` divides by the row norm once, rounded 6dp).
 
 Magnitude bound: |e_j(v)| <= sum_k 2^{K-k} D^k for max in-degree D —
-at K=3, D up to ~10^5 stays inside int64 with 400x headroom; raise
-`max_degree_check` concerns at K>=5 on hub-heavy graphs (documented,
-not silently wrapped: Spark would overflow silently, DuckDB raises —
-the same divergence events_graph guards against).
+at K=3, D up to ~10^5 stays inside int64 with 400x headroom. At K>=5
+on hub-heavy graphs, check the bound before running: Spark would wrap
+silently where DuckDB raises (the engine/oracle divergence class
+events_graph guards against with its mod-before-multiply rule).
 """
 
 from __future__ import annotations
