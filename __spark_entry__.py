@@ -2509,6 +2509,66 @@ def q_closeness(spark, sf):
                       F.round("closeness", 6).alias("closeness"))
 
 
+LM_N = 4
+LM_MAX_ID = 30
+
+
+def q_landmarks(spark, sf):
+    """Landmark distance sketch: batched BFS from the 4 highest-degree
+    vertices (undirected) — the precomputed table for constant-time
+    distance estimation."""
+    from combblas_spark.algorithms.closeness import landmark_distances
+
+    return landmark_distances(events_graph(spark, sf), n_landmarks=LM_N)
+
+
+def q_landmark_est(spark, sf):
+    """Point-to-point distance estimates from the landmark sketch:
+    min over landmarks of d(u,lm)+d(lm,v) for the id<=30 query batch —
+    one sketch self-join, the graph untouched."""
+    from combblas_spark.algorithms.closeness import (landmark_distances,
+                                                     landmark_estimate)
+
+    sk = landmark_distances(events_graph(spark, sf), n_landmarks=LM_N)
+    return landmark_estimate(sk, max_id=LM_MAX_ID)
+
+
+def _landmark_ctes(n: int = LM_N) -> list[str]:
+    """Shared CTEs: degree-ranked landmark pick + recursive undirected
+    BFS closure -> sketch(lm, id, dist)."""
+    return [
+        f"edges AS ({EDGES})",
+        "pairs AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst"
+        " FROM pairs UNION SELECT dst, src FROM pairs))",
+        "deg AS (SELECT src AS id, count(*) AS c FROM sym GROUP BY src)",
+        f"lms AS (SELECT id FROM (SELECT id, row_number() OVER"
+        f" (ORDER BY c DESC, id ASC) AS rn FROM deg) WHERE rn <= {n})",
+        "walk(lm, id, lvl) AS (SELECT id, id, 0 FROM lms UNION"
+        " SELECT w.lm, s.dst, w.lvl + 1 FROM walk w"
+        " JOIN sym s ON s.src = w.id WHERE w.lvl < 40)",
+        "sketch AS (SELECT lm, id, CAST(min(lvl) AS BIGINT) AS dist"
+        " FROM walk GROUP BY lm, id)",
+    ]
+
+
+def _landmarks_sql(n: int = LM_N) -> str:
+    """Twin of q_landmarks."""
+    return ("WITH RECURSIVE " + ",\n".join(_landmark_ctes(n))
+            + "\nSELECT lm, id, dist FROM sketch")
+
+
+def _landmark_est_sql(n: int = LM_N, max_id: int = LM_MAX_ID) -> str:
+    """Twin of q_landmark_est: same sketch, same self-join + min."""
+    return ("WITH RECURSIVE " + ",\n".join(_landmark_ctes(n)) + f"""
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(min(a.dist + b.dist) AS BIGINT) AS est
+FROM (SELECT * FROM sketch WHERE id <= {max_id}) a
+JOIN (SELECT * FROM sketch WHERE id <= {max_id}) b
+  ON b.lm = a.lm AND a.id < b.id
+GROUP BY a.id, b.id""")
+
+
 def _closeness_sql(rounds: int = CLOSE_ROUNDS) -> str:
     """Unrolled batched-BFS twin of q_closeness (rounds past the
     diameter are no-ops)."""
@@ -4065,6 +4125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_weighted": q_louvain_weighted,
         "readability": q_readability,
         "rank_delta": q_rank_delta,
+        "landmarks": q_landmarks,
+        "landmark_est": q_landmark_est,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -5068,6 +5130,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["louvain_weighted"] = _louvain_sql(weighted=True)
     sqls["readability"] = _readability_sql()
     sqls["rank_delta"] = _rank_delta_sql()
+    sqls["landmarks"] = _landmarks_sql()
+    sqls["landmark_est"] = _landmark_est_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

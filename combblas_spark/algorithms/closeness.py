@@ -27,13 +27,17 @@ from combblas_spark.graph import vertices
 from combblas_spark.runtime.plans import superstep_checkpoint
 
 
-def closeness_centrality(
+def multi_source_levels(
     edges: DataFrame,
     roots: list[int] | None = None,
     directed: bool = True,
 ) -> DataFrame:
-    """Returns (id, harmonic, closeness) for every root (roots=None ->
-    every vertex; exact centrality)."""
+    """Batched multi-root BFS levels: one (root, id, level) row per
+    (root, reached vertex) — the wave loop shared by
+    closeness_centrality and landmark_distances (identical shape to
+    betweenness's forward pass; all roots' waves ride ONE join +
+    dedup + anti-join per depth). roots=None starts a wave from every
+    vertex."""
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
@@ -44,9 +48,8 @@ def closeness_centrality(
     e = e.repartition(shuffle_n, "src").persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
 
-    verts = vertices(edges).localCheckpoint(eager=True)
     if roots is None:
-        fr0 = verts.select(F.col("id").alias("root"), F.col("id"))
+        fr0 = vertices(edges).select(F.col("id").alias("root"), F.col("id"))
     else:
         fr0 = spark.createDataFrame(
             [(int(r), int(r)) for r in roots], "root long, id long")
@@ -68,6 +71,24 @@ def closeness_centrality(
         levels = levels.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
         depth += 1
+    e.unpersist()
+    return levels
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    roots: list[int] | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Returns (id, harmonic, closeness) for every root (roots=None ->
+    every vertex; exact centrality)."""
+    verts = vertices(edges).localCheckpoint(eager=True)
+    if roots is None:
+        fr0 = verts.select(F.col("id").alias("root"), F.col("id"))
+    else:
+        fr0 = edges.sparkSession.createDataFrame(
+            [(int(r), int(r)) for r in roots], "root long, id long")
+    levels = multi_source_levels(edges, roots, directed)
 
     scores = (
         levels.groupBy("root")
@@ -97,7 +118,6 @@ def closeness_centrality(
         F.coalesce("closeness", F.lit(0.0)).alias("closeness"),
     )
     out = out.localCheckpoint(eager=True)
-    e.unpersist()
     return out
 
 
@@ -141,4 +161,63 @@ def diameter_double_sweep(edges: DataFrame) -> DataFrame:
             F.lit(int(far["level"])).cast("long").alias("ecc_root"),
             F.col("diameter_lb").cast("long").alias("diameter_lb"),
         )
+    )
+
+
+def landmark_distances(
+    edges: DataFrame,
+    n_landmarks: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Landmark distance sketch (Potamias et al. CIKM'09): BFS levels
+    from the ``n_landmarks`` highest-degree vertices (degree-ranked
+    selection is the paper's best practical heuristic; ties to the
+    smaller id) — the precomputed table behind constant-time
+    point-to-point distance ESTIMATION on web graphs, where exact
+    all-pairs is out of the question. Returns (lm, id, dist) for every
+    vertex reached from each landmark.
+
+    Scale shape: landmark pick = TakeOrdered over the degree aggregate
+    (n rows to the driver — the same sanctioned scalar read as BFS
+    roots); then ONE batched multi-root BFS (all landmarks' waves ride
+    the same join per depth — multi_source_levels). Sketch size is
+    n_landmarks x |V| rows, the product you materialize and
+    equi-join at query time.
+    """
+    if n_landmarks < 1:
+        raise ValueError(
+            f"landmark_distances: n_landmarks must be >= 1, got {n_landmarks}")
+    pairs = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("c"))
+    lms = [r["id"] for r in
+           deg.orderBy(F.desc("c"), F.asc("id")).limit(n_landmarks).collect()]
+    levels = multi_source_levels(edges, lms, directed=directed)
+    return levels.select(F.col("root").alias("lm"), "id",
+                         F.col("level").cast("long").alias("dist"))
+
+
+def landmark_estimate(sketch: DataFrame, max_id: int | None = None) -> DataFrame:
+    """Point-to-point distance estimates from a landmark sketch:
+    est(u, v) = min over landmarks (dist(u, lm) + dist(lm, v)) — an
+    UPPER bound on the true distance (exact when a shortest path
+    passes a landmark, or an endpoint is one). ``max_id`` bounds the
+    query set (id_a < id_b <= max_id) so the output is pair-sized, the
+    caller's query-batch pattern. Returns (id_a, id_b, est).
+
+    Scale shape: one self-equi-join of the (pre-filtered) sketch on
+    the landmark key + a map-side-combinable min — never touches the
+    graph again; that is the whole point of the sketch.
+    """
+    s = sketch if max_id is None else sketch.where(F.col("id") <= max_id)
+    a = s.select("lm", F.col("id").alias("id_a"), F.col("dist").alias("_da"))
+    b = s.select("lm", F.col("id").alias("id_b"), F.col("dist").alias("_db"))
+    return (
+        a.join(b, "lm")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min(F.col("_da") + F.col("_db")).cast("long").alias("est"))
     )

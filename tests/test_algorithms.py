@@ -3221,3 +3221,29 @@ def test_seventh_session_text_ops_partition_invariance(spark):
         a = sorted(map(tuple, fn(docs).collect()))
         b = sorted(map(tuple, fn(d2).collect()))
         assert a == b and a, name
+
+
+def test_landmark_distances_and_estimate(spark):
+    import pytest
+    from combblas_spark.algorithms.closeness import (landmark_distances,
+                                                     landmark_estimate)
+
+    # path 0-1-2-3-4 plus hub 2 connected to 5,6: top-degree landmark is 2
+    E = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 5), (2, 6)]
+    sk = landmark_distances(df_edges(spark, E), n_landmarks=1)
+    rows = {(r["lm"], r["id"]): r["dist"] for r in sk.collect()}
+    assert all(lm == 2 for lm, _ in rows)          # hub picked
+    assert rows[(2, 2)] == 0 and rows[(2, 0)] == 2 and rows[(2, 4)] == 2
+    # estimate = d(u,2)+d(2,v): upper bound, exact through the landmark
+    est = {(r["id_a"], r["id_b"]): r["est"]
+           for r in landmark_estimate(sk).collect()}
+    assert est[(0, 4)] == 4          # true distance 4, path passes lm
+    assert est[(3, 4)] == 3          # true 1 — upper bound via lm (1+2)
+    assert est[(0, 4)] >= 4          # never an underestimate
+    # two landmarks tighten: add landmark 3 (or tie-broken pick)
+    sk2 = landmark_distances(df_edges(spark, E), n_landmarks=3)
+    est2 = {(r["id_a"], r["id_b"]): r["est"]
+            for r in landmark_estimate(sk2).collect()}
+    assert est2[(3, 4)] <= est[(3, 4)]   # more landmarks never worsen
+    with pytest.raises(ValueError):
+        landmark_distances(df_edges(spark, E), n_landmarks=0)
