@@ -4127,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_delta": q_rank_delta,
         "landmarks": q_landmarks,
         "landmark_est": q_landmark_est,
+        "path_rollup": q_path_rollup,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -5132,6 +5133,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["rank_delta"] = _rank_delta_sql()
     sqls["landmarks"] = _landmarks_sql()
     sqls["landmark_est"] = _landmark_est_sql()
+    sqls["path_rollup"] = _path_rollup_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
@@ -6720,6 +6722,41 @@ def _weighted_sample_sql() -> str:
 FROM documents
 WHERE CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
   < least(greatest(CAST(len(string_split(text, ' ')) AS DOUBLE) / {WSAMPLE_DIV}, 0.0), 1.0) * 4294967296.0"""
+
+
+def q_path_rollup(spark, sf):
+    """URL path-hierarchy rollup over deterministic 3-level site URLs:
+    page counts per (host, path-prefix) subtree up to depth 3."""
+    from combblas_spark.functions.urls import path_rollup
+
+    i = F.col("id")
+    raw = spark.range(PAGES_N).select(
+        F.concat(F.lit("https://site"), i % 10, F.lit(".example/sec"),
+                 i % 3, F.lit("/sub"), i % 7, F.lit("/page"), i).alias("url"))
+    return path_rollup(raw, max_depth=3)
+
+
+def _path_rollup_sql(n: int = PAGES_N) -> str:
+    """Twin of q_path_rollup: same URL synthesis, same prefix fan-out
+    (generate_series over segment counts) + groupBy."""
+    return f"""WITH raw AS (
+  SELECT 'https://site' || (i % 10) || '.example/sec' || (i % 3)
+         || '/sub' || (i % 7) || '/page' || i AS url
+  FROM range(0, {n}) t(i)),
+parts AS (
+  SELECT lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+         list_filter(string_split(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '/'),
+           x -> x <> '') AS segs
+  FROM raw),
+pref AS (
+  SELECT host, CAST(d AS BIGINT) AS depth,
+         array_to_string(segs[1:CAST(d AS INT)], '/') AS prefix
+  FROM (SELECT * FROM parts WHERE len(segs) >= 1),
+       unnest(generate_series(1, least(len(segs), 3))) AS s(d))
+SELECT host, depth, prefix, count(*) AS n_pages
+FROM pref GROUP BY host, depth, prefix"""
 
 
 def q_host_cap(spark, sf):

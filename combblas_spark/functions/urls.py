@@ -117,3 +117,43 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 16) -> DataFrame:
         .select("id", F.col("t").alias("target"),
                 F.coalesce("_l", F.lit(False)).alias("looped"))
     )
+
+
+def path_rollup(df: DataFrame, url_col: str = "url",
+                max_depth: int = 5) -> DataFrame:
+    """URL path-hierarchy rollup — page counts per (host, path-prefix)
+    subtree, the crawl-analytics view behind 'which sections of this
+    site did we crawl and how deep': every page contributes one count
+    to each of its path prefixes up to ``max_depth`` segments.
+    Returns (host, depth, prefix, n_pages) where prefix is the
+    slash-joined first ``depth`` segments.
+
+    Scale shape: host/path split is a codegen projection; the prefix
+    fan-out is ≤ max_depth rows per page (array-side transform over a
+    MATERIALIZED segment column — the per-element re-evaluation
+    lesson), collapsed by one map-side-combinable groupBy. No window,
+    no Python.
+    """
+    if max_depth < 1:
+        raise ValueError(f"path_rollup: max_depth must be >= 1, got {max_depth}")
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    path = F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    staged = df.select(
+        host.alias("host"),
+        F.filter(F.split(path, "/"), lambda s: s != F.lit("")).alias("_segs"),
+    )
+    segs = F.col("_segs")
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.least(F.size(segs), F.lit(max_depth))),
+        lambda d: F.struct(
+            d.cast("long").alias("depth"),
+            F.array_join(F.slice(segs, 1, d), "/").alias("prefix"),
+        ),
+    )
+    return (
+        staged.where(F.size(segs) >= 1)
+        .select("host", F.explode(prefixes).alias("p"))
+        .groupBy("host", "p.depth", "p.prefix")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )

@@ -1492,3 +1492,26 @@ def test_louvain_weighted_respects_multiplicity(spark):
                             weighted=True).collect()}
     assert unw[100] == 1
     assert wtd[100] == 9
+
+
+def test_path_rollup_hierarchy(spark):
+    import pytest
+    from combblas_spark.functions.urls import path_rollup
+
+    df = spark.createDataFrame(
+        [("https://A.example/a/b/c?x=1",),
+         ("https://a.example/a/b/d",),
+         ("https://a.example/a/e",),
+         ("https://b.example/",),          # no path segments -> no rows
+         ("https://a.example/a/b/c/d/e/f",)],  # deeper than max_depth
+        "url string")
+    rows = {(r["host"], r["depth"], r["prefix"]): r["n_pages"]
+            for r in path_rollup(df, max_depth=3).collect()}
+    assert rows[("a.example", 1, "a")] == 4       # host lowercased, all under /a
+    assert rows[("a.example", 2, "a/b")] == 3
+    assert rows[("a.example", 3, "a/b/c")] == 2   # query stripped; deep page truncated
+    assert rows[("a.example", 2, "a/e")] == 1
+    assert not any(h == "b.example" for h, _, _ in rows)
+    assert not any(d > 3 for _, d, _ in rows)
+    with pytest.raises(ValueError):
+        path_rollup(df, max_depth=0)
