@@ -4128,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmarks": q_landmarks,
         "landmark_est": q_landmark_est,
         "path_rollup": q_path_rollup,
+        "mirror_hosts": q_mirror_hosts,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -5134,6 +5135,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["landmarks"] = _landmarks_sql()
     sqls["landmark_est"] = _landmark_est_sql()
     sqls["path_rollup"] = _path_rollup_sql()
+    sqls["mirror_hosts"] = _mirror_hosts_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
@@ -6757,6 +6759,49 @@ pref AS (
        unnest(generate_series(1, least(len(segs), 3))) AS s(d))
 SELECT host, depth, prefix, count(*) AS n_pages
 FROM pref GROUP BY host, depth, prefix"""
+
+
+def q_mirror_hosts(spark, sf):
+    """Mirror-site detection over a deterministic 6-host fixture where
+    content key i%55 recurs across hosts (gcd(55,6)=1 -> cross-host
+    repeats): host pairs sharing >=2 identical page fingerprints."""
+    from combblas_spark.functions.urls import mirror_hosts
+
+    i = F.col("id")
+    pages = spark.range(PAGES_N).select(
+        F.concat(F.lit("https://site"), i % 6, F.lit(".example/p/"), i)
+         .alias("url"),
+        F.concat(F.lit("shared content block "), i % 55).alias("text"),
+    )
+    return mirror_hosts(pages, min_shared=2)
+
+
+def _mirror_hosts_sql(n: int = PAGES_N, min_shared: int = 2,
+                      max_df: int = 16) -> str:
+    """Twin of q_mirror_hosts: same fixture, same fingerprint rule
+    (md5 of normalized text), same df-capped pair join."""
+    return f"""WITH pages AS (
+  SELECT 'https://site' || (i % 6) || '.example/p/' || i AS url,
+         'shared content block ' || (i % 55) AS text
+  FROM range(0, {n}) t(i)),
+hf AS (SELECT DISTINCT
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+           AS host,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       FROM pages),
+nh AS (SELECT host, count(*) AS n FROM hf GROUP BY host),
+rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM hf GROUP BY fp)
+         WHERE df <= {max_df}),
+keyed AS (SELECT h.host, h.fp FROM hf h JOIN rare r ON r.fp = h.fp),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS shared
+  FROM keyed a JOIN keyed b ON b.fp = a.fp AND a.host < b.host
+  GROUP BY a.host, b.host HAVING count(*) >= {min_shared})
+SELECT p.host_a, p.host_b, p.shared,
+       ROUND(CAST(p.shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE), 6)
+         AS frac
+FROM pairs p JOIN nh na ON na.host = p.host_a
+JOIN nh nb ON nb.host = p.host_b"""
 
 
 def q_host_cap(spark, sf):

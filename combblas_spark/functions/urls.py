@@ -157,3 +157,56 @@ def path_rollup(df: DataFrame, url_col: str = "url",
         .groupBy("host", "p.depth", "p.prefix")
         .agg(F.count(F.lit(1)).alias("n_pages"))
     )
+
+
+def mirror_hosts(pages: DataFrame, url_col: str = "url",
+                 text_col: str = "text", min_shared: int = 2,
+                 max_df: int = 16) -> DataFrame:
+    """Mirror-site detection — host pairs serving >= ``min_shared``
+    identical pages (by content fingerprint): the host-granularity
+    dedup every crawl runs to collapse example.com / example.org
+    mirrors before content-level dedup ever sees their pages.
+    Returns (host_a, host_b, shared, frac) with host_a < host_b and
+    frac = shared / min(distinct fingerprints per host) — containment,
+    so a small full mirror of a big site still scores ~1.0.
+
+    Scale shape: the pair join is on the content fingerprint with a
+    host-frequency cap (``max_df`` — a fingerprint served by half the
+    web is boilerplate, not mirroring, and would explode one join
+    key); candidate work per fingerprint is bounded by max_df^2.
+    Identical df-capped-join shape as chunk_dedup_pairs / winnow_pairs.
+    """
+    from combblas_spark.functions.text import fingerprint
+
+    if min_shared < 1:
+        raise ValueError(
+            f"mirror_hosts: min_shared must be >= 1, got {min_shared}")
+    if max_df < 2:
+        raise ValueError(f"mirror_hosts: max_df must be >= 2, got {max_df}")
+    host = F.lower(F.regexp_extract(F.col(url_col),
+                                    "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    hf = pages.select(host.alias("host"),
+                      fingerprint(F.col(text_col)).alias("fp")).distinct() \
+        .localCheckpoint(eager=True)
+    nh = hf.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+    rare = (
+        hf.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df).select("fp")
+    )
+    keyed = hf.join(rare, "fp")
+    a = keyed.select("fp", F.col("host").alias("host_a"))
+    b = keyed.select("fp", F.col("host").alias("host_b"))
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b").agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    na = nh.select(F.col("host").alias("host_a"), F.col("_n").alias("_na"))
+    nb = nh.select(F.col("host").alias("host_b"), F.col("_n").alias("_nb"))
+    return (
+        pairs.join(na, "host_a").join(nb, "host_b")
+        .select("host_a", "host_b", "shared",
+                F.round(F.col("shared").cast("double")
+                        / F.least("_na", "_nb").cast("double"), 6).alias("frac"))
+    )

@@ -1515,3 +1515,36 @@ def test_path_rollup_hierarchy(spark):
     assert not any(d > 3 for _, d, _ in rows)
     with pytest.raises(ValueError):
         path_rollup(df, max_depth=0)
+
+
+def test_mirror_hosts_detects_full_mirror(spark):
+    import pytest
+    from combblas_spark.functions.urls import mirror_hosts
+
+    rows = []
+    # big.example serves 10 pages; mirror.example serves the SAME 4
+    # (a partial mirror); other.example serves unrelated content; one
+    # boilerplate page ("404") appears on every host.
+    for i in range(10):
+        rows.append((f"https://big.example/p/{i}", f"content {i}"))
+    for i in range(4):
+        rows.append((f"https://mirror.example/m/{i}", f"content {i}"))
+    for i in range(5):
+        rows.append((f"https://other.example/o/{i}", f"different {i}"))
+    for h in ("big", "mirror", "other"):
+        rows.append((f"https://{h}.example/404", "not found"))
+    pages = spark.createDataFrame(rows, "url string, text string")
+    got = {(r["host_a"], r["host_b"]): (r["shared"], r["frac"])
+           for r in mirror_hosts(pages, min_shared=2).collect()}
+    # only the real mirror pair survives min_shared=2 (the 404 page is
+    # a single shared fp elsewhere)
+    assert list(got) == [("big.example", "mirror.example")]
+    shared, frac = got[("big.example", "mirror.example")]
+    assert shared == 5                       # 4 mirrored + the 404
+    assert frac == 1.0                       # full containment of the mirror
+    # boilerplate cap: with max_df=2 the 404 fp (on 3 hosts) is dropped
+    got2 = {(r["host_a"], r["host_b"]): r["shared"]
+            for r in mirror_hosts(pages, min_shared=2, max_df=2).collect()}
+    assert got2 == {("big.example", "mirror.example"): 4}
+    with pytest.raises(ValueError):
+        mirror_hosts(pages, min_shared=0)
