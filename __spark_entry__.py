@@ -1516,6 +1516,52 @@ def q_neardup_clusters(spark, sf):
     return near_dup_clusters(d, pairs).select("id", "cluster", "is_canonical")
 
 
+def q_quality_keep(spark, sf):
+    """Quality-aware near-dup canonical selection (the production
+    keep rule): per near-dup cluster keep the HIGHEST-quality member
+    (rounded quality desc, id asc — rounded so the argmax is
+    bit-stable), not the lowest id. Returns one row per cluster."""
+    d = _docs(spark, sf)
+    pairs = prefix_filter_pairs(d, threshold=0.8)
+    cl = near_dup_clusters(d, pairs).select("id", "cluster")
+    q = analyze_documents(d).select(F.col("doc_id").alias("id"), "quality")
+    return (
+        cl.join(q, "id")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.min(F.struct((-F.col("quality")).alias("nq"),
+                            F.col("id").alias("id"))).alias("_w"))
+        .select("cluster", F.col("_w.id").alias("keep_id"), "n_members",
+                (-F.col("_w.nq")).alias("keep_quality"))
+    )
+
+
+def _quality_keep_sql() -> str:
+    """Twin of q_quality_keep: the shared near-dup closure + the
+    shared doc-quality CTE + (quality desc, id asc) winner."""
+    return f"""WITH RECURSIVE {_PREFIX_JACCARD},
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r2.a, e.dst AS b FROM reach r2 JOIN e ON e.src = r2.b
+),
+cl AS (SELECT d.doc_id AS id,
+              least(d.doc_id, coalesce(min(rc.b), d.doc_id)) AS cluster
+       FROM documents d LEFT JOIN reach rc ON rc.a = d.doc_id
+       GROUP BY d.doc_id),
+dq AS ({_DOC_QUALITY_SQL}),
+j AS (SELECT cl.cluster, cl.id, dq.quality
+      FROM cl JOIN dq ON dq.doc_id = cl.id),
+w AS (SELECT cluster, id, quality, row_number() OVER (
+        PARTITION BY cluster ORDER BY quality DESC, id ASC) AS rn
+      FROM j),
+n AS (SELECT cluster, count(*)::BIGINT AS n_members FROM j GROUP BY cluster)
+SELECT n.cluster, w.id AS keep_id, n.n_members, w.quality AS keep_quality
+FROM n JOIN w ON w.cluster = n.cluster AND w.rn = 1"""
+
+
 def q_minhash(spark, sf):
     return minhash_signatures(_docs(spark, sf), num_hashes=4).select("id", "h0", "h1", "h2", "h3")
 
@@ -4129,6 +4175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_est": q_landmark_est,
         "path_rollup": q_path_rollup,
         "mirror_hosts": q_mirror_hosts,
+        "quality_keep": q_quality_keep,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4711,6 +4758,24 @@ def _labelprop_sql(rounds: int = LP_ROUNDS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
 
 
+_DOC_QUALITY_SQL = f"""WITH q AS (
+              SELECT doc_id, text,
+                     len(string_split(text, ' ')) AS n,
+                     len(string_split(lower(text), ' ')) AS nl,
+                     len(list_filter(string_split(lower(text), ' '), x -> x IN {_STOPW})) AS sw_en,
+                     len(list_filter(string_split(lower(text), ' '), x -> x IN {_STOPW_DE})) AS sw_de,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN sw_en = 0 AND sw_de = 0 THEN 'unknown'
+                        WHEN sw_en >= sw_de THEN 'en' ELSE 'de' END AS lang_guess,
+                   ROUND(
+                     0.4 * least((CAST(length(text) - (n - 1) AS DOUBLE) / n) / 8.0, 1.0)
+                   + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(text))
+                   + 0.3 * least((CAST(sw_en AS DOUBLE) / nl) * 5, 1.0), 6) AS quality
+            FROM q"""
+
+
 def oracle_sql() -> dict[str, str]:
     sqls = {
         "graph_edges": f"{_BASE} SELECT src, dst, val FROM edges",
@@ -4962,22 +5027,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY c DESC, id ASC) - 1 AS pos, id
             FROM o""",
         "doc_tokens": "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
-        "doc_quality": f"""WITH q AS (
-              SELECT doc_id, text,
-                     len(string_split(text, ' ')) AS n,
-                     len(string_split(lower(text), ' ')) AS nl,
-                     len(list_filter(string_split(lower(text), ' '), x -> x IN {_STOPW})) AS sw_en,
-                     len(list_filter(string_split(lower(text), ' '), x -> x IN {_STOPW_DE})) AS sw_de,
-                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
-              FROM documents)
-            SELECT doc_id,
-                   CASE WHEN sw_en = 0 AND sw_de = 0 THEN 'unknown'
-                        WHEN sw_en >= sw_de THEN 'en' ELSE 'de' END AS lang_guess,
-                   ROUND(
-                     0.4 * least((CAST(length(text) - (n - 1) AS DOUBLE) / n) / 8.0, 1.0)
-                   + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(text))
-                   + 0.3 * least((CAST(sw_en AS DOUBLE) / nl) * 5, 1.0), 6) AS quality
-            FROM q""",
+        "doc_quality": _DOC_QUALITY_SQL,
         "dedup_exact": """
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
                    count(*) AS n_dups, min(doc_id) AS keep_id
@@ -5136,6 +5186,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["landmark_est"] = _landmark_est_sql()
     sqls["path_rollup"] = _path_rollup_sql()
     sqls["mirror_hosts"] = _mirror_hosts_sql()
+    sqls["quality_keep"] = _quality_keep_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
