@@ -452,12 +452,30 @@ def main() -> None:
     phr = phrase_search(docs18, "join part filter")
     cdc = cdc_chunks(docs18, mod=16)
     cdp = chunk_dedup_pairs(docs18, mod=16)
+    from combblas_spark.functions.urls import path_rollup, mirror_hosts
+    from combblas_spark.algorithms.closeness import landmark_estimate
+
+    urls18 = docs18.select(
+        F.concat(F.lit("https://site"), F.col("doc_id") % 7,
+                 F.lit(".example/a"), F.col("doc_id") % 3,
+                 F.lit("/b"), F.col("doc_id") % 5,
+                 F.lit("/p"), F.col("doc_id")).alias("url"),
+        F.col("text"))
+    pru = path_rollup(urls18, max_depth=3)
+    mh = mirror_hosts(urls18, min_shared=2)
+    sk18 = g.select(F.lit(0).cast("long").alias("lm"),
+                    F.col("src").alias("id"),
+                    (F.col("dst") % 5).alias("dist")).localCheckpoint()
+    lme = landmark_estimate(sk18, max_id=50)
     for name, df, win_ok in (("lang_id_ngram", lid, 0),
                              ("fastrp_superstep", frp, 0),
                              ("louvain_contract", lcon, 0),
                              ("phrase_search", phr, 0),
                              ("cdc_chunks", cdc, 0),
-                             ("chunk_dedup_pairs", cdp, 0)):
+                             ("chunk_dedup_pairs", cdp, 0),
+                             ("path_rollup", pru, 0),
+                             ("mirror_hosts", mh, 0),
+                             ("landmark_estimate", lme, 0)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Cartesian" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
