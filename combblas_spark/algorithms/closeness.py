@@ -27,19 +27,11 @@ from combblas_spark.graph import vertices
 from combblas_spark.runtime.plans import superstep_checkpoint
 
 
-def multi_source_levels(
-    edges: DataFrame,
-    roots: list[int] | None = None,
-    directed: bool = True,
-) -> DataFrame:
-    """Batched multi-root BFS levels: one (root, id, level) row per
-    (root, reached vertex) — the wave loop shared by
-    closeness_centrality and landmark_distances (identical shape to
-    betweenness's forward pass; all roots' waves ride ONE join +
-    dedup + anti-join per depth). roots=None starts a wave from every
-    vertex."""
-    spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+def _prep_bfs_edges(edges: DataFrame, directed: bool) -> DataFrame:
+    """Deduped (and, for undirected, symmetrized) edge set partitioned
+    by src and persisted — the BFS-ready layout. Caller owns the
+    unpersist."""
+    shuffle_n = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     if not directed:
         e = e.unionByName(
@@ -47,6 +39,26 @@ def multi_source_levels(
         ).dropDuplicates(["src", "dst"])
     e = e.repartition(shuffle_n, "src").persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
+    return e
+
+
+def multi_source_levels(
+    edges: DataFrame,
+    roots: list[int] | None = None,
+    directed: bool = True,
+    max_hops: int | None = None,
+    prepped: DataFrame | None = None,
+) -> DataFrame:
+    """Batched multi-root BFS levels: one (root, id, level) row per
+    (root, reached vertex) — the wave loop shared by
+    closeness_centrality and landmark_distances (identical shape to
+    betweenness's forward pass; all roots' waves ride ONE join +
+    dedup + anti-join per depth). roots=None starts a wave from every
+    vertex. ``max_hops`` caps the depth (None = run to fixpoint);
+    ``prepped`` reuses a _prep_bfs_edges result the caller already
+    built (and owns) instead of symmetrizing again."""
+    spark = edges.sparkSession
+    e = prepped if prepped is not None else _prep_bfs_edges(edges, directed)
 
     if roots is None:
         fr0 = vertices(edges).select(F.col("id").alias("root"), F.col("id"))
@@ -57,7 +69,7 @@ def multi_source_levels(
     levels = fr0.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
     frontier = levels
     depth = 0
-    while True:
+    while max_hops is None or depth < max_hops:
         nxt = (
             e.join(frontier.withColumnRenamed("id", "src"), "src")
             .select("root", F.col("dst").alias("id"))
@@ -71,7 +83,8 @@ def multi_source_levels(
         levels = levels.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
         depth += 1
-    e.unpersist()
+    if prepped is None:
+        e.unpersist()
     return levels
 
 
@@ -82,12 +95,6 @@ def closeness_centrality(
 ) -> DataFrame:
     """Returns (id, harmonic, closeness) for every root (roots=None ->
     every vertex; exact centrality)."""
-    verts = vertices(edges).localCheckpoint(eager=True)
-    if roots is None:
-        fr0 = verts.select(F.col("id").alias("root"), F.col("id"))
-    else:
-        fr0 = edges.sparkSession.createDataFrame(
-            [(int(r), int(r)) for r in roots], "root long, id long")
     levels = multi_source_levels(edges, roots, directed)
 
     scores = (
@@ -110,8 +117,10 @@ def closeness_centrality(
     # one row per COMPUTED root only: with a roots subset, zero-filling
     # the rest of the vertex set would make "never computed" look like a
     # real 0.0 score; an off-graph root still gets its (0, 0) row.
-    base = (verts if roots is None
-            else fr0.select(F.col("root").alias("id")).dropDuplicates(["id"]))
+    # Every computed root has its own level-0 row, so the base set comes
+    # straight from the levels table — no second vertices() job.
+    base = (levels.where(F.col("level") == 0)
+            .select(F.col("root").alias("id")).dropDuplicates(["id"]))
     out = base.join(scores, "id", "left").select(
         "id",
         F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
@@ -168,6 +177,7 @@ def landmark_distances(
     edges: DataFrame,
     n_landmarks: int = 4,
     directed: bool = False,
+    max_hops: int = 40,
 ) -> DataFrame:
     """Landmark distance sketch (Potamias et al. CIKM'09): BFS levels
     from the ``n_landmarks`` highest-degree vertices (degree-ranked
@@ -180,22 +190,35 @@ def landmark_distances(
     Scale shape: landmark pick = TakeOrdered over the degree aggregate
     (n rows to the driver — the same sanctioned scalar read as BFS
     roots); then ONE batched multi-root BFS (all landmarks' waves ride
-    the same join per depth — multi_source_levels). Sketch size is
-    n_landmarks x |V| rows, the product you materialize and
-    equi-join at query time.
+    the same join per depth — multi_source_levels, reusing the SAME
+    prepped symmetric edge set the degree rank was computed from, so
+    the edge dedup/symmetrize shuffle runs once). Sketch size is
+    n_landmarks x |V| rows, the product you materialize and equi-join
+    at query time. ``max_hops`` (default 40) bounds the wave depth —
+    the DuckDB oracle twin's recursive CTE carries the same 40-hop cap
+    (the module-wide recursive-BFS convention), so distances beyond it
+    are absent from BOTH engines by contract.
     """
     if n_landmarks < 1:
         raise ValueError(
             f"landmark_distances: n_landmarks must be >= 1, got {n_landmarks}")
-    pairs = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    sym = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    deg = sym.groupBy(F.col("src").alias("id")).agg(
+    # degree rank over the loop-free undirected view; self-loops never
+    # affect BFS levels, and for directed=True the prepped set is a
+    # superset ordering-wise identical on loop-free fixtures.
+    e = _prep_bfs_edges(
+        edges.where(F.col("src") != F.col("dst")), directed=directed)
+    deg_side = (
+        e if not directed else
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct()
+    )
+    deg = deg_side.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("c"))
     lms = [r["id"] for r in
            deg.orderBy(F.desc("c"), F.asc("id")).limit(n_landmarks).collect()]
-    levels = multi_source_levels(edges, lms, directed=directed)
+    levels = multi_source_levels(edges, lms, directed=directed,
+                                 max_hops=max_hops, prepped=e)
+    e.unpersist()
     return levels.select(F.col("root").alias("lm"), "id",
                          F.col("level").cast("long").alias("dist"))
 

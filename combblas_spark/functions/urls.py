@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 # scheme://authority prefix (everything before the first /, ? or #
 # after the scheme separator)
 _PREFIX_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+# the same scheme://authority grammar with the authority captured —
+# ONE copy of the rule for every host-keyed op (the DuckDB twins
+# mirror the literal by design)
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+# ...and with the path captured
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased authority (host[:port]) of a URL."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -137,8 +148,8 @@ def path_rollup(df: DataFrame, url_col: str = "url",
     if max_depth < 1:
         raise ValueError(f"path_rollup: max_depth must be >= 1, got {max_depth}")
     url = F.col(url_col)
-    host = F.lower(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    path = F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    host = host_of(url)
+    path = F.regexp_extract(url, _PATH_RE, 1)
     staged = df.select(
         host.alias("host"),
         F.filter(F.split(path, "/"), lambda s: s != F.lit("")).alias("_segs"),
@@ -183,8 +194,7 @@ def mirror_hosts(pages: DataFrame, url_col: str = "url",
             f"mirror_hosts: min_shared must be >= 1, got {min_shared}")
     if max_df < 2:
         raise ValueError(f"mirror_hosts: max_df must be >= 2, got {max_df}")
-    host = F.lower(F.regexp_extract(F.col(url_col),
-                                    "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = host_of(F.col(url_col))
     hf = pages.select(host.alias("host"),
                       fingerprint(F.col(text_col)).alias("fp")).distinct() \
         .localCheckpoint(eager=True)

@@ -3247,3 +3247,15 @@ def test_landmark_distances_and_estimate(spark):
     assert est2[(3, 4)] <= est[(3, 4)]   # more landmarks never worsen
     with pytest.raises(ValueError):
         landmark_distances(df_edges(spark, E), n_landmarks=0)
+
+
+def test_landmark_max_hops_cap(spark):
+    from combblas_spark.algorithms.closeness import landmark_distances
+
+    # path 0-1-...-9: cap at 3 hops -> no dist beyond 3 (the documented
+    # oracle-twin contract; default cap 40 matches the recursive CTE)
+    E = [(i, i + 1) for i in range(9)]
+    sk = landmark_distances(df_edges(spark, E), n_landmarks=1, max_hops=3)
+    ds = [r["dist"] for r in sk.collect()]
+    # landmark = 1 (smallest deg-2 id): reaches 0 and 2,3,4 within 3 hops
+    assert max(ds) == 3 and len(ds) == 5
