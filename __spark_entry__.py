@@ -4176,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_rollup": q_path_rollup,
         "mirror_hosts": q_mirror_hosts,
         "quality_keep": q_quality_keep,
+        "bloom_decon": q_bloom_decon,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -5187,6 +5188,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["path_rollup"] = _path_rollup_sql()
     sqls["mirror_hosts"] = _mirror_hosts_sql()
     sqls["quality_keep"] = _quality_keep_sql()
+    sqls["bloom_decon"] = _bloom_decon_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
@@ -6235,6 +6237,68 @@ def _neighbor_jaccard_sql() -> str:
         "round(common * 1.0 / (da + db - common), 6) AS jaccard "
         f"FROM (VALUES {rows}) AS t(id_a, id_b, common, da, db)"
     )
+
+
+BLOOM_WORDS = 8
+BLOOM_K = 3
+
+
+def q_bloom_decon(spark, sf):
+    """Bloom-filter decontamination fast path: a 504-bit filter over
+    the benchmark slice's fingerprints (doc_id % 17 == 0), probed by
+    every doc — bloom_hit (no false negatives, documented FP rate)
+    next to the exact membership flag. At scale the filter broadcasts
+    as 8 longs; the exact join runs only on bloom hits."""
+    from combblas_spark.functions.sketch import bloom_build, bloom_contains
+    from combblas_spark.functions.text import fingerprint
+
+    docs = _docs(spark, sf)
+    fps = docs.select(F.col("doc_id").alias("id"),
+                      fingerprint(F.col("text")).alias("fp"))
+    bench = fps.where(F.col("id") % 17 == 0).select(F.col("fp").alias("v"))
+    bloom = bloom_build(bench, m_words=BLOOM_WORDS, k=BLOOM_K)
+    probed = bloom_contains(fps, "fp", bloom, m_words=BLOOM_WORDS, k=BLOOM_K)
+    exact = bench.select(F.col("v").alias("fp")).distinct() \
+        .withColumn("exact_hit", F.lit(True))
+    return (
+        probed.join(exact, "fp", "left")
+        .select("id", "bloom_hit",
+                F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"))
+    )
+
+
+def _bloom_decon_sql(m_words: int = BLOOM_WORDS, k: int = BLOOM_K) -> str:
+    """Twin of q_bloom_decon: same md5 bit positions, same bit_or
+    words, same probe bool_and."""
+    m_bits = m_words * 63
+    return f"""WITH fps AS (
+  SELECT doc_id AS id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents),
+bench AS (SELECT fp FROM fps WHERE id % 17 = 0),
+bpos AS (
+  SELECT (('0x' || substr(md5(j || ':' || fp), 1, 8))::BIGINT % {m_bits})
+           AS pos
+  FROM bench, unnest(generate_series(0, {k - 1})) t(j)),
+bloom AS (
+  SELECT pos // 63 AS word_idx,
+         bit_or((1::BIGINT) << CAST(pos % 63 AS INT)) AS bits
+  FROM bpos GROUP BY pos // 63),
+probe AS (
+  SELECT f.id, f.fp,
+         (('0x' || substr(md5(j || ':' || f.fp), 1, 8))::BIGINT % {m_bits})
+           AS pos
+  FROM fps f, unnest(generate_series(0, {k - 1})) t(j)),
+hits AS (
+  SELECT p.id, p.fp,
+         min(CASE WHEN (coalesce(b.bits, 0) &
+               ((1::BIGINT) << CAST(p.pos % 63 AS INT))) <> 0
+             THEN 1 ELSE 0 END) AS allhit
+  FROM probe p LEFT JOIN bloom b ON b.word_idx = p.pos // 63
+  GROUP BY p.id, p.fp)
+SELECT h.id, h.allhit = 1 AS bloom_hit,
+       (e.fp IS NOT NULL) AS exact_hit
+FROM hits h LEFT JOIN (SELECT DISTINCT fp FROM bench) e ON e.fp = h.fp"""
 
 
 def q_decontaminate(spark, sf):

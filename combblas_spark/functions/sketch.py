@@ -149,3 +149,72 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, val_col: str,
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
         .select(F.col("_v").alias(val_col), "est")
     )
+
+
+def bloom_build(df: DataFrame, val_col: str = "v", m_words: int = 8,
+                k: int = 3) -> DataFrame:
+    """Bloom filter over a value column as a tiny (word_idx, bits)
+    table: k bit positions per value from the md5 counter-hash
+    (pos_j = H(j || ':' || v) % 63*m_words — 63 usable bits per word:
+    bit 63 would make DuckDB raise on 1<<63 where Spark silently wraps
+    to min-long, the engine/oracle divergence class events_graph guards
+    against), words OR-merged. bit_or
+    is a CRDT — the filter is identical under ANY partitioning,
+    duplication, or merge order, which is what makes it buildable
+    map-side at corpus scale and bit-identical to the DuckDB twin.
+    False-positive rate ~ (1 - e^{-kn/m})^k; size the filter with
+    m_words >> k*n/64 or accept the documented FP rate.
+
+    The scale story: membership against a benchmark/blocklist becomes
+    a BROADCAST of m_words longs instead of an equi-join against the
+    full benchmark table — the standard decontamination fast path,
+    with the exact join reserved for the bloom hits.
+    """
+    if m_words < 1 or k < 1:
+        raise ValueError(
+            f"bloom_build: m_words and k must be >= 1, got {m_words}, {k}")
+    m_bits = m_words * 63
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    staged = df.select(F.col(val_col).cast("string").alias("v")) \
+        .where(F.col("v").isNotNull()).select("v", j)
+    key = F.concat_ws(":", F.col("j").cast("string"), F.col("v"))
+    pos = (F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10)
+           .cast("long") % m_bits)
+    # SQL-expr mask: F.shiftleft only takes a literal shift count, the
+    # shiftleft SQL function accepts a column
+    return (
+        staged.select(pos.alias("pos"))
+        .select(F.expr("CAST(pos / 63 AS BIGINT)").alias("word_idx"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(pos % 63 AS INT))").alias("_m"))
+        .groupBy("word_idx").agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_contains(df: DataFrame, val_col: str, bloom: DataFrame,
+                   m_words: int = 8, k: int = 3,
+                   out_col: str = "bloom_hit") -> DataFrame:
+    """Membership probe against a bloom_build filter (built with the
+    SAME m_words and k): appends ``out_col`` (true = possibly member,
+    false = definitely not). The filter joins as a broadcast of
+    m_words rows; per row the probe is k hash evaluations + a
+    bool_and — no benchmark-sized join.
+    """
+    m_bits = m_words * 63
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    probes = df.select("*", j)
+    key = F.concat_ws(":", F.col("j").cast("string"),
+                      F.col(val_col).cast("string"))
+    pos = (F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10)
+           .cast("long") % m_bits)
+    probes = probes.select(*df.columns, pos.alias("pos")).select(
+        *df.columns, F.expr("CAST(pos / 63 AS BIGINT)").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), "
+               "CAST(pos % 63 AS INT))").alias("_m"))
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m")) != 0)
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn("_h", hit.cast("int"))
+        .groupBy(*df.columns)
+        .agg((F.min("_h") == 1).alias(out_col))
+    )

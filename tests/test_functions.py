@@ -1548,3 +1548,30 @@ def test_mirror_hosts_detects_full_mirror(spark):
     assert got2 == {("big.example", "mirror.example"): 4}
     with pytest.raises(ValueError):
         mirror_hosts(pages, min_shared=0)
+
+
+def test_bloom_filter_no_false_negatives_and_crdt_merge(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from combblas_spark.functions.sketch import bloom_build, bloom_contains
+
+    members = spark.createDataFrame([(f"val{i}",) for i in range(40)], "v string")
+    others = spark.createDataFrame([(f"other{i}",) for i in range(200)], "v string")
+    bloom = bloom_build(members, m_words=4, k=3)
+    # NO false negatives: every member probes true
+    got = bloom_contains(members, "v", bloom, m_words=4, k=3).collect()
+    assert all(r["bloom_hit"] for r in got) and len(got) == 40
+    # tiny filter (252 bits, 40 keys) MUST show some false positives on
+    # 200 non-members, and some true negatives
+    neg = [r["bloom_hit"] for r in
+           bloom_contains(others, "v", bloom, m_words=4, k=3).collect()]
+    assert any(neg) and not all(neg)
+    # CRDT: OR-merge of two half-filters == filter of the union
+    h1 = bloom_build(members.where(F.col("v") < "val2"), m_words=4, k=3)
+    h2 = bloom_build(members.where(F.col("v") >= "val2"), m_words=4, k=3)
+    merged = (h1.unionByName(h2).groupBy("word_idx")
+              .agg(F.bit_or("bits").alias("bits")))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, bloom.collect()))
+    with pytest.raises(ValueError):
+        bloom_build(members, m_words=0)
