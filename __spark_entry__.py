@@ -3434,33 +3434,43 @@ def _topic_hits_sql(n_roots: int = TOPIC_ROOTS, d: int = TOPIC_D,
     return "WITH " + ",\n".join(ctes) + _hits_final_select("sub", iters)
 
 
-def _salsa_sql(iters: int = HITS_ITERS) -> str:
-    """DuckDB twin of algorithms.hits.salsa: unrolled stochastic power
-    iterations (hub init 1.0, no per-step normalization). Lempel-Moran
-    weights each contribution by the CONTRIBUTOR's degree: a = Wr^T h
-    (hub j contributes h(j)/outdeg(j)), h = Wc a (authority i contributes
-    a(i)/indeg(i)) — joined exactly like the engine bakes them into its
-    cached copies. (Fixed per ADVICE r3: an earlier revision unrolled the
-    transpose chain, whose fixed point is all-ones.)"""
+def _salsa_power_ctes(src_table: str, iters: int, p: str = "") -> list[str]:
+    """The Lempel-Moran SALSA power unroll over ``src_table`` with CTE
+    names prefixed by ``p`` — shared by _salsa_sql and _wtf_sql.
+    Weights each contribution by the CONTRIBUTOR's degree: a = Wr^T h
+    (hub j contributes h(j)/outdeg(j)), h = Wc a (authority i
+    contributes a(i)/indeg(i)) — joined exactly like the engine bakes
+    them into its cached copies. (Fixed per ADVICE r3: an earlier
+    revision unrolled the transpose chain, whose fixed point is
+    all-ones.) Final tables: {p}h{iters}, {p}a{iters}, {p}verts."""
+    e = src_table
     ctes = [
-        f"edges AS MATERIALIZED ({EDGES})",
-        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
-        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
-        "ind AS MATERIALIZED (SELECT dst AS id, 1.0 / count(*) AS wc FROM edges GROUP BY dst)",
-        "outd AS MATERIALIZED (SELECT src AS id, 1.0 / count(*) AS wr FROM edges GROUP BY src)",
-        "h0 AS (SELECT id, 1.0 AS v FROM verts)",
+        f"{p}verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        f"(SELECT src AS id FROM {e} UNION ALL SELECT dst FROM {e}))",
+        f"{p}ind AS MATERIALIZED (SELECT dst AS id, 1.0 / count(*) AS wc FROM {e} GROUP BY dst)",
+        f"{p}outd AS MATERIALIZED (SELECT src AS id, 1.0 / count(*) AS wr FROM {e} GROUP BY src)",
+        f"{p}h0 AS (SELECT id, 1.0 AS v FROM {p}verts)",
     ]
     for t in range(1, iters + 1):
         ctes.append(
-            f"a{t} AS MATERIALIZED (SELECT e.dst AS id, sum(o.wr * h.v) AS v "
-            f"FROM edges e JOIN h{t-1} h ON h.id = e.src "
-            f"JOIN outd o ON o.id = e.src GROUP BY e.dst)"
+            f"{p}a{t} AS MATERIALIZED (SELECT e.dst AS id, sum(o.wr * h.v) AS v "
+            f"FROM {e} e JOIN {p}h{t-1} h ON h.id = e.src "
+            f"JOIN {p}outd o ON o.id = e.src GROUP BY e.dst)"
         )
         ctes.append(
-            f"h{t} AS MATERIALIZED (SELECT e.src AS id, sum(i.wc * a.v) AS v "
-            f"FROM edges e JOIN a{t} a ON a.id = e.dst "
-            f"JOIN ind i ON i.id = e.dst GROUP BY e.src)"
+            f"{p}h{t} AS MATERIALIZED (SELECT e.src AS id, sum(i.wc * a.v) AS v "
+            f"FROM {e} e JOIN {p}a{t} a ON a.id = e.dst "
+            f"JOIN {p}ind i ON i.id = e.dst GROUP BY e.src)"
         )
+    return ctes
+
+
+def _salsa_sql(iters: int = HITS_ITERS) -> str:
+    """DuckDB twin of algorithms.hits.salsa: unrolled stochastic power
+    iterations (hub init 1.0, no per-step normalization) — the SHARED
+    _salsa_power_ctes unroll over the full events graph."""
+    ctes = [f"edges AS MATERIALIZED ({EDGES})"]
+    ctes += _salsa_power_ctes("edges", iters)
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
@@ -4177,6 +4187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "quality_keep": q_quality_keep,
         "bloom_decon": q_bloom_decon,
+        "wtf": q_wtf,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -4656,6 +4667,81 @@ def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
 
 
 LOCAL_CLUSTER_SEED = 0
+
+
+WTF_SEED = 0
+WTF_CIRCLE = 10
+WTF_TOPK = 10
+
+
+def q_wtf(spark, sf):
+    """Who-To-Follow (Gupta et al. WWW'13, Twitter's production
+    recommender shape): single-seed personalized PageRank picks the
+    top-10 circle of trust (ROUNDED-rank order — the textrank
+    bit-stability lesson), SALSA runs on the bipartite subgraph of the
+    circle's out-edges, and the top authorities come back with an
+    already_followed flag (the production recommender filters on it;
+    kept as a flag so fixture scales where the seed follows everyone
+    still produce evidence rows), seed excluded, ordered by (rounded
+    auth desc, id asc). Returns (id, auth, already_followed)."""
+    from combblas_spark.algorithms.hits import salsa
+
+    g = events_graph(spark, sf)
+    tele = spark.createDataFrame([(WTF_SEED, 1.0)], "id long, w double")
+    r = pagerank(g, alpha=ALPHA, n_iter=PR_ITERS, teleport=tele)
+    circle = (
+        r.select("id", F.round("rank", 6).alias("r6"))
+        .orderBy(F.col("r6").desc(), F.col("id").asc())
+        .limit(WTF_CIRCLE).select("id")
+    )
+    sub = g.join(F.broadcast(circle.withColumnRenamed("id", "src")),
+                 "src", "semi")
+    sal = salsa(sub, n_iter=HITS_ITERS)
+    followed = g.where(F.col("src") == WTF_SEED) \
+        .select(F.col("dst").alias("id")).distinct() \
+        .withColumn("already_followed", F.lit(True))
+    return (
+        sal.select("id", F.round("auth", 6).alias("auth"))
+        .where(F.col("auth") > 0)
+        .where(F.col("id") != WTF_SEED)
+        .join(followed, "id", "left")
+        .select("id", "auth",
+                F.coalesce("already_followed", F.lit(False))
+                 .alias("already_followed"))
+        .orderBy(F.col("auth").desc(), F.col("id").asc())
+        .limit(WTF_TOPK)
+    )
+
+
+def _wtf_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
+             seed: int = WTF_SEED, circle: int = WTF_CIRCLE,
+             topk: int = WTF_TOPK, salsa_iters: int = HITS_ITERS) -> str:
+    """Twin of q_wtf: the parametrized personalized chain + the SHARED
+    SALSA unroll (prefix w, over the circle-restricted subgraph) + the
+    anti-join/exclusion/top-k readout."""
+    tele = (f"CASE WHEN v.id = {seed} THEN CAST(1.0 AS DOUBLE) "
+            "ELSE CAST(0.0 AS DOUBLE) END")
+    chain = _pagerank_personalized_sql(iters, alpha, tele_case=tele)
+    with_block = chain[:chain.rindex("\nSELECT id, ROUND(pr, 6)")]
+    ctes = [
+        f"wcir AS (SELECT id FROM (SELECT id, row_number() OVER"
+        f" (ORDER BY round(pr, 6) DESC, id ASC) AS rn FROM r{iters})"
+        f" WHERE rn <= {circle})",
+        "wsub AS MATERIALIZED (SELECT e.* FROM edges e"
+        " JOIN wcir c ON c.id = e.src)",
+    ]
+    ctes += _salsa_power_ctes("wsub", salsa_iters, p="w")
+    ctes.append(
+        f"wfol AS (SELECT DISTINCT dst AS id FROM edges WHERE src = {seed})")
+    return (
+        with_block + ",\n" + ",\n".join(ctes)
+        + f"""
+SELECT a.id, ROUND(a.v, 6) AS auth,
+       (f.id IS NOT NULL) AS already_followed
+FROM wa{salsa_iters} a LEFT JOIN wfol f ON f.id = a.id
+WHERE ROUND(a.v, 6) > 0 AND a.id <> {seed}
+ORDER BY ROUND(a.v, 6) DESC, a.id ASC LIMIT {topk}"""
+    )
 
 
 def q_local_cluster(spark, sf):
@@ -5189,6 +5275,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["mirror_hosts"] = _mirror_hosts_sql()
     sqls["quality_keep"] = _quality_keep_sql()
     sqls["bloom_decon"] = _bloom_decon_sql()
+    sqls["wtf"] = _wtf_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()
