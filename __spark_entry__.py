@@ -498,6 +498,38 @@ def q_degree_hist(spark, sf):
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
+def q_weighted_triangles(spark, sf):
+    """Per-vertex weighted triangle intensity on the events multigraph
+    (undirected weight = summed multiplicity both directions): BIGINT
+    triple products summed per corner, zero-filled."""
+    from combblas_spark.algorithms.triangles import weighted_triangle_intensity
+
+    return weighted_triangle_intensity(events_graph(spark, sf))
+
+
+def _weighted_triangles_sql() -> str:
+    """Twin of q_weighted_triangles."""
+    return f"""WITH edges AS ({EDGES}),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges
+          UNION ALL SELECT dst FROM edges)),
+und AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         CAST(sum(val) AS BIGINT) AS w
+  FROM edges WHERE src <> dst GROUP BY a, b),
+tri AS (
+  SELECT ab.a, ab.b, bc.b AS c, ab.w * bc.w * ac.w AS p
+  FROM und ab
+  JOIN und bc ON bc.a = ab.b
+  JOIN und ac ON ac.a = ab.a AND ac.b = bc.b),
+perv AS (
+  SELECT id, CAST(sum(p) AS BIGINT) AS tri_w FROM (
+    SELECT a AS id, p FROM tri
+    UNION ALL SELECT b, p FROM tri
+    UNION ALL SELECT c, p FROM tri) GROUP BY id)
+SELECT v.id, coalesce(p.tri_w, 0) AS tri_w
+FROM verts v LEFT JOIN perv p ON p.id = v.id"""
+
+
 def q_local_clustering(spark, sf):
     """Per-vertex local clustering coefficient with EXACT integer
     numerator/denominator columns (tri, wedges) alongside the rounded
@@ -4188,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_keep": q_quality_keep,
         "bloom_decon": q_bloom_decon,
         "wtf": q_wtf,
+        "weighted_triangles": q_weighted_triangles,
         # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
@@ -5276,6 +5309,7 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["quality_keep"] = _quality_keep_sql()
     sqls["bloom_decon"] = _bloom_decon_sql()
     sqls["wtf"] = _wtf_sql()
+    sqls["weighted_triangles"] = _weighted_triangles_sql()
     sqls["kcenter"] = _kcenter_sql()
     sqls["greedy_modularity"] = _greedy_modularity_sql()
     sqls["hyperball"] = _hyperball_sql()

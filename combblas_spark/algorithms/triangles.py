@@ -149,3 +149,56 @@ def four_cliques_per_vertex(edges: DataFrame,
     out = out.localCheckpoint(eager=True)
     L.unpersist()
     return out
+
+
+def weighted_triangle_intensity(edges: DataFrame,
+                                weight_col: str = "val") -> DataFrame:
+    """Per-vertex weighted triangle intensity: for every triangle
+    {a,b,c} the product of its three undirected edge weights
+    (w{a,b} = summed integer ``weight_col`` over both directions —
+    multigraph multiplicity), summed at each corner. The
+    integer-exact member of the weighted-clustering family: the
+    Onnela geometric-mean coefficient needs cbrt (not bit-portable);
+    the raw intensity is pure BIGINT products/sums, identical in any
+    engine and order. Returns (id, tri_w) zero-filled over the vertex
+    set.
+
+    Scale shape: the masked-SpGEMM wedge join of triangles_per_vertex
+    carrying one extra integer product column — the mask semi-join
+    becomes an inner join only to fetch the third weight. Skew and
+    cost are the triangle enumeration's, unchanged.
+    """
+    from combblas_spark.graph import vertices
+
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col(weight_col).cast("long").alias("w"))
+        .groupBy("a", "b").agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    ab = und.select("a", "b", F.col("w").alias("w_ab"))
+    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"),
+                    F.col("w").alias("w_bc"))
+    ac = und.select(F.col("a").alias("a2"), F.col("b").alias("c2"),
+                    F.col("w").alias("w_ac"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c",
+                (F.col("w_ab") * F.col("w_bc") * F.col("w_ac")).alias("p"))
+    )
+    per_v = (
+        tri.select(F.col("a").alias("id"), "p")
+        .unionByName(tri.select(F.col("b").alias("id"), "p"))
+        .unionByName(tri.select(F.col("c").alias("id"), "p"))
+        .groupBy("id").agg(F.sum("p").alias("tri_w"))
+    )
+    out = (
+        vertices(edges).join(per_v, "id", "left")
+        .select("id", F.coalesce("tri_w", F.lit(0)).cast("long").alias("tri_w"))
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out

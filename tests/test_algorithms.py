@@ -3259,3 +3259,29 @@ def test_landmark_max_hops_cap(spark):
     ds = [r["dist"] for r in sk.collect()]
     # landmark = 1 (smallest deg-2 id): reaches 0 and 2,3,4 within 3 hops
     assert max(ds) == 3 and len(ds) == 5
+
+
+def test_weighted_triangle_intensity(spark):
+    from pyspark.sql import functions as F
+    from combblas_spark.algorithms.triangles import (
+        weighted_triangle_intensity, triangles_per_vertex)
+
+    # triangle {0,1,2} with weights 2,3,5 (+ a reverse duplicate on
+    # 0-1 making its undirected weight 2+4=6) and a pendant 3
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 0, 4.0), (1, 2, 3.0), (2, 0, 5.0), (2, 3, 1.0)],
+        "src long, dst long, val double")
+    got = {r["id"]: r["tri_w"]
+           for r in weighted_triangle_intensity(edges).collect()}
+    # one triangle, product 6*3*5 = 90 at each corner; pendant 0
+    assert got == {0: 90, 1: 90, 2: 90, 3: 0}
+    # unit weights on a one-direction edge list (undirected weight 1
+    # per pair — a reciprocal duplicate would legitimately weight 2)
+    # reduce to plain triangle counts
+    unit = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 3, 1.0)],
+        "src long, dst long, val double")
+    w1 = {r["id"]: r["tri_w"]
+          for r in weighted_triangle_intensity(unit).collect()}
+    tc = {r["id"]: r["tri"] for r in triangles_per_vertex(unit).collect()}
+    assert all(w1[i] == tc.get(i, 0) for i in w1)
