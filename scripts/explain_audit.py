@@ -467,6 +467,14 @@ def main() -> None:
                     F.col("src").alias("id"),
                     (F.col("dst") % 5).alias("dist")).localCheckpoint()
     lme = landmark_estimate(sk18, max_id=50)
+    from combblas_spark.functions.sketch import bloom_build, bloom_contains
+    from combblas_spark.algorithms.triangles import weighted_triangle_intensity
+
+    blm = bloom_build(docs18.select(F.col("text").alias("v")).limit(100)
+                      .localCheckpoint(), m_words=8)
+    bprobe = bloom_contains(docs18.select("doc_id", "text"), "text",
+                            blm.localCheckpoint(), m_words=8)
+    wtri = weighted_triangle_intensity(g)
     for name, df, win_ok in (("lang_id_ngram", lid, 0),
                              ("fastrp_superstep", frp, 0),
                              ("louvain_contract", lcon, 0),
@@ -475,7 +483,9 @@ def main() -> None:
                              ("chunk_dedup_pairs", cdp, 0),
                              ("path_rollup", pru, 0),
                              ("mirror_hosts", mh, 0),
-                             ("landmark_estimate", lme, 0)):
+                             ("landmark_estimate", lme, 0),
+                             ("bloom_probe", bprobe, 0),
+                             ("weighted_triangles", wtri, 0)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Cartesian" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
