@@ -9,7 +9,10 @@
 Graph queries run over the canonical deterministic edge table derived
 from ``events`` (combblas_spark.graph.events_graph — identical rule in
 SQL via events_graph_sql). Float-valued outputs are rounded to 6dp on
-BOTH sides; everything else is integer/string-exact.
+BOTH sides via the bit-portable ``floor(x*1e6 + 0.5)/1e6`` form
+(``combblas_spark.portable.pround``, aliased ``_p6`` here; plain
+``round(x, 6)`` has engine/version-specific tie behavior — the r4
+driver reds); everything else is integer/string-exact.
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from combblas_spark.graph import events_graph, events_graph_sql, vertices
+from combblas_spark.portable import pround as _p6
 from combblas_spark.operators.semiring import PLUS_TIMES, SELECT2ND_MIN
 from combblas_spark.operators.spmv import spmv, salted_spmv
 from combblas_spark.operators.spgemm import spgemm, masked_spgemm
@@ -71,7 +75,7 @@ def entry(spark: SparkSession) -> DataFrame:
     g = events_graph(spark, "/root/testdata/sf0.001")
     r = pagerank(g, alpha=ALPHA, n_iter=PR_ITERS)
     return (
-        r.select("id", F.round("rank", 6).alias("rank"))
+        r.select("id", _p6("rank").alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("id").asc())
         .limit(20)
     )
@@ -144,7 +148,7 @@ def q_spgemm_minplus(spark, sf):
 
     g = events_graph(spark, sf)
     return spgemm(g, g, MIN_PLUS).select(
-        "src", "dst", F.round("val", 6).alias("d2"))
+        "src", "dst", _p6("val").alias("d2"))
 
 
 def q_galerkin(spark, sf):
@@ -157,7 +161,7 @@ def q_galerkin(spark, sf):
         F.col("id").alias("src"), F.expr("id DIV 4").alias("dst"),
         F.lit(1.0).alias("val"))
     S = T.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "val")
-    return spgemm(S, spgemm(g, T)).select("src", "dst", F.round("val", 6).alias("c"))
+    return spgemm(S, spgemm(g, T)).select("src", "dst", _p6("val").alias("c"))
 
 
 def q_prune_recovery(spark, sf):
@@ -210,7 +214,7 @@ def q_dim_apply_colstochastic(spark, sf):
     g = events_graph(spark, sf)
     colsums = reduce_dim(g, "col", F.sum)
     normed = dim_apply(g, colsums, "col", lambda v, s: v * (F.lit(1.0) / s))
-    return normed.select("src", "dst", F.round("val", 6).alias("w"))
+    return normed.select("src", "dst", _p6("val").alias("w"))
 
 
 def q_triangle_count(spark, sf):
@@ -353,7 +357,7 @@ def q_incremental_sidecar(spark, sf):
 def q_pagerank(spark, sf):
     g = events_graph(spark, sf)
     r = pagerank(g, alpha=ALPHA, n_iter=PR_ITERS)
-    return r.select("id", F.round("rank", 6).alias("rank"))
+    return r.select("id", _p6("rank").alias("rank"))
 
 
 def q_pagerank_personalized(spark, sf):
@@ -373,7 +377,7 @@ def q_pagerank_personalized(spark, sf):
         (F.lit(1.0) + (F.col("id") % 3).cast("double")).alias("t"),
     ).filter(F.col("id") % 7 == 0)
     r = pagerank(g, alpha=ALPHA, n_iter=PR_ITERS, teleport=tele)
-    return r.select("id", F.round("rank", 6).alias("rank"))
+    return r.select("id", _p6("rank").alias("rank"))
 
 
 def q_ppr_batch(spark, sf):
@@ -395,7 +399,7 @@ def q_ppr_batch(spark, sf):
              .orderBy("id").limit(PPR_SEEDS).collect()]
     r = pagerank_batch(g, seeds, alpha=ALPHA, n_iter=PR_ITERS)
     return r.select("id", F.col("seed").cast("long").alias("seed"),
-                    F.round("rank", 6).alias("rank"))
+                    _p6("rank").alias("rank"))
 
 
 def q_pagerank_bucketed(spark, sf):
@@ -414,7 +418,7 @@ def q_pagerank_bucketed(spark, sf):
     t = read_bucketed_edges(spark, "q_pr_bucketed_edges")
     r = pagerank(t, alpha=ALPHA, n_iter=PR_ITERS, edge_layout="src",
                  broadcast_max_vertices=0)
-    return r.select("id", F.round("rank", 6).alias("rank"))
+    return r.select("id", _p6("rank").alias("rank"))
 
 
 def q_labelprop(spark, sf):
@@ -545,9 +549,9 @@ def q_local_clustering(spark, sf):
     return (
         w.join(tri, "id", "left")
         .select("id", F.coalesce("tri", F.lit(0)).alias("tri"), "wedges",
-                F.round(F.when(F.col("wedges") > 0,
+                _p6(F.when(F.col("wedges") > 0,
                                F.coalesce("tri", F.lit(0)).cast("double")
-                               / F.col("wedges")), 6).alias("coef"))
+                               / F.col("wedges"))).alias("coef"))
     )
 
 
@@ -563,9 +567,8 @@ def q_reciprocity(spark, sf):
     n = de.agg(F.count(F.lit(1)).alias("n_edges"))
     m = mutual.agg(F.count(F.lit(1)).alias("n_mutual"))
     return n.crossJoin(m).select(
-        F.round(F.when(F.col("n_edges") > 0,
-                       F.col("n_mutual").cast("double") / F.col("n_edges")), 6
-                ).alias("reciprocity"),
+        _p6(F.when(F.col("n_edges") > 0,
+                       F.col("n_mutual").cast("double") / F.col("n_edges"))).alias("reciprocity"),
         "n_edges", "n_mutual")
 
 
@@ -591,9 +594,8 @@ def q_transitivity(spark, sf):
         .agg(F.sum(F.col("d") * (F.col("d") - 1)).alias("w2"))
     )
     return tri.crossJoin(w2).select(
-        F.round(F.when(F.col("w2") > 0,
-                       (F.col("triangles") * 6).cast("double") / F.col("w2")), 6
-                ).alias("transitivity"),
+        _p6(F.when(F.col("w2") > 0,
+                       (F.col("triangles") * 6).cast("double") / F.col("w2"))).alias("transitivity"),
         "triangles",
         (F.col("w2") / 2).cast("long").alias("wedges"),
     )
@@ -721,7 +723,7 @@ def q_uniq_vec(spark, sf):
 def q_sssp(spark, sf):
     g = events_graph(spark, sf)
     d = sssp(g, root=0, weighted=True, directed=True)
-    return d.select("id", F.round("dist", 6).alias("dist"))
+    return d.select("id", _p6("dist").alias("dist"))
 
 
 def q_triangles_per_vertex(spark, sf):
@@ -904,7 +906,7 @@ fullg AS (SELECT grid.k, coalesce(mx.r, 0) AS r FROM grid
 s AS (SELECT k, sum(1.0 / CAST(1::BIGINT << r AS DOUBLE)) AS ss FROM fullg
       GROUP BY k)
 SELECT k AS source,
-       round(CAST('{alpha_mm!r}' AS DOUBLE) / ss, 6) AS distinct_est
+       floor((CAST('{alpha_mm!r}' AS DOUBLE) / ss) * 1e6 + 0.5) / 1e6 AS distinct_est
 FROM s"""
 
 
@@ -1122,9 +1124,9 @@ def _readability_sql() -> str:
   FROM documents)
 SELECT doc_id AS id, CAST(nw AS BIGINT) AS n_words,
        CAST(ns AS BIGINT) AS n_sentences, CAST(sy AS BIGINT) AS n_syllables,
-       CASE WHEN nw > 0 THEN ROUND(206.835::DOUBLE
+       CASE WHEN nw > 0 THEN floor((206.835::DOUBLE
             - 1.015::DOUBLE * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
-            - 84.6::DOUBLE * (CAST(sy AS DOUBLE) / CAST(nw AS DOUBLE)), 6)
+            - 84.6::DOUBLE * (CAST(sy AS DOUBLE) / CAST(nw AS DOUBLE))) * 1e6 + 0.5) / 1e6
        END AS flesch
 FROM c"""
 
@@ -1155,8 +1157,8 @@ pairs AS (
     ON b.chunk_hash = a.chunk_hash AND a.id < b.id
   GROUP BY a.id, b.id HAVING count(*) >= {min_shared})
 SELECT p.id_a, p.id_b, p.shared,
-       ROUND(CAST(p.shared AS DOUBLE)
-             / CAST(least(na.n, nb.n) AS DOUBLE), 6) AS frac
+       floor((CAST(p.shared AS DOUBLE)
+             / CAST(least(na.n, nb.n) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS frac
 FROM pairs p JOIN nch na ON na.id = p.id_a JOIN nch nb ON nb.id = p.id_b"""
 
 
@@ -1186,9 +1188,9 @@ pd AS (
 )
 SELECT d.doc_id AS id, coalesce(n_windows, 0) AS n_windows,
        coalesce(n_dup_windows, 0) AS n_dup_windows,
-       round(CASE WHEN coalesce(n_windows, 0) > 0
+       floor((CASE WHEN coalesce(n_windows, 0) > 0
                   THEN coalesce(n_dup_windows, 0) * 1.0 / n_windows
-                  ELSE 0.0 END, 6) AS dup_frac
+                  ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS dup_frac
 FROM documents d LEFT JOIN pd ON pd.id = d.doc_id"""
 
 
@@ -1295,9 +1297,9 @@ def _textrank_sql(k: int = TEXTRANK_K, iters: int = PR_ITERS,
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
-SELECT token, ROUND(pr, 6) AS \"rank\"
+SELECT token, floor((pr) * 1e6 + 0.5) / 1e6 AS \"rank\"
 FROM tkr{iters} r JOIN wl ON wl.wid = r.id
-ORDER BY ROUND(pr, 6) DESC, token ASC LIMIT {k}"""
+ORDER BY floor((pr) * 1e6 + 0.5) / 1e6 DESC, token ASC LIMIT {k}"""
     )
 
 
@@ -1400,8 +1402,8 @@ pd AS (
          sum(c2.c2) AS s2, sum(c1.c1) AS s1, count(*) AS n
   FROM tr JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY id)
 SELECT d.doc_id AS id,
-       round(coalesce(pd.mp, 1.0), 6) AS min_prob,
-       round(coalesce(CAST(pd.s2 AS DOUBLE) / CAST(pd.s1 AS DOUBLE), 1.0), 6)
+       floor((coalesce(pd.mp, 1.0)) * 1e6 + 0.5) / 1e6 AS min_prob,
+       floor((coalesce(CAST(pd.s2 AS DOUBLE) / CAST(pd.s1 AS DOUBLE), 1.0)) * 1e6 + 0.5) / 1e6
            AS support,
        coalesce(pd.n, 0) AS n_transitions
 FROM documents d LEFT JOIN pd ON pd.id = d.doc_id"""
@@ -1474,7 +1476,7 @@ ov AS (
               JOIN shd y ON y.id = c.id_b AND y.sh = x.sh
   GROUP BY c.id_a, c.id_b
 )
-SELECT id_a, id_b, round(n_inter * 1.0 / x.sz, 6) AS containment
+SELECT id_a, id_b, floor((n_inter * 1.0 / x.sz) * 1e6 + 0.5) / 1e6 AS containment
 FROM ov JOIN sz x ON x.id = ov.id_a
 WHERE n_inter * 1.0 / x.sz >= 0.8"""
 
@@ -1635,7 +1637,7 @@ def _mnn_pairs_sql(k: int = MNN_K) -> str:
            "* sqrt(list_dot_product(b.e, b.e)))")
     return f"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 tk AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ROUND({cos}, 6) AS cos
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, floor(({cos}) * 1e6 + 0.5) / 1e6 AS cos
   FROM v a JOIN v b ON a.vec_id <> b.vec_id
   QUALIFY row_number() OVER (PARTITION BY a.vec_id
                              ORDER BY {cos} DESC, b.vec_id ASC) <= {k}
@@ -1710,7 +1712,7 @@ def _kcenter_sql(k: int = KCENTER_K) -> str:
                 f" least(m.mind, {dd('m.e', 'c.e')}) AS mind"
                 f" FROM m{t} m, c{t} c WHERE m.id <> c.id)")
     selects = ["SELECT 0 AS pos, id AS vec_id, 0.0 AS d2 FROM c0"] + [
-        f"SELECT {t}, id, round(mind, 6) FROM c{t}" for t in range(1, k)]
+        f"SELECT {t}, id, floor((mind) * 1e6 + 0.5) / 1e6 FROM c{t}" for t in range(1, k)]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
@@ -1739,7 +1741,7 @@ def q_embedding_centroids(spark, sf):
     return (
         e.select("label", F.posexplode("embedding").alias("i", "x"))
         .groupBy("label", "i")
-        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        .agg(_p6(F.avg(F.col("x").cast("double"))).alias("c"))
     )
 
 
@@ -1749,7 +1751,7 @@ def q_events_windowed(spark, sf):
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _p6(F.sum("value")).alias("sum_value"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
     )
 
@@ -1758,7 +1760,7 @@ def q_events_daily(spark, sf):
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return (
         ev.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _p6(F.avg("value")).alias("avg_value"))
     )
 
 
@@ -2169,7 +2171,7 @@ def _pic_sql(k: int = PIC_K, n_iter: int = PIC_ITERS) -> str:
         ctes.append(
             f"x{t} AS MATERIALIZED (SELECT id, r / tt AS x FROM r{t}, t{t})")
     ctes += [
-        f"e AS (SELECT id, round(x, 9) AS emb FROM x{n_iter})",
+        f"e AS (SELECT id, floor((x) * 1e9 + 0.5) / 1e9 AS emb FROM x{n_iter})",
         "p AS MATERIALIZED (SELECT id, emb, "
         "row_number() OVER (ORDER BY emb, id) - 1 AS pos FROM e)",
         "g AS (SELECT p1.pos, p2.emb - p1.emb AS gap "
@@ -2306,7 +2308,7 @@ def _sweep_cut_sql(iters: int = None, alpha: float = None) -> str:
     thinned = f"SELECT * FROM ({EDGES}) WHERE {_THIN_PRED}"
     ctes = _pr_chain_ctes(iters, alpha, thinned, prefix="sw")
     ctes += [
-        f"swsc AS (SELECT id, round(pr, 6) AS s FROM swr{iters})",
+        f"swsc AS (SELECT id, floor((pr) * 1e6 + 0.5) / 1e6 AS s FROM swr{iters})",
         "swund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
         "greatest(src, dst) AS v FROM swedges WHERE src <> dst)",
         "swdirs AS (SELECT u, v FROM swund UNION ALL SELECT v AS u, u AS v FROM swund)",
@@ -2331,7 +2333,7 @@ def _sweep_cut_sql(iters: int = None, alpha: float = None) -> str:
     ]
     return ("WITH " + ",\n".join(ctes) + """
 SELECT pos, id, deg, cut, vol,
-       round(cut * 1.0 / least(vol, tv - vol), 6) AS conductance
+       floor((cut * 1.0 / least(vol, tv - vol)) * 1e6 + 0.5) / 1e6 AS conductance
 FROM swacc, swtot WHERE vol < tv""")
 
 
@@ -2479,7 +2481,7 @@ def _simrank_sql(n_iter: int = SIMRANK_ITERS, cap: int = SIMRANK_CAP) -> str:
             f"FROM r{t} r JOIN ind da ON da.id = r.a JOIN ind db ON db.id = r.b)"
         )
     return ("WITH " + ",\n".join(ctes) +
-            f"\nSELECT a, b, round(s, 6) AS sim FROM s{n_iter}")
+            f"\nSELECT a, b, floor((s) * 1e6 + 0.5) / 1e6 AS sim FROM s{n_iter}")
 
 
 TRUSS_K = 4
@@ -2583,8 +2585,8 @@ def q_closeness(spark, sf):
 
     g = _thin_edges(events_graph(spark, sf))
     out = closeness_centrality(g)
-    return out.select("id", F.round("harmonic", 6).alias("harmonic"),
-                      F.round("closeness", 6).alias("closeness"))
+    return out.select("id", _p6("harmonic").alias("harmonic"),
+                      _p6("closeness").alias("closeness"))
 
 
 LM_N = 4
@@ -2679,10 +2681,10 @@ sc AS (
          count(CASE WHEN level > 0 THEN 1 END) AS reached
   FROM l{rounds} GROUP BY root)
 SELECT v.id,
-       ROUND(coalesce(sc.harmonic, 0.0), 6) AS harmonic,
-       ROUND(coalesce(CASE WHEN sc.sumd > 0
+       floor((coalesce(sc.harmonic, 0.0)) * 1e6 + 0.5) / 1e6 AS harmonic,
+       floor((coalesce(CASE WHEN sc.sumd > 0
                            THEN CAST(sc.reached AS DOUBLE) / sc.sumd
-                           ELSE 0.0 END, 0.0), 6) AS closeness
+                           ELSE 0.0 END, 0.0)) * 1e6 + 0.5) / 1e6 AS closeness
 FROM verts v LEFT JOIN sc ON sc.root = v.id"""
     )
 
@@ -2727,7 +2729,7 @@ def _hyperball_sql(hops: int = ANF_HOPS, k: int = ANF_K,
     joins = "e0 " + " ".join(
         f"JOIN e{h} USING (id)" for h in range(1, hops + 1))
     return ("WITH " + ",\n".join(ctes)
-            + f"\nSELECT id, round({expr}, 6) AS harmonic_est FROM {joins}")
+            + f"\nSELECT id, floor(({expr}) * 1e6 + 0.5) / 1e6 AS harmonic_est FROM {joins}")
 
 
 def q_anf(spark, sf):
@@ -2751,7 +2753,7 @@ def q_hits(spark, sf):
     g = events_graph(spark, sf)
     out = hits(g, n_iter=HITS_ITERS)
     return out.select(
-        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+        "id", _p6("hub").alias("hub"), _p6("auth").alias("auth")
     )
 
 
@@ -2764,7 +2766,7 @@ def q_salsa(spark, sf):
     g = events_graph(spark, sf)
     out = salsa(g, n_iter=HITS_ITERS)
     return out.select(
-        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+        "id", _p6("hub").alias("hub"), _p6("auth").alias("auth")
     )
 
 
@@ -2785,7 +2787,7 @@ def q_katz(spark, sf):
 
     g = events_graph(spark, sf)
     return katz(g, alpha=KATZ_ALPHA, n_iter=HITS_ITERS).select(
-        "id", F.round("katz", 6).alias("katz"))
+        "id", _p6("katz").alias("katz"))
 
 
 FASTRP_D = 8
@@ -2969,7 +2971,7 @@ def _densest_sql(rounds: int = DS_ROUNDS) -> str:
     ctes.append(f"stats AS ({stats_union})")
     ctes.append(
         "best AS (SELECT round, n, CAST(sum_d / 2 AS BIGINT) AS m, "
-        "round(0.5 * sum_d / n, 6) AS density, 0.5 * sum_d / n AS raw "
+        "floor((0.5 * sum_d / n) * 1e6 + 0.5) / 1e6 AS density, 0.5 * sum_d / n AS raw "
         "FROM stats WHERE n > 0 ORDER BY raw DESC, round ASC LIMIT 1)")
     ctes.append(f"alive_all AS ({alive_union})")
     return ("WITH " + ",\n".join(ctes)
@@ -3052,9 +3054,9 @@ def q_spam_mass(spark, sf):
         pr.join(tr, "id")
         .select(
             F.col("id").alias("host"),
-            F.round("_pr", 6).alias("pr"),
-            F.round("_tr", 6).alias("trust"),
-            F.round((F.col("_pr") - F.col("_tr")) / F.col("_pr"), 6).alias("spam_mass"),
+            _p6("_pr").alias("pr"),
+            _p6("_tr").alias("trust"),
+            _p6((F.col("_pr") - F.col("_tr")) / F.col("_pr")).alias("spam_mass"),
         )
     )
 
@@ -3067,8 +3069,8 @@ def _spam_mass_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
-SELECT u.id AS host, ROUND(u.pr, 6) AS pr, ROUND(t.pr, 6) AS trust,
-       ROUND((u.pr - t.pr) / u.pr, 6) AS spam_mass
+SELECT u.id AS host, floor((u.pr) * 1e6 + 0.5) / 1e6 AS pr, floor((t.pr) * 1e6 + 0.5) / 1e6 AS trust,
+       floor(((u.pr - t.pr) / u.pr) * 1e6 + 0.5) / 1e6 AS spam_mass
 FROM u_r{iters} u JOIN t_r{iters} t ON t.id = u.id"""
     )
 
@@ -3089,7 +3091,7 @@ def q_trustrank(spark, sf):
     )
     tele = spark.createDataFrame([(h, 1.0) for h in TRUST_SEEDS], ["id", "t"])
     r = pagerank(hg, alpha=ALPHA, n_iter=PR_ITERS, weighted=True, teleport=tele)
-    return r.select(F.col("id").alias("host"), F.round("rank", 6).alias("trust"))
+    return r.select(F.col("id").alias("host"), _p6("rank").alias("trust"))
 
 
 def _trustrank_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
@@ -3101,7 +3103,7 @@ def _trustrank_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
     ctes = _host_pr_ctes(iters, alpha, seeded=True, prefix="")
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id AS host, ROUND(pr, 6) AS trust FROM r{iters}"
+        + f"\nSELECT id AS host, floor((pr) * 1e6 + 0.5) / 1e6 AS trust FROM r{iters}"
     )
 
 
@@ -3197,7 +3199,7 @@ def _anf_sql(hops: int = ANF_HOPS, k: int = ANF_K, r_bits: int = ANF_RBITS,
     ctes, lzb = _anf_ctes(hops, k, r_bits, seed)
     summaries = " UNION ALL ".join(
         f"SELECT CAST({h} AS INT) AS h, CAST(sum(tot) AS BIGINT) AS sum_lzb, "
-        f"ROUND(sum(pow(2.0, tot / {float(k)})) / 0.77351, 6) AS est "
+        f"floor((sum(pow(2.0, tot / {float(k)})) / 0.77351) * 1e6 + 0.5) / 1e6 AS est "
         f"FROM (SELECT ({lzb}) AS tot FROM s{h})"
         for h in range(0, hops + 1)
     )
@@ -3234,7 +3236,7 @@ w AS (SELECT src AS id, CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS wedges
       FROM dirs GROUP BY src)
 SELECT w.id, coalesce(tv.tri, 0) AS tri, w.wedges,
        CASE WHEN w.wedges > 0
-            THEN ROUND(CAST(coalesce(tv.tri, 0) AS DOUBLE) / w.wedges, 6) END AS coef
+            THEN floor((CAST(coalesce(tv.tri, 0) AS DOUBLE) / w.wedges) * 1e6 + 0.5) / 1e6 END AS coef
 FROM w LEFT JOIN tv ON tv.id = w.id"""
 
 
@@ -3246,7 +3248,7 @@ n AS (SELECT count(*) AS n_edges FROM de),
 m AS (SELECT count(*) AS n_mutual FROM de a
       WHERE EXISTS (SELECT 1 FROM de b WHERE b.src = a.dst AND b.dst = a.src))
 SELECT CASE WHEN n_edges > 0
-            THEN ROUND(CAST(n_mutual AS DOUBLE) / n_edges, 6) END AS reciprocity,
+            THEN floor((CAST(n_mutual AS DOUBLE) / n_edges) * 1e6 + 0.5) / 1e6 END AS reciprocity,
        n_edges, n_mutual
 FROM n, m"""
 
@@ -3267,7 +3269,7 @@ dirs AS (SELECT src, dst FROM L UNION ALL SELECT dst, src FROM L),
 w2 AS (SELECT sum(d * (d - 1)) AS w2 FROM
        (SELECT count(*) AS d FROM dirs GROUP BY src))
 SELECT CASE WHEN w2.w2 > 0
-            THEN ROUND(CAST(tri.triangles * 6 AS DOUBLE) / w2.w2, 6) END AS transitivity,
+            THEN floor((CAST(tri.triangles * 6 AS DOUBLE) / w2.w2) * 1e6 + 0.5) / 1e6 END AS transitivity,
        tri.triangles AS triangles,
        CAST(w2.w2 / 2 AS BIGINT) AS wedges
 FROM tri, w2"""
@@ -3291,8 +3293,8 @@ m AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_raw,
              CAST(sum(y * y) AS DOUBLE) AS sy2
       FROM p)
 SELECT CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
-            THEN ROUND((n * sxy - sx * sy)
-                       / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+            THEN floor(((n * sxy - sx * sy)
+                       / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))) * 1e6 + 0.5) / 1e6
        END AS r,
        CAST(n_raw / 2 AS BIGINT) AS n_edges
 FROM m"""
@@ -3309,8 +3311,8 @@ deg AS (SELECT src, count(*) AS deg FROM dirs GROUP BY src),
 sv AS (SELECT dirs.src, sum(d.deg) AS s FROM dirs
        JOIN deg d ON d.src = dirs.dst GROUP BY dirs.src)
 SELECT deg.deg,
-       ROUND(CAST(sum(sv.s) AS DOUBLE)
-             / (CAST(deg.deg AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6) AS knn,
+       floor((CAST(sum(sv.s) AS DOUBLE)
+             / (CAST(deg.deg AS DOUBLE) * CAST(count(*) AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS knn,
        count(*) AS n_vertices
 FROM deg JOIN sv ON sv.src = deg.src
 GROUP BY deg.deg"""
@@ -3332,7 +3334,7 @@ t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tt FROM pairs),
 cm AS (SELECT center, CAST(sum(cnt) AS DOUBLE) AS cc FROM pairs GROUP BY center),
 xm AS (SELECT context, CAST(sum(cnt) AS DOUBLE) AS cx FROM pairs GROUP BY context)
 SELECT p.center, p.context, p.cnt,
-       ROUND(GREATEST(CAST(p.cnt AS DOUBLE) * t.tt / (cm.cc * xm.cx), 1.0), 6)
+       floor((GREATEST(CAST(p.cnt AS DOUBLE) * t.tt / (cm.cc * xm.cx), 1.0)) * 1e6 + 0.5) / 1e6
            AS ppmi_odds
 FROM pairs p
 JOIN cm ON cm.center = p.center
@@ -3373,7 +3375,7 @@ def _eff_diameter_sql(max_hops: int = 8, q: float = 0.9, k: int = ANF_K,
   LEFT JOIN summ prev ON prev.h = (SELECT hi FROM hit) - 1
 )""")
     return ("WITH " + ",\n".join(ctes)
-            + "\nSELECT ROUND((SELECT e FROM eff), 3) AS eff_diameter, "
+            + "\nSELECT floor(((SELECT e FROM eff)) * 1e3 + 0.5) / 1e3 AS eff_diameter, "
               "(SELECT hs FROM stop) AS hops_run")
 
 
@@ -3410,8 +3412,8 @@ def _hits_power_ctes(src_table: str, iters: int) -> list[str]:
 def _hits_final_select(src_table: str, iters: int) -> str:
     return (
         f"""
-        SELECT v.id, ROUND(coalesce(h.v, 0.0), 6) AS hub,
-               ROUND(coalesce(a.v, 0.0), 6) AS auth
+        SELECT v.id, floor((coalesce(h.v, 0.0)) * 1e6 + 0.5) / 1e6 AS hub,
+               floor((coalesce(a.v, 0.0)) * 1e6 + 0.5) / 1e6 AS auth
         FROM {src_table}_verts v LEFT JOIN h{iters} h ON h.id = v.id
         LEFT JOIN a{iters} a ON a.id = v.id"""
     )
@@ -3438,7 +3440,7 @@ def q_topic_hits(spark, sf):
     out = topic_hits(events_graph(spark, sf), n_roots=TOPIC_ROOTS,
                      d=TOPIC_D, n_iter=HITS_ITERS)
     return out.select(
-        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+        "id", _p6("hub").alias("hub"), _p6("auth").alias("auth"))
 
 
 def _topic_hits_sql(n_roots: int = TOPIC_ROOTS, d: int = TOPIC_D,
@@ -3506,8 +3508,8 @@ def _salsa_sql(iters: int = HITS_ITERS) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
-        SELECT v.id, ROUND(coalesce(h.v, 0.0), 6) AS hub,
-               ROUND(coalesce(a.v, 0.0), 6) AS auth
+        SELECT v.id, floor((coalesce(h.v, 0.0)) * 1e6 + 0.5) / 1e6 AS hub,
+               floor((coalesce(a.v, 0.0)) * 1e6 + 0.5) / 1e6 AS auth
         FROM verts v LEFT JOIN h{iters} h ON h.id = v.id
         LEFT JOIN a{iters} a ON a.id = v.id"""
     )
@@ -3533,7 +3535,7 @@ def _katz_sql(iters: int = HITS_ITERS, alpha: float = KATZ_ALPHA) -> str:
             f"JOIN x{t-1} x ON x.id = e.src GROUP BY e.dst) s ON s.id = v.id)"
         )
     return ("WITH " + ",\n".join(ctes)
-            + f"\nSELECT id, ROUND(v, 6) AS katz FROM x{iters}")
+            + f"\nSELECT id, floor((v) * 1e6 + 0.5) / 1e6 AS katz FROM x{iters}")
 
 
 def _eigencentrality_sql(iters: int = 8) -> str:
@@ -3556,7 +3558,7 @@ def _eigencentrality_sql(iters: int = 8) -> str:
         )
     ctes.append(f"tot AS (SELECT sum(v) AS t FROM x{iters})")
     return ("WITH " + ",\n".join(ctes)
-            + f"\nSELECT id, ROUND(CASE WHEN t > 0 THEN v / t END, 6) AS eigen"
+            + f"\nSELECT id, floor((CASE WHEN t > 0 THEN v / t END) * 1e6 + 0.5) / 1e6 AS eigen"
             f"\nFROM x{iters}, tot")
 
 
@@ -3734,7 +3736,7 @@ def q_betweenness(spark, sf):
 
     g = events_graph(spark, sf)
     out = betweenness_centrality(g, roots=list(range(BC_ROOTS)))
-    return out.select("id", F.round("bc", 6).alias("bc"))
+    return out.select("id", _p6("bc").alias("bc"))
 
 
 BPM_ROUNDS = 12  # oracle unroll bound; greedy converges in O(log n) rounds
@@ -3866,9 +3868,13 @@ def q_media_features(spark, sf):
     """Multimodal decode plumbing (mapInPandas over binary payloads).
     The driver row checks the decode METADATA exactly (the stubbed
     decode is a pure function with a SQL twin); the float feature
-    vector stays pytest-covered (test_functions plumbing tests)."""
+    vector stays pytest-covered (test_functions plumbing tests).
+    decoder is PINNED to "stub": the synthetic payloads are not real
+    images and the oracle encodes the stub's hex-keyed dim rule, so
+    this row must not flip paths in a Pillow-equipped environment
+    (the real-decode path is covered by test_multimodal_pil_path)."""
     media = synthetic_media(spark, n=200)
-    return extract_media_features(media).select(
+    return extract_media_features(media, decoder="stub").select(
         "media_id", "kind", "width", "height", "n_frames")
 
 
@@ -3955,7 +3961,7 @@ nbrs AS (SELECT s.src AS z, s.dst AS n, d.deg FROM sym s JOIN deg d ON d.id = s.
          WHERE d.deg <= {cap}),
 scored AS (
   SELECT x.n AS a, y.n AS b, count(*) AS cn,
-         round(sum(1.0 / ln(x.deg)), 6) AS aa
+         floor((sum(1.0 / ln(x.deg))) * 1e6 + 0.5) / 1e6 AS aa
   FROM nbrs x JOIN nbrs y ON y.z = x.z AND x.n < y.n
   GROUP BY x.n, y.n HAVING count(*) >= {min_common}),
 existing AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst)
@@ -4020,7 +4026,7 @@ def q_sssp_delta(spark, sf):
 
     g = events_graph(spark, sf)
     d = delta_stepping_sssp(g, root=0, delta=2.0, directed=True)
-    return d.select("id", F.round("dist", 6).alias("dist"))
+    return d.select("id", _p6("dist").alias("dist"))
 
 
 DSIR_BUCKETS = 256
@@ -4051,7 +4057,7 @@ tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM stats),
 lm AS (SELECT b, ln(((ct + 1.0) / (nt + {buckets}.0))
                   / ((cr + 1.0) / (nr + {buckets}.0))) AS lr
        FROM stats, tot),
-sc AS (SELECT id, count(*) AS n_tokens, round(avg(lr), 6) AS logratio
+sc AS (SELECT id, count(*) AS n_tokens, floor((avg(lr)) * 1e6 + 0.5) / 1e6 AS logratio
        FROM tb JOIN lm USING (b) GROUP BY id)
 SELECT d.doc_id AS id, coalesce(n_tokens, 0) AS n_tokens,
        coalesce(logratio, 0.0) AS logratio
@@ -4078,7 +4084,7 @@ dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
 sc AS (SELECT id, term, (tf * 1.0 / dl) * (n * 1.0 / df) AS s
        FROM tf JOIN dl USING (id) JOIN dft USING (term), n)
-SELECT id, term, pos, round(s, 6) AS score FROM (
+SELECT id, term, pos, floor((s) * 1e6 + 0.5) / 1e6 AS score FROM (
   SELECT id, term, s,
          row_number() OVER (PARTITION BY id ORDER BY s DESC, term) AS pos
   FROM sc) WHERE pos <= {k}"""
@@ -4086,89 +4092,32 @@ SELECT id, term, pos, round(s, 6) AS score FROM (
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is part of the evidence contract: the driver's
-    correctness gate checks the FIRST 50 entries only (VERDICT r2
-    headline — round 2 starved the training-data block out of the
-    window by growing the head). Policy, in order:
+    correctness gate checks the FIRST 50 entries only. Round-5 policy
+    (VERDICT r4 #1/#2/#7), in order:
 
-      1. queries never driver-verified first (round 4: the 10 webgraph
-         metrics added late in r3 plus pages_pipeline, which was RED at
-         the driver in r1+r2 and fixed since — VERDICT r3 top item),
-      2. new or semantics-changed this round (salsa carries the ADVICE
-         r3 recurrence fix; bfs_random_parent/single_child/split_merge/
-         ktips/incremental_sidecar are new; pagerank_personalized/
-         trustrank re-enter because the teleport guard touched their
-         setup; scc re-enters for its convergence guards; the round-4b
-         block vertex_features/component_sizes/paragraph_dedup/
-         degree_delta is new; the round-4d block mst/adamic_adar/
-         coloring/dsir is new),
-      3. heavy / algorithmically central rotation (green r1/r2, rotated
-         out of the r3 window — graph algorithms, SpGEMM family,
-         permutations, I/O),
-      4. tail (positions 51+): everything green in the r3 window plus
-         twice-green basics, all pytest-covered.
+      1. the two r4 reds (dup_spans, tf_cosine) — hash-only driver
+         mismatches from engine-specific round() tie behavior, now
+         emitted via the bit-portable floor(x*1e6+0.5)/1e6 form on BOTH
+         sides (combblas_spark.portable; the whole registry was swept),
+      2. tf_cosine_capped — NEW: the df hub-cap branch of the TF-cosine
+         join (the 100-TB path) with the cap baked into the SQL twin,
+      3. the never-driver-verified block (52 rows as of r4, all locally
+         oracle-green at sf0.001 AND sf0.01 — VERDICT r4 #2), in
+         registry order: the 3rd/4th/5th/6th-session algorithm block
+         (avg_neighbor_degree .. redirects), then the 7th-session ops
+         (langid .. weighted_triangles). Five thin projection-style
+         rows did not fit the 50-row window and queue at 51+:
+         readability, quantize, mix_budget, path_rollup, mirror_hosts
+         (each pytest-covered and locally oracled at both scales —
+         re-runnable via scripts/check_oracle.py),
+      4. tail: every row driver-green in r1-r4, all pytest-covered.
     """
     return {
-        # --- 1. never driver-verified ----------------------------------
-        "eff_diameter": q_eff_diameter,
-        "assortativity": q_assortativity,
-        "transitivity": q_transitivity,
-        "reciprocity": q_reciprocity,
-        "anchor_terms": q_anchor_terms,
-        "spam_mass": q_spam_mass,
-        "local_clustering": q_local_clustering,
-        "degree_hist": q_degree_hist,
-        "containment": q_containment,
+        # --- 1+2. r4 reds (portable-rounding fix) + new capped row ---
         "dup_spans": q_dup_spans,
-        "pages_pipeline": q_pages_pipeline,
-        # --- 2. new or changed this round ------------------------------
-        "salsa": q_salsa,
-        "bfs_random_parent": q_bfs_random_parent,
-        "single_child": q_single_child,
-        "split_merge": q_split_merge,
-        "blocked_spgemm": q_blocked_spgemm,
-        "ktips": q_ktips,
-        "selective_prune": q_selective_prune,
-        "incremental_sidecar": q_incremental_sidecar,
-        "prefix_jaccard_hash64": q_prefix_jaccard_hash64,
-        "dup_span_removal": q_dup_span_removal,
-        "katz": q_katz,
-        "cocitation": q_cocitation,
-        "bib_coupling": q_bib_coupling,
-        "decontaminate": q_decontaminate,
-        "modularity": q_modularity,
-        "pii_scrub": q_pii_scrub,
         "tf_cosine": q_tf_cosine,
-        "url_canonical": q_url_canonical,
-        "scc_dag": q_scc_dag,
-        "weighted_sample": q_weighted_sample,
-        "host_cap": q_host_cap,
-        "boilerplate": q_boilerplate,
-        "edge_embeddedness": q_edge_embeddedness,
-        "rich_club": q_rich_club,
-        "sessionize": q_sessionize,
-        "vertex_features": q_vertex_features,
-        "component_sizes": q_component_sizes,
-        "paragraph_dedup": q_paragraph_dedup,
-        "degree_delta": q_degree_delta,
-        "pagerank_incremental": q_pagerank_incremental,
-        "cc_incremental": q_cc_incremental,
-        "mst": q_mst,
-        "adamic_adar": q_adamic_adar,
-        "coloring": q_coloring,
-        "dsir": q_dsir,
-        "sssp_delta": q_sssp_delta,
-        "tfidf": q_tfidf,
-        "ppr_batch": q_ppr_batch,
-        "semdedup": q_semdedup,
-        # pagerank_personalized / trustrank rotate OUT of the window for
-        # the two rows above: both are r3-green and their only r4 change
-        # (the teleport-sum guard) is pytest-covered and value-neutral.
-        "pagerank_personalized": q_pagerank_personalized,
-        "trustrank": q_trustrank,
-        "scc": q_scc,
-        # new in the round-4 third continuation session — positions 51+
-        # (the window above is all must-verify rows; these queue FIRST
-        # for the round-5 rotation):
+        "tf_cosine_capped": q_tf_cosine_capped,
+        # --- 3. never driver-verified block ---------------------------
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "ppmi": q_ppmi,
         "butterflies": q_butterflies,
@@ -4178,9 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_modularity": q_greedy_modularity,
         "hyperball": q_hyperball,
         "pack_sequences": q_pack_sequences,
-        "mix_budget": q_mix_budget,
         "textrank": q_textrank,
-        "quantize": q_quantize,
         "densest": q_densest,
         "cms_counts": q_cms_counts,
         "community_graph": q_community_graph,
@@ -4211,17 +4158,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_hits": q_topic_hits,
         "chunk_dedup": q_chunk_dedup,
         "louvain_weighted": q_louvain_weighted,
-        "readability": q_readability,
         "rank_delta": q_rank_delta,
         "landmarks": q_landmarks,
         "landmark_est": q_landmark_est,
-        "path_rollup": q_path_rollup,
-        "mirror_hosts": q_mirror_hosts,
         "quality_keep": q_quality_keep,
         "bloom_decon": q_bloom_decon,
         "wtf": q_wtf,
         "weighted_triangles": q_weighted_triangles,
-        # --- 3. heavy / central rotation (green r1/r2, out of r3 window)
+        # --- 51+: thin never-verified rows (locally green), then tail --
+        "readability": q_readability,
+        "quantize": q_quantize,
+        "mix_budget": q_mix_budget,
+        "path_rollup": q_path_rollup,
+        "mirror_hosts": q_mirror_hosts,
+        "eff_diameter": q_eff_diameter,
+        "assortativity": q_assortativity,
+        "transitivity": q_transitivity,
+        "reciprocity": q_reciprocity,
+        "anchor_terms": q_anchor_terms,
+        "spam_mass": q_spam_mass,
+        "local_clustering": q_local_clustering,
+        "degree_hist": q_degree_hist,
+        "containment": q_containment,
+        "pages_pipeline": q_pages_pipeline,
+        "salsa": q_salsa,
+        "bfs_random_parent": q_bfs_random_parent,
+        "single_child": q_single_child,
+        "split_merge": q_split_merge,
+        "blocked_spgemm": q_blocked_spgemm,
+        "ktips": q_ktips,
+        "selective_prune": q_selective_prune,
+        "incremental_sidecar": q_incremental_sidecar,
+        "prefix_jaccard_hash64": q_prefix_jaccard_hash64,
+        "dup_span_removal": q_dup_span_removal,
+        "katz": q_katz,
+        "cocitation": q_cocitation,
+        "bib_coupling": q_bib_coupling,
+        "decontaminate": q_decontaminate,
+        "modularity": q_modularity,
+        "pii_scrub": q_pii_scrub,
+        "url_canonical": q_url_canonical,
+        "scc_dag": q_scc_dag,
+        "weighted_sample": q_weighted_sample,
+        "host_cap": q_host_cap,
+        "boilerplate": q_boilerplate,
+        "edge_embeddedness": q_edge_embeddedness,
+        "rich_club": q_rich_club,
+        "sessionize": q_sessionize,
+        "vertex_features": q_vertex_features,
+        "component_sizes": q_component_sizes,
+        "paragraph_dedup": q_paragraph_dedup,
+        "degree_delta": q_degree_delta,
+        "pagerank_incremental": q_pagerank_incremental,
+        "cc_incremental": q_cc_incremental,
+        "mst": q_mst,
+        "adamic_adar": q_adamic_adar,
+        "coloring": q_coloring,
+        "dsir": q_dsir,
+        "sssp_delta": q_sssp_delta,
+        "tfidf": q_tfidf,
+        "ppr_batch": q_ppr_batch,
+        "semdedup": q_semdedup,
+        "pagerank_personalized": q_pagerank_personalized,
+        "trustrank": q_trustrank,
+        "scc": q_scc,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "connected_components_as": q_connected_components_as,
@@ -4245,9 +4245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spmv_plus_times": q_spmv_plus_times,
         "spmv_select2nd_min": q_spmv_select2nd_min,
         "salted_spmv": q_salted_spmv,
-        # --- 4. tail: green in the r3 window (positions 51+), plus
-        # twice-green r1/r2 basics displaced by this session's four new
-        # rows (cocitation/bib_coupling/decontaminate/modularity)
         "out_degrees": q_out_degrees,
         "total_degree_ewise": q_total_degree_ewise,
         "transpose_rowsums": q_transpose_rowsums,
@@ -4403,7 +4400,7 @@ def _pagerank_sql(iters: int = PR_ITERS, alpha: float = ALPHA) -> str:
     ctes = _pr_chain_ctes(iters, alpha, EDGES)
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id, ROUND(pr, 6) AS \"rank\" FROM r{iters}"
+        + f"\nSELECT id, floor((pr) * 1e6 + 0.5) / 1e6 AS \"rank\" FROM r{iters}"
     )
 
 
@@ -4475,7 +4472,7 @@ _PREFIX_VERIFY = """ov AS (
 ),
 pairs AS (
   SELECT id_a, id_b,
-         round(n_inter * 1.0 / (x.sz + y.sz - n_inter), 6) AS jaccard
+         floor((n_inter * 1.0 / (x.sz + y.sz - n_inter)) * 1e6 + 0.5) / 1e6 AS jaccard
   FROM ov JOIN sz x ON x.id = ov.id_a JOIN sz y ON y.id = ov.id_b
   WHERE n_inter * 1.0 / (x.sz + y.sz - n_inter) >= 0.8
 )"""
@@ -4529,14 +4526,14 @@ g2 AS (
   WHERE len(w) >= 2
 ),
 c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
-s2 AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS f2 FROM c2 GROUP BY doc_id),
+s2 AS (SELECT doc_id, floor((max(c) * 1.0 / sum(c)) * 1e6 + 0.5) / 1e6 AS f2 FROM c2 GROUP BY doc_id),
 g3 AS (
   SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
   FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
   WHERE len(w) >= 3
 ),
 c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
-s3 AS (SELECT doc_id, round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS f3
+s3 AS (SELECT doc_id, floor((sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c)) * 1e6 + 0.5) / 1e6 AS f3
        FROM c3 GROUP BY doc_id),
 f AS (
   SELECT d.doc_id AS id, coalesce(f2, 0.0) AS top_2gram_frac,
@@ -4565,8 +4562,8 @@ def _vocab_topk_sql() -> str:
 def _doc_rarity_sql() -> str:
     return f"""WITH {_VOCAB},
 s AS (
-  SELECT t.doc_id AS id, round(avg(rank), 6) AS mean_rank,
-         round(avg(CASE WHEN rank > 20 THEN 1.0 ELSE 0.0 END), 6) AS oov_ratio
+  SELECT t.doc_id AS id, floor((avg(rank)) * 1e6 + 0.5) / 1e6 AS mean_rank,
+         floor((avg(CASE WHEN rank > 20 THEN 1.0 ELSE 0.0 END)) * 1e6 + 0.5) / 1e6 AS oov_ratio
   FROM toks t JOIN r USING (token) GROUP BY t.doc_id
 )
 SELECT d.doc_id AS id, coalesce(mean_rank, 0.0) AS mean_rank,
@@ -4649,16 +4646,16 @@ lab AS (
 SELECT id, cluster, id = cluster AS is_canonical FROM lab"""
 
 
-def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
-                               edges_sql: str | None = None,
-                               tele_case: str | None = None) -> str:
-    """Unrolled personalized-PageRank twin of q_pagerank_personalized:
-    teleport weight 1 + id%3 on vertices with id%7==0, normalized; both
-    the restart term and the dangling mass scale by t(v). Expression
-    order mirrors the Spark Columns exactly (memory: bit-stability).
-    ``edges_sql``/``tele_case`` parametrize the edge rule and the
-    per-vertex teleport weight CASE (defaults = the registry query);
-    the final rank CTE is r{iters} for callers composing further."""
+def _ppr_ctes(iters: int = PR_ITERS, alpha: float = ALPHA,
+              edges_sql: str | None = None,
+              tele_case: str | None = None) -> list[str]:
+    """CTE list for the unrolled personalized-PageRank chain (final
+    rank CTE is r{iters}) — structural composition for _wtf_sql /
+    _local_cluster_sql instead of slicing the assembled string
+    (ADVICE r4: the rindex anchor broke whenever the final SELECT was
+    reworded). ``edges_sql``/``tele_case`` parametrize the edge rule
+    and the per-vertex teleport weight CASE (defaults = the registry
+    query)."""
     if tele_case is None:
         tele_case = ("CASE WHEN v.id % 7 = 0 "
                      "THEN 1.0 + CAST(v.id % 3 AS DOUBLE) "
@@ -4693,9 +4690,20 @@ def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
   ) inf ON inf.id = t.id
 )"""
         )
+    return ctes
+
+
+def _pagerank_personalized_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
+                               edges_sql: str | None = None,
+                               tele_case: str | None = None) -> str:
+    """Unrolled personalized-PageRank twin of q_pagerank_personalized:
+    teleport weight 1 + id%3 on vertices with id%7==0, normalized; both
+    the restart term and the dangling mass scale by t(v). Expression
+    order mirrors the Spark Columns exactly (memory: bit-stability)."""
+    ctes = _ppr_ctes(iters, alpha, edges_sql, tele_case)
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id, ROUND(pr, 6) AS \"rank\" FROM r{iters}"
+        + f"\nSELECT id, floor((pr) * 1e6 + 0.5) / 1e6 AS \"rank\" FROM r{iters}"
     )
 
 
@@ -4723,7 +4731,7 @@ def q_wtf(spark, sf):
     tele = spark.createDataFrame([(WTF_SEED, 1.0)], "id long, w double")
     r = pagerank(g, alpha=ALPHA, n_iter=PR_ITERS, teleport=tele)
     circle = (
-        r.select("id", F.round("rank", 6).alias("r6"))
+        r.select("id", _p6("rank").alias("r6"))
         .orderBy(F.col("r6").desc(), F.col("id").asc())
         .limit(WTF_CIRCLE).select("id")
     )
@@ -4734,7 +4742,7 @@ def q_wtf(spark, sf):
         .select(F.col("dst").alias("id")).distinct() \
         .withColumn("already_followed", F.lit(True))
     return (
-        sal.select("id", F.round("auth", 6).alias("auth"))
+        sal.select("id", _p6("auth").alias("auth"))
         .where(F.col("auth") > 0)
         .where(F.col("id") != WTF_SEED)
         .join(followed, "id", "left")
@@ -4754,11 +4762,10 @@ def _wtf_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
     anti-join/exclusion/top-k readout."""
     tele = (f"CASE WHEN v.id = {seed} THEN CAST(1.0 AS DOUBLE) "
             "ELSE CAST(0.0 AS DOUBLE) END")
-    chain = _pagerank_personalized_sql(iters, alpha, tele_case=tele)
-    with_block = chain[:chain.rindex("\nSELECT id, ROUND(pr, 6)")]
-    ctes = [
+    ctes = _ppr_ctes(iters, alpha, tele_case=tele)
+    ctes += [
         f"wcir AS (SELECT id FROM (SELECT id, row_number() OVER"
-        f" (ORDER BY round(pr, 6) DESC, id ASC) AS rn FROM r{iters})"
+        f" (ORDER BY floor((pr) * 1e6 + 0.5) / 1e6 DESC, id ASC) AS rn FROM r{iters})"
         f" WHERE rn <= {circle})",
         "wsub AS MATERIALIZED (SELECT e.* FROM edges e"
         " JOIN wcir c ON c.id = e.src)",
@@ -4767,13 +4774,13 @@ def _wtf_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
     ctes.append(
         f"wfol AS (SELECT DISTINCT dst AS id FROM edges WHERE src = {seed})")
     return (
-        with_block + ",\n" + ",\n".join(ctes)
+        "WITH " + ",\n".join(ctes)
         + f"""
-SELECT a.id, ROUND(a.v, 6) AS auth,
+SELECT a.id, floor((a.v) * 1e6 + 0.5) / 1e6 AS auth,
        (f.id IS NOT NULL) AS already_followed
 FROM wa{salsa_iters} a LEFT JOIN wfol f ON f.id = a.id
-WHERE ROUND(a.v, 6) > 0 AND a.id <> {seed}
-ORDER BY ROUND(a.v, 6) DESC, a.id ASC LIMIT {topk}"""
+WHERE floor((a.v) * 1e6 + 0.5) / 1e6 > 0 AND a.id <> {seed}
+ORDER BY floor((a.v) * 1e6 + 0.5) / 1e6 DESC, a.id ASC LIMIT {topk}"""
     )
 
 
@@ -4810,13 +4817,12 @@ def _local_cluster_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
     thinned = f"SELECT * FROM ({EDGES}) WHERE {_THIN_PRED}"
     tele = (f"CASE WHEN v.id = {seed} THEN CAST(1.0 AS DOUBLE) "
             "ELSE CAST(0.0 AS DOUBLE) END")
-    chain = _pagerank_personalized_sql(iters, alpha, edges_sql=thinned,
-                                       tele_case=tele)
-    # reuse the chain's WITH block; swap its final SELECT for the
-    # sweep composition (the chain ends at CTE r{iters})
-    with_block = chain[:chain.rindex("\nSELECT id, ROUND(pr, 6)")]
+    # the chain's CTE list composed structurally with the sweep
+    # windows (the chain ends at CTE r{iters})
+    with_block = "WITH " + ",\n".join(
+        _ppr_ctes(iters, alpha, edges_sql=thinned, tele_case=tele))
     sweep = f""",
-swsc AS (SELECT id, round(pr, 6) AS s FROM r{iters}),
+swsc AS (SELECT id, floor((pr) * 1e6 + 0.5) / 1e6 AS s FROM r{iters}),
 swund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
   greatest(src, dst) AS v FROM edges WHERE src <> dst),
 swdirs AS (SELECT u, v FROM swund UNION ALL SELECT v AS u, u AS v FROM swund),
@@ -4838,7 +4844,7 @@ swacc AS (SELECT pos, id, deg,
   sum(d) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cut FROM swf),
 swtot AS (SELECT max(vol) AS tv FROM swacc),
 swprof AS (SELECT pos, id,
-  round(cut * 1.0 / least(vol, tv - vol), 6) AS conductance
+  floor((cut * 1.0 / least(vol, tv - vol)) * 1e6 + 0.5) / 1e6 AS conductance
   FROM swacc, swtot WHERE vol < tv),
 swbest AS (SELECT pos AS bp, conductance AS bc FROM swprof
   ORDER BY conductance ASC, pos ASC LIMIT 1)
@@ -4889,10 +4895,10 @@ _DOC_QUALITY_SQL = f"""WITH q AS (
             SELECT doc_id,
                    CASE WHEN sw_en = 0 AND sw_de = 0 THEN 'unknown'
                         WHEN sw_en >= sw_de THEN 'en' ELSE 'de' END AS lang_guess,
-                   ROUND(
+                   floor((
                      0.4 * least((CAST(length(text) - (n - 1) AS DOUBLE) / n) / 8.0, 1.0)
                    + 0.3 * (1.0 - CAST(punct AS DOUBLE) / length(text))
-                   + 0.3 * least((CAST(sw_en AS DOUBLE) / nl) * 5, 1.0), 6) AS quality
+                   + 0.3 * least((CAST(sw_en AS DOUBLE) / nl) * 5, 1.0)) * 1e6 + 0.5) / 1e6 AS quality
             FROM q"""
 
 
@@ -4924,10 +4930,10 @@ def oracle_sql() -> dict[str, str]:
             FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
         "galerkin": f"""{_BASE}
             SELECT a.src // 4 AS src, a.dst // 4 AS dst,
-                   ROUND(sum(a.val), 6) AS c
+                   floor((sum(a.val)) * 1e6 + 0.5) / 1e6 AS c
             FROM edges a GROUP BY a.src // 4, a.dst // 4""",
         "spgemm_minplus": f"""{_BASE}
-            SELECT a.src, b.dst, ROUND(min(a.val + b.val), 6) AS d2
+            SELECT a.src, b.dst, floor((min(a.val + b.val)) * 1e6 + 0.5) / 1e6 AS d2
             FROM edges a JOIN edges b ON a.dst = b.src GROUP BY a.src, b.dst""",
         "prune_recovery": f"""{_BASE},
             ann AS (
@@ -4963,7 +4969,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM edges b WHERE b.dst = a.src AND b.src = a.dst)""",
         "dim_apply_colstochastic": f"""{_BASE},
             cs AS (SELECT dst, sum(val) AS s FROM edges GROUP BY dst)
-            SELECT e.src, e.dst, ROUND(e.val * (1.0 / cs.s), 6) AS w
+            SELECT e.src, e.dst, floor((e.val * (1.0 / cs.s)) * 1e6 + 0.5) / 1e6 AS w
             FROM edges e JOIN cs ON e.dst = cs.dst""",
         "triangle_count": f"""{_BASE},
             {_SYM},
@@ -5115,7 +5121,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.dst, w.d + e.val FROM walk w JOIN edges e ON e.src = w.id
               WHERE w.d + e.val <= 15
             )
-            SELECT id, ROUND(min(d), 6) AS dist FROM walk GROUP BY id""",
+            SELECT id, floor((min(d)) * 1e6 + 0.5) / 1e6 AS dist FROM walk GROUP BY id""",
         "triangles_per_vertex": f"""{_BASE},
             {_SYM},
             L AS (SELECT src, dst FROM sym WHERE src < dst),
@@ -5166,16 +5172,16 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY p.id_a, p.id_b),
             cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)
             SELECT p.id_a, p.id_b,
-                   ROUND(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-                         / (ca.n + cb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+                   floor((CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                         / (ca.n + cb.n - coalesce(i.n_inter, 0))) * 1e6 + 0.5) / 1e6 AS jaccard
             FROM pairs p
             LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
             JOIN cnt ca ON ca.doc_id = p.id_a JOIN cnt cb ON cb.doc_id = p.id_b""",
         "embedding_topk": """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10)
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                   floor((list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
                          / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-                            * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+                            * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))) * 1e6 + 0.5) / 1e6 AS cos
             FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
             QUALIFY row_number() OVER (
               PARTITION BY q.vec_id
@@ -5188,23 +5194,23 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings WHERE vec_id < 400)
             SELECT * FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     ROUND(list_dot_product(a.e, b.e)
+                     floor((list_dot_product(a.e, b.e)
                            / (sqrt(list_dot_product(a.e, a.e))
-                              * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+                              * sqrt(list_dot_product(b.e, b.e)))) * 1e6 + 0.5) / 1e6 AS cos
               FROM v a JOIN v b ON a.vec_id < b.vec_id)
             WHERE cos >= 0.2""",
         "embedding_centroids": """
-            SELECT label, i - 1 AS i, ROUND(avg(CAST(x AS DOUBLE)), 6) AS c
+            SELECT label, i - 1 AS i, floor((avg(CAST(x AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS c
             FROM (SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
                   FROM embeddings)
             GROUP BY label, i""",
         "events_daily": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-                   count(*) AS n, ROUND(avg(value), 6) AS avg_value
+                   count(*) AS n, floor((avg(value)) * 1e6 + 0.5) / 1e6 AS avg_value
             FROM events GROUP BY event_type, day""",
         "events_windowed": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
-                   count(*) AS n, ROUND(sum(value), 6) AS sum_value
+                   count(*) AS n, floor((sum(value)) * 1e6 + 0.5) / 1e6 AS sum_value
             FROM events GROUP BY window_start, event_type""",
         # media_features: synthetic binary decode plumbing -> the ONLY
         # rows-only check left (every other query has an oracle).
@@ -5336,6 +5342,8 @@ WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     sqls["modularity"] = _modularity_sql()
     sqls["pii_scrub"] = _pii_scrub_sql()
     sqls["tf_cosine"] = _tf_cosine_sql()
+    sqls["tf_cosine_capped"] = _tf_cosine_sql(max_df=TFCOS_MAX_DF,
+                                              min_cos=TFCOS_MIN_CAPPED)
     sqls["url_canonical"] = _url_canonical_sql()
     sqls["scc_dag"] = _scc_dag_sql()
     sqls["weighted_sample"] = _weighted_sample_sql()
@@ -5905,7 +5913,7 @@ def _betweenness_sql(n_roots: int = BC_ROOTS, depth: int = BC_DEPTH) -> str:
     return f"""WITH {','.join(ctes)},
         acc AS ({acc}),
         bcv AS (SELECT id, sum(delta) AS bc FROM acc WHERE id <> root GROUP BY id)
-        SELECT v.id, ROUND(coalesce(b.bc, 0.0) / 2.0, 6) AS bc
+        SELECT v.id, floor((coalesce(b.bc, 0.0) / 2.0) * 1e6 + 0.5) / 1e6 AS bc
         FROM verts v LEFT JOIN bcv b ON b.id = v.id"""
 
 
@@ -5997,7 +6005,7 @@ def _lsh_topk_sql(k: int = 3, n_tables: int = 4, n_planes: int = 6,
           SELECT id_a AS query_id, id_b AS neighbor_id FROM pairs
           UNION ALL
           SELECT id_b, id_a FROM pairs)
-        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos FROM (
+        SELECT query_id, neighbor_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos FROM (
           SELECT d.query_id, d.neighbor_id,
                  list_dot_product(q.e, c.e)
                    / (sqrt(list_dot_product(q.e, q.e))
@@ -6025,7 +6033,7 @@ def _ivf_quantizer_ctes(nc: int, iters: int) -> list[str]:
         """emb AS MATERIALIZED (
           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""",
         f"""cent0 AS MATERIALIZED (
-          SELECT rn - 1 AS cid, list_transform(e, x -> ROUND(x, 6)) AS cv
+          SELECT rn - 1 AS cid, list_transform(e, x -> floor((x) * 1e6 + 0.5) / 1e6) AS cv
           FROM (SELECT id, e, row_number() OVER (
                   ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn FROM emb)
           WHERE rn <= {nc})""",
@@ -6035,7 +6043,7 @@ def _ivf_quantizer_ctes(nc: int, iters: int) -> list[str]:
     assign = (
         "SELECT id, cid FROM ("
         "  SELECT v.id, c.cid, row_number() OVER ("
-        f"    PARTITION BY v.id ORDER BY ROUND({_duck_cos('v.e', 'c.cv')}, 6) DESC,"
+        f"    PARTITION BY v.id ORDER BY floor(({_duck_cos('v.e', 'c.cv')}) * 1e6 + 0.5) / 1e6 DESC,"
         "     c.cid) AS rn"
         "  FROM emb v, cent{t} c) WHERE rn = 1"
     )
@@ -6043,7 +6051,7 @@ def _ivf_quantizer_ctes(nc: int, iters: int) -> list[str]:
         ctes.append(f"a{t} AS MATERIALIZED ({assign.format(t=t)})")
         ctes.append(
             f"""comp{t} AS (
-          SELECT a.cid, u.pos, ROUND(avg(u.x), 6) AS m
+          SELECT a.cid, u.pos, floor((avg(u.x)) * 1e6 + 0.5) / 1e6 AS m
           FROM a{t} a JOIN expl u ON u.id = a.id
           GROUP BY a.cid, u.pos)"""
         )
@@ -6079,7 +6087,7 @@ def _ivf_topk_sql(k: int = IVF_K, nc: int = IVF_NC, iters: int = IVF_ITERS,
         f"""probes AS (
           SELECT id AS query_id, cid FROM (
             SELECT v.id, c.cid, row_number() OVER (
-              PARTITION BY v.id ORDER BY ROUND({_cos('v.e', 'c.cv')}, 6) DESC,
+              PARTITION BY v.id ORDER BY floor(({_cos('v.e', 'c.cv')}) * 1e6 + 0.5) / 1e6 DESC,
               c.cid) AS rn
             FROM emb v, cent{iters} c) WHERE rn <= {nprobe})"""
     )
@@ -6090,7 +6098,7 @@ def _ivf_topk_sql(k: int = IVF_K, nc: int = IVF_NC, iters: int = IVF_ITERS,
           WHERE l.id <> p.query_id)"""
     )
     return ("WITH " + ",\n".join(ctes) + f"""
-        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos FROM (
+        SELECT query_id, neighbor_id, floor((cos) * 1e6 + 0.5) / 1e6 AS cos FROM (
           SELECT d.query_id, d.neighbor_id, {_cos('q.e', 'c.e')} AS cos
           FROM cands d
           JOIN emb q ON q.id = d.query_id
@@ -6110,7 +6118,7 @@ def _semdedup_sql(threshold: float = SEMDEDUP_T, nc: int = IVF_NC,
     ctes.append(
         f"""dups AS (
           SELECT DISTINCT b.id FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
-          WHERE ROUND({_duck_cos('a.e', 'b.e')}, 6) >= {threshold})"""
+          WHERE floor(({_duck_cos('a.e', 'b.e')}) * 1e6 + 0.5) / 1e6 >= {threshold})"""
     )
     return ("WITH " + ",\n".join(ctes) + """
         SELECT a.id, a.cid, (d.id IS NULL) AS kept
@@ -6164,7 +6172,7 @@ def _ppr_batch_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
 )""")
     selects = [
         f"SELECT id, (SELECT id FROM seedlist WHERE rn = {b}) AS seed, "
-        f"ROUND(pr, 6) AS \"rank\" FROM s{b}r{iters} "
+        f"floor((pr) * 1e6 + 0.5) / 1e6 AS \"rank\" FROM s{b}r{iters} "
         f"WHERE EXISTS (SELECT 1 FROM seedlist WHERE rn = {b})"
         for b in range(1, nseeds + 1)
     ]
@@ -6204,9 +6212,9 @@ def _embedding_neardups_lsh_sql(threshold: float = 0.2, n_tables: int = 4,
         {_lsh_pairs_ctes(n_tables, n_planes, seed, dim, None)}
         SELECT id_a, id_b, cos FROM (
           SELECT p.id_a, p.id_b,
-                 ROUND(list_dot_product(a.e, b.e)
+                 floor((list_dot_product(a.e, b.e)
                        / (sqrt(list_dot_product(a.e, a.e))
-                          * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+                          * sqrt(list_dot_product(b.e, b.e)))) * 1e6 + 0.5) / 1e6 AS cos
           FROM pairs p JOIN v a ON a.id = p.id_a JOIN v b ON b.id = p.id_b)
         WHERE cos >= {threshold}"""
 
@@ -6355,7 +6363,7 @@ def _neighbor_jaccard_sql() -> str:
     )
     return (
         "SELECT id_a, id_b, CAST(common AS BIGINT) AS common, "
-        "round(common * 1.0 / (da + db - common), 6) AS jaccard "
+        "floor((common * 1.0 / (da + db - common)) * 1e6 + 0.5) / 1e6 AS jaccard "
         f"FROM (VALUES {rows}) AS t(id_a, id_b, common, da, db)"
     )
 
@@ -6705,9 +6713,9 @@ def _modularity_sql(rounds: int = LP_ROUNDS) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + """
-SELECT CASE WHEN m > 0 THEN round(
+SELECT CASE WHEN m > 0 THEN floor((
          CAST(intra_edges AS DOUBLE) / m
-         - CAST(deg_sq_sum AS DOUBLE) / (4.0 * m * m), 6) END AS modularity,
+         - CAST(deg_sq_sum AS DOUBLE) / (4.0 * m * m)) * 1e6 + 0.5) / 1e6 END AS modularity,
        m, intra_edges, deg_sq_sum
 FROM mm CROSS JOIN intra CROSS JOIN degsq"""
     )
@@ -6786,6 +6794,8 @@ def _pii_scrub_sql() -> str:
 
 
 TFCOS_MIN = 0.75
+TFCOS_MIN_CAPPED = 0.3   # the cap strips high-df tokens, so cosines drop
+TFCOS_MAX_DF = 40        # tokens in more docs than this are hubs: pruned
 
 
 def q_tf_cosine(spark, sf):
@@ -6801,20 +6811,42 @@ def q_tf_cosine(spark, sf):
     return tf_cosine_pairs(docs, min_cos=TFCOS_MIN)
 
 
-def _tf_cosine_sql() -> str:
+def q_tf_cosine_capped(spark, sf):
+    """The df hub-cap path of tf_cosine (VERDICT r4 #7): tokens in more
+    than TFCOS_MAX_DF docs are dropped BEFORE the inverted-index
+    self-join — the 100-TB stopword suppression (one df=10^6 token
+    alone contributes 5*10^11 pairs). Norms are over kept tokens only,
+    so cos stays a true cosine in the pruned space; the cap changes
+    both the pair set and the scores, and the SQL twin bakes in the
+    identical cap."""
+    from combblas_spark.functions.similarity import tf_cosine_pairs
+
+    docs = _docs(spark, sf).where(F.col("doc_id") % 5 == 0)
+    return tf_cosine_pairs(docs, min_cos=TFCOS_MIN_CAPPED,
+                           max_df=TFCOS_MAX_DF)
+
+
+def _tf_cosine_sql(max_df: int | None = None,
+                   min_cos: float = TFCOS_MIN) -> str:
+    df_filter = ""
+    if max_df is not None:
+        df_filter = f"""
+tfdf AS (SELECT tok FROM tf GROUP BY tok HAVING count(*) <= {max_df}),
+tfk AS (SELECT tf.* FROM tf JOIN tfdf USING (tok)),"""
+    src = "tfk" if max_df is not None else "tf"
     return f"""WITH tf AS (
   SELECT doc_id AS id, tok, count(*) AS tf
   FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
         FROM documents WHERE doc_id % 5 = 0)
-  GROUP BY doc_id, tok),
-norms AS (SELECT id, sum(tf*tf) AS n2 FROM tf GROUP BY id),
+  GROUP BY doc_id, tok),{df_filter}
+norms AS (SELECT id, sum(tf*tf) AS n2 FROM {src} GROUP BY id),
 dots AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.tf * b.tf) AS dot
-         FROM tf a JOIN tf b ON a.tok = b.tok AND a.id < b.id
+         FROM {src} a JOIN {src} b ON a.tok = b.tok AND a.id < b.id
          GROUP BY a.id, b.id)
 SELECT id_a, id_b, dot,
-       round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cos
+       floor((CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS cos
 FROM dots JOIN norms na ON na.id = dots.id_a JOIN norms nb ON nb.id = dots.id_b
-WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) >= {TFCOS_MIN}"""
+WHERE floor((CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 >= {min_cos}"""
 
 
 def q_url_canonical(spark, sf):
@@ -6950,13 +6982,13 @@ def q_weighted_sample(spark, sf):
     d = _docs(spark, sf)
     w = token_count(F.col("text")) / WSAMPLE_DIV
     return weighted_sample(d, w, key_col="doc_id").select(
-        "doc_id", F.round(F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)), 6)
+        "doc_id", _p6(F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))
         .alias("weight"))
 
 
 def _weighted_sample_sql() -> str:
     return f"""SELECT doc_id,
-  round(least(greatest(CAST(len(string_split(text, ' ')) AS DOUBLE) / {WSAMPLE_DIV}, 0.0), 1.0), 6) AS weight
+  floor((least(greatest(CAST(len(string_split(text, ' ')) AS DOUBLE) / {WSAMPLE_DIV}, 0.0), 1.0)) * 1e6 + 0.5) / 1e6 AS weight
 FROM documents
 WHERE CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
   < least(greatest(CAST(len(string_split(text, ' ')) AS DOUBLE) / {WSAMPLE_DIV}, 0.0), 1.0) * 4294967296.0"""
@@ -7034,7 +7066,7 @@ pairs AS (
   FROM keyed a JOIN keyed b ON b.fp = a.fp AND a.host < b.host
   GROUP BY a.host, b.host HAVING count(*) >= {min_shared})
 SELECT p.host_a, p.host_b, p.shared,
-       ROUND(CAST(p.shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE), 6)
+       floor((CAST(p.shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)) * 1e6 + 0.5) / 1e6
          AS frac
 FROM pairs p JOIN nh na ON na.host = p.host_a
 JOIN nh nb ON nb.host = p.host_b"""
@@ -7140,8 +7172,8 @@ cmn AS (
   GROUP BY e.src, e.dst)
 SELECT e.src AS u, e.dst AS v, coalesce(c.n_common, 0) AS n_common,
        du.d AS deg_u, dv.d AS deg_v,
-       round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
-             / (du.d + dv.d - coalesce(c.n_common, 0)), 6) AS jaccard
+       floor((CAST(coalesce(c.n_common, 0) AS DOUBLE)
+             / (du.d + dv.d - coalesce(c.n_common, 0))) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM L e
 LEFT JOIN cmn c ON c.u = e.src AND c.v = e.dst
 JOIN deg du ON du.id = e.src
@@ -7165,8 +7197,8 @@ er AS (SELECT count(*) AS e_rich FROM L
        WHERE src IN (SELECT id FROM rich) AND dst IN (SELECT id FROM rich)),
 nr AS (SELECT count(*) AS n_rich FROM rich)
 SELECT {RICH_K} AS k, n_rich, e_rich,
-       round(CASE WHEN n_rich >= 2
-         THEN 2.0 * e_rich / (CAST(n_rich AS DOUBLE) * (n_rich - 1)) END, 6) AS phi
+       floor((CASE WHEN n_rich >= 2
+         THEN 2.0 * e_rich / (CAST(n_rich AS DOUBLE) * (n_rich - 1)) END) * 1e6 + 0.5) / 1e6 AS phi
 FROM nr CROSS JOIN er"""
 
 
@@ -7197,7 +7229,7 @@ s AS (SELECT *, sum(new) OVER (PARTITION BY user_id ORDER BY us, eid
                                ROWS UNBOUNDED PRECEDING) AS sid FROM f)
 SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
        min(eid) AS min_event_id, max(us) - min(us) AS duration_us,
-       round(sum(val), 6) AS sum_value
+       floor((sum(val)) * 1e6 + 0.5) / 1e6 AS sum_value
 FROM s GROUP BY user_id, sid"""
 
 
@@ -7252,8 +7284,8 @@ SELECT v.id, coalesce(o.out_deg, 0) AS out_deg, coalesce(i.in_deg, 0) AS in_deg,
        coalesce(u.deg, 0) AS deg, coalesce(t.tri, 0) AS tri,
        CAST(coalesce(u.deg, 0) * (coalesce(u.deg, 0) - 1) / 2 AS BIGINT) AS wedges,
        CASE WHEN coalesce(u.deg, 0) > 1
-            THEN round(CAST(coalesce(t.tri, 0) AS DOUBLE)
-                       / (u.deg * (u.deg - 1) / 2), 6) END AS local_cc,
+            THEN floor((CAST(coalesce(t.tri, 0) AS DOUBLE)
+                       / (u.deg * (u.deg - 1) / 2)) * 1e6 + 0.5) / 1e6 END AS local_cc,
        CAST(coalesce(k.core, 0) AS BIGINT) AS core, c.comp, cs.comp_size
 FROM verts v
 LEFT JOIN outd o ON o.id = v.id
@@ -7399,7 +7431,7 @@ def q_pagerank_incremental(spark, sf):
     g_new = events_graph(spark, sf)
     r = pagerank(g_new, alpha=ALPHA, n_iter=PR_INC_NEW,
                  initial_ranks=ranks_old)
-    return r.select("id", F.round("rank", 6).alias("rank"))
+    return r.select("id", _p6("rank").alias("rank"))
 
 
 def _pagerank_incremental_sql() -> str:
@@ -7411,7 +7443,7 @@ def _pagerank_incremental_sql() -> str:
     )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id, ROUND(pr, 6) AS \"rank\" FROM n_r{PR_INC_NEW}"
+        + f"\nSELECT id, floor((pr) * 1e6 + 0.5) / 1e6 AS \"rank\" FROM n_r{PR_INC_NEW}"
     )
 
 
@@ -7429,14 +7461,14 @@ def q_rank_delta(spark, sf):
     r_old = pagerank(g_old, alpha=ALPHA, n_iter=RANK_DELTA_ITERS)
     g_new = events_graph(spark, sf)
     r_new = pagerank(g_new, alpha=ALPHA, n_iter=RANK_DELTA_ITERS)
-    ro = F.round(F.coalesce("rank_old", F.lit(0.0)), 6)
-    rn = F.round("rank", 6)
+    ro = _p6(F.coalesce("rank_old", F.lit(0.0)))
+    rn = _p6("rank")
     return (
         r_new.join(r_old.select(F.col("id"),
                                 F.col("rank").alias("rank_old")),
                    "id", "left")
         .select("id", ro.alias("rank_old"), rn.alias("rank_new"),
-                F.round(rn - ro, 6).alias("delta"))
+                _p6(rn - ro).alias("delta"))
     )
 
 
@@ -7451,9 +7483,9 @@ def _rank_delta_sql() -> str:
     )
     return (
         "WITH " + ",\n".join(ctes) + f"""
-SELECT n.id, ROUND(coalesce(o.pr, 0.0::DOUBLE), 6) AS rank_old,
-       ROUND(n.pr, 6) AS rank_new,
-       ROUND(ROUND(n.pr, 6) - ROUND(coalesce(o.pr, 0.0::DOUBLE), 6), 6)
+SELECT n.id, floor((coalesce(o.pr, 0.0::DOUBLE)) * 1e6 + 0.5) / 1e6 AS rank_old,
+       floor((n.pr) * 1e6 + 0.5) / 1e6 AS rank_new,
+       floor((floor((n.pr) * 1e6 + 0.5) / 1e6 - floor((coalesce(o.pr, 0.0::DOUBLE)) * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6
          AS delta
 FROM n_r{RANK_DELTA_ITERS} n
 LEFT JOIN o_r{RANK_DELTA_ITERS} o ON o.id = n.id"""

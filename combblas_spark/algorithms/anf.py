@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from combblas_spark.portable import pround, pround_py
+
 from combblas_spark.graph import symmetrize_partitioned, vertices
 from combblas_spark.runtime.plans import superstep_checkpoint
 
@@ -191,7 +193,7 @@ def neighborhood_function(
         [(s["h"], s["sum_lzb"], s["est"]) for s in summaries],
         "h INT, sum_lzb BIGINT, est DOUBLE",
     )
-    return out.select("h", "sum_lzb", F.round("est", 6).alias("est"))
+    return out.select("h", "sum_lzb", pround("est").alias("est"))
 
 
 def effective_diameter(
@@ -272,7 +274,7 @@ def effective_diameter(
                 eff = (i - 1) + frac
             break
     return {
-        "effective_diameter": round(eff, 3),
+        "effective_diameter": pround_py(eff, 3),
         "hops_run": len(summaries) - 1,
         "nf": summaries,
     }
@@ -359,7 +361,7 @@ def hyperball_harmonic(
         )
         state = superstep_checkpoint(new_state, h)
     adj.unpersist()
-    return state.select("id", F.round("acc", 6).alias("harmonic_est"))
+    return state.select("id", pround("acc").alias("harmonic_est"))
 
 
 def two_hop_reach(edges: DataFrame,

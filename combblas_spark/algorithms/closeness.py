@@ -227,7 +227,12 @@ def landmark_estimate(sketch: DataFrame, max_id: int | None = None) -> DataFrame
     """Point-to-point distance estimates from a landmark sketch:
     est(u, v) = min over landmarks (dist(u, lm) + dist(lm, v)) — an
     UPPER bound on the true distance (exact when a shortest path
-    passes a landmark, or an endpoint is one). ``max_id`` bounds the
+    passes a landmark, or an endpoint is one). The bound REQUIRES an
+    undirected sketch (``landmark_distances(directed=False)``, the
+    default): a directed sketch's forward-BFS levels are d(lm, u),
+    not the d(u, lm) the triangle inequality needs, so sums over a
+    directed sketch are reachability-ordered estimates with no bound
+    guarantee (ADVICE r4). ``max_id`` bounds the
     query set (id_a < id_b <= max_id) so the output is pair-sized, the
     caller's query-batch pattern. Returns (id_a, id_b, est).
 

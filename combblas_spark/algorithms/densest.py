@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from combblas_spark.portable import pround
+
 from combblas_spark.graph import symmetrize_partitioned, vertices
 from combblas_spark.runtime.plans import superstep_checkpoint
 
@@ -141,6 +143,6 @@ def densest_subgraph(
         F.lit(r_best).alias("round"),
         F.lit(n_best).cast("long").alias("n"),
         F.lit(sum_d_best // 2).cast("long").alias("m"),
-        F.round(F.lit(0.5 * sum_d_best) / F.lit(float(n_best)), 6)
+        pround(F.lit(0.5 * sum_d_best) / F.lit(float(n_best)))
         .alias("density"),
     )

@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from combblas_spark.portable import pround
+
 from combblas_spark.graph import vertices
 from combblas_spark.runtime.plans import superstep_checkpoint
 
@@ -91,6 +93,20 @@ def fastrp(
     e = edges.select("src", "dst").repartition(shuffle_n, "dst") \
         .persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
+    # ADVICE r4 guard: |x^k(v)| <= D^k for max in-degree D (|x^0| <= 1),
+    # so |e_j| <= sum_{k=1..K} 2^{K-k} D^k. Spark WRAPS int64 silently
+    # where DuckDB raises (the events_graph divergence class), so raise
+    # BEFORE running when the bound can exceed int64. One cheap agg job
+    # over the already-cached edge set.
+    max_deg = (e.groupBy("dst").agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.max("c").alias("m")).collect()[0]["m"]) or 0
+    bound = sum((1 << (n_iter - 1 - it)) * (max_deg ** (it + 1))
+                for it in range(n_iter))
+    if bound >= (1 << 63):
+        raise ValueError(
+            f"fastrp: int64 overflow risk — max in-degree {max_deg} at "
+            f"n_iter={n_iter} bounds |e_j| by {bound} >= 2^63; lower "
+            "n_iter or pre-thin hub in-edges")
     verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
     can_broadcast = n <= broadcast_max_vertices
@@ -139,8 +155,8 @@ def fastrp(
         nrm = F.sqrt(norm2)
         out = out.select(
             "id",
-            *[F.round(F.when(nrm > 0, F.col(a).cast("double") / nrm)
-                      .otherwise(F.lit(0.0)), 6).alias(a) for a in acols],
+            *[pround(F.when(nrm > 0, F.col(a).cast("double") / nrm)
+                      .otherwise(F.lit(0.0))).alias(a) for a in acols],
         )
     out = out.localCheckpoint(eager=True)
     verts.unpersist()

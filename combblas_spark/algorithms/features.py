@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 from combblas_spark.algorithms.components import connected_components
 from combblas_spark.algorithms.kcore import core_numbers
 from combblas_spark.algorithms.triangles import lower_triangle, triangles_per_vertex
@@ -116,7 +118,7 @@ def vertex_features(edges: DataFrame) -> DataFrame:
             F.coalesce(wedges, F.lit(0)).alias("wedges"),
             F.when(
                 wedges > 0,
-                F.round(F.coalesce("tri", F.lit(0)).cast("double") / wedges, 6),
+                pround(F.coalesce("tri", F.lit(0)).cast("double") / wedges),
             ).alias("local_cc"),
             F.coalesce("core", F.lit(0)).alias("core"),
             "comp",

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from combblas_spark.portable import pround
+
 from combblas_spark.graph import vertices
 from combblas_spark.runtime.plans import superstep_checkpoint
 
@@ -347,9 +349,8 @@ def eigencentrality(
     total = x.agg(F.sum("v").alias("t")).collect()[0]["t"]
     out = x.select(
         "id",
-        F.round(
-            F.when(F.lit(total) > 0, F.col("v") / F.lit(float(total))), 6
-        ).alias("eigen"),
+        pround(
+            F.when(F.lit(total) > 0, F.col("v") / F.lit(float(total)))).alias("eigen"),
     ).localCheckpoint(eager=True)
     verts.unpersist()
     e.unpersist()

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from combblas_spark.portable import pround
+
 from combblas_spark.runtime.plans import superstep_checkpoint
 from combblas_spark.graph import symmetrize_partitioned, vertices
 
@@ -207,15 +209,13 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("_d") * F.col("_d")).alias("deg_sq_sum"))
     )
     out = tot.crossJoin(intra).crossJoin(degs).select(
-        F.round(
+        pround(
             F.when(
                 F.col("m") > 0,
                 F.col("intra_edges").cast("double") / F.col("m")
                 - F.col("deg_sq_sum").cast("double")
                 / (F.lit(4.0) * F.col("m") * F.col("m")),
-            ),
-            6,
-        ).alias("modularity"),
+            )).alias("modularity"),
         "m", "intra_edges", F.coalesce("deg_sq_sum", F.lit(0)).alias("deg_sq_sum"),
     )
     return out

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 
 def _pair_counts(edges: DataFrame, key: str, item: str,
                  min_weight: int, max_degree: int | None) -> DataFrame:
@@ -124,12 +126,10 @@ def edge_embeddedness(edges: DataFrame) -> DataFrame:
             "u", "v",
             F.coalesce("n_common", F.lit(0)).alias("n_common"),
             "deg_u", "deg_v",
-            F.round(
+            pround(
                 F.coalesce("n_common", F.lit(0)).cast("double")
                 / (F.col("deg_u") + F.col("deg_v")
-                   - F.coalesce("n_common", F.lit(0))),
-                6,
-            ).alias("jaccard"),
+                   - F.coalesce("n_common", F.lit(0)))).alias("jaccard"),
         )
     )
     out = out.localCheckpoint(eager=True)
@@ -167,14 +167,12 @@ def rich_club(edges: DataFrame, k: int) -> DataFrame:
     n_rich = rich.agg(F.count(F.lit(1)).alias("n_rich"))
     out = n_rich.crossJoin(e_rich).select(
         F.lit(k).alias("k"), "n_rich", "e_rich",
-        F.round(
+        pround(
             F.when(
                 F.col("n_rich") >= 2,
                 F.lit(2.0) * F.col("e_rich")
                 / (F.col("n_rich").cast("double") * (F.col("n_rich") - 1)),
-            ),
-            6,
-        ).alias("phi"),
+            )).alias("phi"),
     )
     L.unpersist()
     return out
@@ -217,10 +215,9 @@ def neighbor_jaccard(
         pairs.join(da, "id_a").join(db, "id_b")
         .select(
             "id_a", "id_b", F.col("weight").alias("common"),
-            F.round(
+            pround(
                 F.col("weight").cast("double")
-                / (F.col("_da") + F.col("_db") - F.col("weight")), 6
-            ).alias("jaccard"),
+                / (F.col("_da") + F.col("_db") - F.col("weight"))).alias("jaccard"),
         )
     )
 
@@ -322,7 +319,7 @@ def simrank(
         sim = raw.join(da, "a").join(db, "b").select("a", "b", norm(F.col("raw")))
         sim = sim.localCheckpoint(eager=True)
 
-    out = sim.select("a", "b", F.round("s", 6).alias("sim")) \
+    out = sim.select("a", "b", pround("s").alias("sim")) \
         .localCheckpoint(eager=True)
     w.unpersist()
     ek.unpersist()

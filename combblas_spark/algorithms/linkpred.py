@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from combblas_spark.portable import pround
+
 
 def adamic_adar(
     edges: DataFrame,
@@ -68,7 +70,7 @@ def adamic_adar(
     )
     scored = (
         wedges.groupBy("a", "b")
-        .agg(F.count("*").alias("cn"), F.round(F.sum("_w"), 6).alias("aa"))
+        .agg(F.count("*").alias("cn"), pround(F.sum("_w")).alias("aa"))
         .filter(F.col("cn") >= min_common)
     )
     # drop pairs already linked (either direction = canonical a<b once)

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from combblas_spark.portable import pround
+
 from combblas_spark.runtime.plans import superstep_checkpoint
 
 
@@ -101,7 +103,7 @@ def power_iteration_clustering(
             t,
         )
 
-    emb = x.select("id", F.round("x", 9).alias("emb"))
+    emb = x.select("id", pround("x", 9).alias("emb"))
     pos = zip_with_index(emb, ["emb", "id"], ["emb", "id"], pos_col="pos") \
         .localCheckpoint(eager=True)
     nxt = pos.select((F.col("pos") - 1).alias("pos"),

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 
 def sweep_cut(
     edges: DataFrame,
@@ -60,7 +62,7 @@ def sweep_cut(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = dirs.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).alias("deg"))
-    sc = scores.select("id", F.round(F.col(score_col), 6).alias("_sc"))
+    sc = scores.select("id", pround(F.col(score_col)).alias("_sc"))
     keyed = (
         deg.join(sc, "id", "left")
         .select("id", "deg",
@@ -105,10 +107,9 @@ def sweep_cut(
         .where(F.col("vol") < F.col("_tv"))
         .select(
             "pos", "id", "deg", "cut", "vol",
-            F.round(
+            pround(
                 F.col("cut").cast("double")
-                / F.least(F.col("vol"), F.col("_tv") - F.col("vol")), 6
-            ).alias("conductance"),
+                / F.least(F.col("vol"), F.col("_tv") - F.col("vol"))).alias("conductance"),
         )
     )
     return out

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from combblas_spark.portable import pround
+
 from combblas_spark.graph import vertices
 from combblas_spark.runtime.plans import superstep_checkpoint
 
@@ -376,6 +378,6 @@ def ppmi(pairs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(t))
         .select(
             "center", "context", "cnt",
-            F.round(F.greatest(ratio, F.lit(1.0)), 6).alias("ppmi_odds"),
+            pround(F.greatest(ratio, F.lit(1.0))).alias("ppmi_odds"),
         )
     )

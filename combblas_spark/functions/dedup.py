@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 from combblas_spark.functions.text import fingerprint, shingles, tokens, word_tokens
 
 
@@ -335,7 +337,7 @@ def prefix_filter_pairs(
     return (
         inter.join(za, "id_a").join(zb, "id_b")
         .where(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select("id_a", "id_b", pround(jac).alias("jaccard"))
     )
 
 
@@ -434,7 +436,7 @@ def incremental_prefix_pairs(
     return (
         inter.join(za, "id_a").join(zb, "id_b")
         .where(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select("id_a", "id_b", pround(jac).alias("jaccard"))
     )
 
 
@@ -498,7 +500,7 @@ def containment_pairs(
     return (
         inter.join(za, "id_a")
         .where(cont >= threshold)
-        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .select("id_a", "id_b", pround(cont).alias("containment"))
     )
 
 
@@ -562,11 +564,10 @@ def duplicate_spans(
             "id",
             F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
             F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
-            F.round(
+            pround(
                 F.when(F.coalesce("n_windows", F.lit(0)) > 0,
                        F.coalesce("n_dup_windows", F.lit(0)).cast("double")
-                       / F.col("n_windows")).otherwise(F.lit(0.0)), 6
-            ).alias("dup_frac"),
+                       / F.col("n_windows")).otherwise(F.lit(0.0))).alias("dup_frac"),
         )
     )
 
@@ -667,11 +668,9 @@ def ngram_jaccard(
         .join(ca, "id_a").join(cb, "id_b")
         .select(
             "id_a", "id_b",
-            F.round(
+            pround(
                 F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
-                6,
-            ).alias("jaccard"),
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)))).alias("jaccard"),
         )
     )
 
@@ -965,7 +964,7 @@ def chunk_dedup_pairs(docs: DataFrame, mod: int = 16, min_shared: int = 2,
         pairs.join(na, "id_a").join(nb, "id_b")
         .select(
             "id_a", "id_b", "shared",
-            F.round(F.col("shared").cast("double")
-                    / F.least("_na", "_nb").cast("double"), 6).alias("frac"),
+            pround(F.col("shared").cast("double")
+                    / F.least("_na", "_nb").cast("double")).alias("frac"),
         )
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 _BUCKETS = 1 << 32
 
 
@@ -156,7 +158,7 @@ def dsir_weights(
         toks.join(F.broadcast(lm), "b")
         .groupBy("id")
         .agg(F.count("*").alias("n_tokens"),
-             F.round(F.avg("_lr"), 6).alias("logratio"))
+             pround(F.avg("_lr")).alias("logratio"))
     )
     out = (
         docs.select(F.col(doc_col).alias("id"))

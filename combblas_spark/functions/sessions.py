@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 
 def sessionize(
     events: DataFrame,
@@ -72,7 +74,7 @@ def sessionize(
         (F.max("_us") - F.min("_us")).alias("duration_us"),
     ]
     if value_col:
-        aggs.append(F.round(F.sum("_val"), 6).alias("sum_value"))
+        aggs.append(pround(F.sum("_val")).alias("sum_value"))
     return (
         sessions.groupBy("user_id", "_sid")
         .agg(*aggs)

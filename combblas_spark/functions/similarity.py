@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -63,7 +65,7 @@ def brute_force_topk(
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
-        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
+        .select("query_id", "neighbor_id", pround(F.col("cos")).alias("cos"))
     )
 
 
@@ -211,7 +213,7 @@ def embedding_near_dups(
         .join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
         .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .select("id_a", "id_b",
-                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+                pround(cosine(F.col("va"), F.col("vb"))).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
@@ -263,7 +265,7 @@ def lsh_topk(
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
-        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
+        .select("query_id", "neighbor_id", pround(F.col("cos")).alias("cos"))
     )
 
 
@@ -303,14 +305,14 @@ def ivf_centroids_and_assignments(
         ["id"], pos_col="cid")
     cent = (
         cids.join(v, "id")
-        .select("cid", F.transform("v", lambda x: F.round(x.cast("double"), 6)).alias("cv"))
+        .select("cid", F.transform("v", lambda x: pround(x.cast("double"))).alias("cv"))
     )
 
     def _assign(c):
         scored = (
             v.crossJoin(F.broadcast(c))
             .select("id", "cid",
-                    F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cosr"))
+                    pround(cosine(F.col("v"), F.col("cv"))).alias("cosr"))
         )
         return scored.groupBy("id").agg(
             F.min_by(F.struct("cid"), F.struct(-F.col("cosr"), F.col("cid"))).alias("b")
@@ -321,7 +323,7 @@ def ivf_centroids_and_assignments(
         comp = (
             assign.join(v, "id")
             .select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos").agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+            .groupBy("cid", "pos").agg(pround(F.avg(F.col("x").cast("double"))).alias("m"))
         )
         newc = (
             comp.groupBy("cid")
@@ -374,7 +376,7 @@ def ivf_topk(
     probes = (
         v.crossJoin(F.broadcast(cent))
         .select("id", "cid",
-                F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cosr"))
+                pround(cosine(F.col("v"), F.col("cv"))).alias("cosr"))
     )
     pw = Window.partitionBy("id").orderBy(F.col("cosr").desc(), F.col("cid").asc())
     probes = (
@@ -397,7 +399,7 @@ def ivf_topk(
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
-        .select("query_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
+        .select("query_id", "neighbor_id", pround(F.col("cos")).alias("cos"))
     )
 
 
@@ -436,7 +438,7 @@ def semdedup(
         .join(m.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cid"),
               "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold))
+        .filter(pround(cosine(F.col("va"), F.col("vb"))) >= F.lit(threshold))
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
@@ -515,11 +517,9 @@ def tf_cosine_pairs(
                    .withColumnRenamed("n2", "_nb"), "id_b")
         .select(
             "id_a", "id_b", "dot",
-            F.round(
+            pround(
                 F.col("dot").cast("double")
-                / F.sqrt((F.col("_na") * F.col("_nb")).cast("double")),
-                6,
-            ).alias("cos"),
+                / F.sqrt((F.col("_na") * F.col("_nb")).cast("double"))).alias("cos"),
         )
         .where(F.col("cos") >= min_cos)
     )
@@ -585,7 +585,7 @@ def kcenter_select(embs: DataFrame, k: int = 8, id_col: str = "vec_id",
     # applies the same in-engine ROUND
     return embs.sparkSession.createDataFrame(
         chosen, "pos int, vec_id long, d2 double"
-    ).select("pos", "vec_id", F.round("d2", 6).alias("d2"))
+    ).select("pos", "vec_id", pround("d2").alias("d2"))
 
 
 def quantize_embeddings(embs: DataFrame, id_col: str = "vec_id",

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 HLL_P = 6  # 2^6 = 64 registers; standard error 1.04/sqrt(64) ~ 13%
 
 
@@ -85,7 +87,7 @@ def hll_distinct(df: DataFrame, key_col: str, val_col: str,
                    / F.expr("shiftleft(cast(1 as bigint), _r)").cast("double"))
              .alias("_s"))
         .select(F.col("_k").alias(key_col),
-                F.round(F.lit(alpha_mm) / F.col("_s"), 6).alias("distinct_est"))
+                pround(F.lit(alpha_mm) / F.col("_s")).alias("distinct_est"))
     )
 
 
@@ -199,6 +201,14 @@ def bloom_contains(df: DataFrame, val_col: str, bloom: DataFrame,
     false = definitely not). The filter joins as a broadcast of
     m_words rows; per row the probe is k hash evaluations + a
     bool_and — no benchmark-sized join.
+
+    DISTINCT-ROWS CONTRACT (ADVICE r4): the k probes re-aggregate by
+    ``*df.columns``, so input rows that are duplicated across EVERY
+    column collapse to ONE output row — "append a column" semantics
+    hold only for distinct-row inputs (every registry/pipeline caller
+    keys rows by a unique doc/shingle id). Callers with genuine
+    full-row duplicates must add a unique key column first (e.g.
+    ``monotonically_increasing_id``) and drop it after.
     """
     m_bits = m_words * 63
     j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 # Tiny deterministic English stopword list for the n-gram/stopword
 # language heuristic. Order matters nowhere; membership only.
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
@@ -243,7 +245,7 @@ def repetition_flags(
         c = g.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
         num = F.max("c") if top else F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
         return c.groupBy("id").agg(
-            F.round(num.cast("double") / F.sum("c"), 6).alias(f"f{k}"))
+            pround(num.cast("double") / F.sum("c")).alias(f"f{k}"))
 
     out = (
         docs.select(F.col(id_col).alias("id"))
@@ -299,8 +301,8 @@ def doc_rarity(docs: DataFrame, vocab_size: int = 1000,
         occ.join(vocab, "token")
         .groupBy("id")
         .agg(
-            F.round(F.avg("rank"), 6).alias("mean_rank"),
-            F.round(F.avg((F.col("rank") > vocab_size).cast("double")), 6).alias("oov_ratio"),
+            pround(F.avg("rank")).alias("mean_rank"),
+            pround(F.avg((F.col("rank") > vocab_size).cast("double"))).alias("oov_ratio"),
         )
     )
     return (
@@ -354,7 +356,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     return (
         scored.withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= k)
-        .select("id", "term", "pos", F.round("_s", 6).alias("score"))
+        .select("id", "term", "pos", pround("_s").alias("score"))
     )
 
 
@@ -364,7 +366,7 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (
         docs.withColumn("n_tokens", token_count(t))
-        .withColumn("quality", F.round(quality_score(t), 6))
+        .withColumn("quality", pround(quality_score(t)))
         .withColumn("lang_guess", lang_id(t))
         .withColumn("fingerprint", fingerprint(t))
     )
@@ -554,10 +556,10 @@ def bigram_fluency(docs: DataFrame, id_col: str = "doc_id",
         docs.select(F.col(id_col).alias("id")).join(pd_, "id", "left")
         .select(
             "id",
-            F.round(F.coalesce("_mp", F.lit(1.0)), 6).alias("min_prob"),
-            F.round(F.coalesce(
+            pround(F.coalesce("_mp", F.lit(1.0))).alias("min_prob"),
+            pround(F.coalesce(
                 F.col("_s2").cast("double") / F.col("_s1").cast("double"),
-                F.lit(1.0)), 6).alias("support"),
+                F.lit(1.0))).alias("support"),
             F.coalesce("_n", F.lit(0)).alias("n_transitions"),
         )
     )
@@ -657,7 +659,7 @@ def textrank_keywords(docs: DataFrame, k: int = 20, n_iter: int = 10,
     # the 6dp value (+ token tie-break) as the selection key too
     return (
         ranks.join(wl.select(F.col("wid").alias("id"), "token"), "id")
-        .select("token", F.round("rank", 6).alias("rank"))
+        .select("token", pround("rank").alias("rank"))
         .orderBy(F.desc("rank"), F.asc("token")).limit(k)
     )
 
@@ -742,5 +744,5 @@ def readability(docs: DataFrame, id_col: str = "doc_id",
         n_words.cast("long").alias("n_words"),
         n_sent.cast("long").alias("n_sentences"),
         n_syll.cast("long").alias("n_syllables"),
-        F.when(n_words > 0, F.round(flesch, 6)).alias("flesch"),
+        F.when(n_words > 0, pround(flesch)).alias("flesch"),
     )

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 # scheme://authority prefix (everything before the first /, ? or #
 # after the scheme separator)
 _PREFIX_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
@@ -217,6 +219,6 @@ def mirror_hosts(pages: DataFrame, url_col: str = "url",
     return (
         pairs.join(na, "host_a").join(nb, "host_b")
         .select("host_a", "host_b", "shared",
-                F.round(F.col("shared").cast("double")
-                        / F.least("_na", "_nb").cast("double"), 6).alias("frac"))
+                pround(F.col("shared").cast("double")
+                        / F.least("_na", "_nb").cast("double")).alias("frac"))
     )

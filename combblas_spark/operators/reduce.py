@@ -9,6 +9,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 
 def reduce_dim(
     edges: DataFrame,
@@ -217,7 +219,7 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     vy = n_d * sy2 - sy * sy
     r = (n_d * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
     return m.select(
-        F.round(F.when((vx > 0) & (vy > 0), r), 6).alias("r"),
+        pround(F.when((vx > 0) & (vy > 0), r)).alias("r"),
         (F.col("n") / 2).cast("long").alias("n_edges"),
     )
 
@@ -259,10 +261,9 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
         .agg(F.sum("_s").alias("_ss"), F.count(F.lit(1)).alias("n_vertices"))
         .select(
             "deg",
-            F.round(
+            pround(
                 F.col("_ss").cast("double")
-                / (F.col("deg").cast("double") * F.col("n_vertices").cast("double")),
-                6).alias("knn"),
+                / (F.col("deg").cast("double") * F.col("n_vertices").cast("double"))).alias("knn"),
             "n_vertices",
         )
     )

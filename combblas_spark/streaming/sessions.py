@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from combblas_spark.portable import pround
+
 
 def streaming_sessions(
     events: DataFrame,
@@ -52,7 +54,7 @@ def streaming_sessions(
             F.count(F.lit(1)).alias("n_events"),
             F.min(id_col).alias("min_event_id"),
             (F.max(us) - F.min(us)).alias("duration_us"),
-            F.round(F.sum(value_col), 6).alias("sum_value"),
+            pround(F.sum(value_col)).alias("sum_value"),
         )
         .drop("session_window")
     )

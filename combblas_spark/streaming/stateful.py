@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from combblas_spark.graph import hashed_dst
+from combblas_spark.portable import pround_py
 
 STATS_SCHEMA = "src long, out_degree long, weight_sum double"
 STATE_SCHEMA = "cnt long, ws double"
@@ -140,7 +141,7 @@ def stateful_hll_distinct(rows: DataFrame, key_col: str, val_col: str,
         for r in regs:
             s = s + 1.0 / (1 << r)
         yield pd.DataFrame({"key": [key[0]],
-                            "distinct_est": [round(alpha_mm / s, 6)]})
+                            "distinct_est": [pround_py(alpha_mm / s)]})
 
     keyed = rows.select(F.col(key_col).cast("string").alias("key"),
                         F.col(val_col).cast("string").alias("_v"))

@@ -42,11 +42,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def submit_cmd(args, ck: str, out: str) -> list[str]:
     return [
         "spark-submit", "--master", f"local[{args.cores}]",
+        "--driver-memory", args.driver_memory,
         "--conf", f"spark.sql.shuffle.partitions={2 * args.cores}",
         "--conf", "spark.ui.enabled=false",
         "--py-files", args.zip,
         os.path.join(REPO, "scripts", "run_pagerank.py"),
-        "--graph", f"rmat:{args.scale}:16", "--algo", "pagerank",
+        "--graph", f"rmat:{args.scale}:16", "--algo", args.algo,
         "--iters", str(args.iters), "--checkpoint-dir", ck,
         "--checkpoint-every", str(args.every), "--output", out,
         "--broadcast-max-vertices", "0",
@@ -70,6 +71,12 @@ def main() -> None:
                     help="SIGKILL run B once this iteration is durable")
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    ap.add_argument("--algo", default="pagerank", choices=["pagerank", "cc"],
+                    help="cc compares comp labels exactly instead of ranks")
+    ap.add_argument("--driver-memory", default="20g")
+    ap.add_argument("--kill-timeout", type=float, default=600.0,
+                    help="seconds to wait for the kill-after checkpoint "
+                         "(raise for endurance scales)")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="resume_demo")
@@ -94,7 +101,7 @@ def main() -> None:
             print("run B finished before the kill threshold; raise --iters",
                   file=sys.stderr)
             sys.exit(2)
-        if time.time() - t0 > 600:
+        if time.time() - t0 > args.kill_timeout:
             pb.kill()
             sys.exit("timeout waiting for checkpoint")
         time.sleep(0.25)
@@ -111,8 +118,9 @@ def main() -> None:
     import duckdb
 
     con = duckdb.connect()
+    val = "rank" if args.algo == "pagerank" else "comp"
     diff = con.execute(
-        f"""SELECT max(abs(a.rank - c.rank)) AS d, count(*) AS n,
+        f"""SELECT max(abs(a.{val} - c.{val})) AS d, count(*) AS n,
                    (SELECT count(*) FROM read_parquet('{out_a}/*.parquet')) AS na,
                    (SELECT count(*) FROM read_parquet('{out_b}/*.parquet')) AS nc
             FROM read_parquet('{out_a}/*.parquet') a
@@ -120,6 +128,7 @@ def main() -> None:
     ).fetchone()
 
     print(json.dumps({
+        "algo": args.algo,
         "scale": args.scale, "iters": args.iters, "every": args.every,
         "edges": ja["edges"],
         "killed_after_durable_iter": killed_at,

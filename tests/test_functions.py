@@ -464,7 +464,7 @@ def test_lsh_per_bucket_cap_bounds_candidates(big_vectors):
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, n=30)
     assert media.count() == 30
-    feats = extract_media_features(media)
+    feats = extract_media_features(media, decoder="stub")
     rows = feats.collect()
     assert len(rows) == 30
     for r in rows:
@@ -472,8 +472,91 @@ def test_multimodal_plumbing(spark):
         assert r["width"] >= 16 and r["height"] >= 16
         assert r["kind"] in ("image", "audio", "video")
     # determinism
-    again = extract_media_features(synthetic_media(spark, n=30)).collect()
+    again = extract_media_features(
+        synthetic_media(spark, n=30), decoder="stub").collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_multimodal_decoder_gating(spark):
+    """VERDICT r4 #4: the decoder gate — "auto" resolves on the driver
+    (stub here, no Pillow in this container), "pil" raises up front
+    instead of failing per-executor, unknown names rejected."""
+    import pytest as _pytest
+
+    from combblas_spark.functions.multimodal import pil_available
+
+    media = synthetic_media(spark, n=10)
+    auto = extract_media_features(media, decoder="auto").collect()
+    stub = extract_media_features(
+        synthetic_media(spark, n=10), decoder="stub").collect()
+    if not pil_available():
+        assert sorted(map(str, auto)) == sorted(map(str, stub))
+        with _pytest.raises(ImportError):
+            extract_media_features(media, decoder="pil")
+    with _pytest.raises(ValueError):
+        extract_media_features(media, decoder="mp4")
+
+
+def test_multimodal_pil_path(monkeypatch):
+    """The REAL-decode glue (_pil_decode_image), exercised against a
+    minimal in-process fake of the Pillow API (PIL itself is not in
+    this container): dims/bands/pixel-stats extraction and the
+    corrupt-payload -> None contract. Driver-side on purpose — a
+    sys.modules fake cannot reach Spark's worker processes."""
+    import sys
+    import types
+
+    import numpy as _np
+
+    class _FakeGray:
+        def __init__(self, w, h):
+            self.size = (w, h)
+            self._arr = _np.arange(w * h, dtype=_np.uint8).reshape(h, w)
+
+        def __array__(self, dtype=None, copy=None):
+            a = self._arr
+            return a.astype(dtype) if dtype is not None else a
+
+    class _FakeImage:
+        def __init__(self, w, h):
+            self._g = _FakeGray(w, h)
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self._g
+
+    def _open(buf):
+        payload = buf.read()
+        if not payload.startswith(b"FAKEIMG"):
+            raise OSError("cannot identify image file")
+        return _FakeImage(payload[7], payload[8])
+
+    fake_pil = types.ModuleType("PIL")
+    fake_img = types.ModuleType("PIL.Image")
+    fake_img.open = _open
+    fake_pil.Image = fake_img
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_img)
+
+    from combblas_spark.functions.multimodal import (
+        _pil_decode_image, pil_available)
+
+    assert pil_available()
+    got = _pil_decode_image(b"FAKEIMG" + bytes([4, 3]) + b"xyz")
+    assert got is not None
+    w, h, feat = got
+    assert (w, h) == (4, 3)
+    assert feat.shape == (8,)
+    arr = _np.arange(12, dtype=_np.float32)
+    assert feat[0] == arr.mean() and feat[3] == arr.max()
+    assert feat[4] == 4.0 and feat[5] == 3.0
+    assert feat[6] == 12.0   # payload length
+    assert feat[7] == 3.0    # bands
+    # corrupt payload -> dropped, not raised
+    assert _pil_decode_image(b"NOTANIMAGE") is None
 
 
 def test_ivf_topk_recall_and_partition(big_vectors):
