@@ -497,6 +497,27 @@ def main() -> None:
                     "PythonRDD")), name
         print(f"{name}: equi-joins + hash aggs, NO window, no "
               "single-partition exchange, PYTHON-FREE (asserted)")
+
+    print("=== 19. round-5 ops: tf_cosine df hub-cap path ===")
+    from combblas_spark.functions.similarity import tf_cosine_pairs
+
+    tfc = tf_cosine_pairs(docs18.where(F.col("doc_id") % 13 == 0),
+                          min_cos=0.3, max_df=40)
+    plan = tfc._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # the df cap must land as a semi-join BEFORE the pair self-join so
+    # hub tokens never enter the quadratic stage
+    assert "LeftSemi" in plan, "df cap not pushed as semi-join"
+    assert plan.count("Window") == 0
+    assert "Exchange SinglePartition" not in plan, plan
+    assert all(m not in plan for m in
+               ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "PythonRDD"))
+    print("tf_cosine_capped: df cap as pre-join LeftSemi, equi-joins + "
+          "hash aggs only, no single-partition exchange, PYTHON-FREE "
+          "(asserted). spgemm_phased's auto phase estimator is a "
+          "histogram equi-join ending in a sanctioned 1-row scalar agg "
+          "(the MPI_Allreduce analogue class).")
     spark.stop()
 
 
