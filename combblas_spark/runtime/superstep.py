@@ -136,18 +136,21 @@ class SuperstepRunner:
         Returns the state to carry forward (re-read from Parquet when a
         durable checkpoint was taken — truncated lineage — else the
         input, eagerly localCheckpointed)."""
-        now = time.perf_counter()
-        self._step_times.append(now - self._t_last)
         self._last_step = iteration
         if (iteration + 1) % self.every == 0:
-            return self._durable(iteration, state, extra)  # resets _t_last
+            return self._durable(iteration, state, extra)  # bills + resets
         from combblas_spark.runtime.plans import superstep_checkpoint
         out = superstep_checkpoint(state, iteration)
-        # reset AFTER the eager materialization so superstep N's
-        # checkpoint cost is billed to superstep N, matching the durable
-        # path (review r4: the old pre-checkpoint reset shifted it to
-        # N+1 on non-durable steps only)
-        self._t_last = time.perf_counter()
+        # The loop bodies are fully lazy — the eager localCheckpoint
+        # above (or the Parquet write on the durable path) is THE job
+        # that runs superstep N's compute, so the wall is sampled AFTER
+        # it (review r5: appending at step() entry recorded only the
+        # ~0.1s lazy plan build and billed the materialization to no
+        # superstep at all — RMAT-24 manifests read 0.1s/superstep while
+        # the wall clock said ~15s).
+        now = time.perf_counter()
+        self._step_times.append(now - self._t_last)
+        self._t_last = now
         if extra:
             self.metrics.append({"iteration": iteration, **extra})
         return out
@@ -156,6 +159,10 @@ class SuperstepRunner:
         it_dir = os.path.join(self.checkpoint_dir, f"iter_{iteration:06d}")
         state_path = os.path.join(it_dir, "state")
         state.write.mode("overwrite").parquet(state_path)
+        # the write above ran superstep N's compute — bill it to N (the
+        # count/manifest bookkeeping below is checkpoint overhead,
+        # excluded by the reset at the end of this method)
+        self._step_times.append(time.perf_counter() - self._t_last)
         reread = self.spark.read.parquet(state_path)
 
         manifest: dict[str, Any] = {

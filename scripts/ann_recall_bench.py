@@ -20,9 +20,14 @@ queries — per-query recall is identical to the all-pairs operator's,
 at 1/5000th the candidate cost.
 
 Usage: python scripts/ann_recall_bench.py [--n 1000000] [--dim 32]
-       [--queries 200] [--k 10] [--cores 32]
+       [--queries 200] [--k 10] [--cores 32] [--planes 12]
+       [--lsh-sweep "2:512;4:512;8:512;4:128;4:2048"]
+       [--ivf-centroids 256] [--ivf-nprobes 1,2,4,8]
 Prints one JSON line per configuration + a summary line; paste the
-table into BENCH.md.
+table into BENCH.md. The sweep grammar is "tables:cap" pairs separated
+by ';' — cap may be an int, "none" (uncapped) or "auto" (the library
+default max(128, 8n/2^planes)). --ivf-centroids 0 skips IVF (its brute
+k-means assignment dominates wall at n >= 10M).
 """
 
 from __future__ import annotations
@@ -154,6 +159,14 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--planes", type=int, default=12,
+                    help="LSH hyperplanes per table (2^planes buckets)")
+    ap.add_argument("--lsh-sweep", default="2:512;4:512;8:512;4:128;4:2048",
+                    help="';'-separated tables:cap pairs; cap = int|none|auto")
+    ap.add_argument("--ivf-centroids", type=int, default=256,
+                    help="0 skips the IVF block entirely")
+    ap.add_argument("--ivf-nprobes", default="1,2,4,8")
+    ap.add_argument("--driver-memory", default="20g")
     args = ap.parse_args()
 
     from combblas_spark.functions.similarity import (
@@ -161,7 +174,8 @@ def main() -> None:
     from combblas_spark.session import get_spark
 
     spark = get_spark(app_name="ann-recall", cores=args.cores,
-                      shuffle_partitions=2 * args.cores, driver_memory="20g")
+                      shuffle_partitions=2 * args.cores,
+                      driver_memory=args.driver_memory)
     spark.sparkContext.setLogLevel("ERROR")
     from pyspark.storagelevel import StorageLevel
 
@@ -181,13 +195,25 @@ def main() -> None:
 
     results = []
 
-    # ---- LSH sweeps: the 8-table bucket assignment is built ONCE
-    # (the expensive part — 8 x n_planes x dim JVM projections per
+    # ---- LSH sweeps: the max-table bucket assignment is built ONCE
+    # (the expensive part — T x n_planes x dim JVM projections per
     # vector); every (n_tables, cap) config is a filter + window over it
-    n_planes = 12
+    n_planes = args.planes
+
+    def parse_cap(tok: str) -> int | None:
+        tok = tok.strip().lower()
+        if tok == "none":
+            return None
+        if tok == "auto":
+            return max(128, int(8 * args.n / 2 ** n_planes))
+        return int(tok)
+
+    sweep = [(int(p.split(":")[0]), parse_cap(p.split(":")[1]))
+             for p in args.lsh_sweep.split(";") if p.strip()]
+    max_tables = max(t for t, _ in sweep)
     t0 = time.perf_counter()
     assigns = []
-    for t in range(8):
+    for t in range(max_tables):
         a = hyperplane_lsh_buckets(
             vectors, n_planes=n_planes, seed=42 + t,
             dim=args.dim).withColumn("tbl", F.lit(t))
@@ -200,7 +226,7 @@ def main() -> None:
     n_assign = assign8.count()
     t_build_lsh = round(time.perf_counter() - t0, 1)
     print(json.dumps({"stage": "lsh_assign_build", "rows": n_assign,
-                      "tables": 8, "n_planes": n_planes,
+                      "tables": max_tables, "n_planes": n_planes,
                       "wall": t_build_lsh}), flush=True)
 
     def lsh_run(n_tables: int, cap: int | None) -> None:
@@ -230,10 +256,8 @@ def main() -> None:
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    for n_tables in (2, 4, 8):
-        lsh_run(n_tables, 512)
-    for cap in (128, 2048):
-        lsh_run(4, cap)
+    for n_tables, cap in sweep:
+        lsh_run(n_tables, cap)
     assign8.unpersist()
 
     # ---- IVF sweeps: lists once per n_centroids, nprobe varies
@@ -280,7 +304,9 @@ def main() -> None:
             print(json.dumps(row), flush=True)
         assign.unpersist()
 
-    ivf_run(256, [1, 2, 4, 8], None)
+    if args.ivf_centroids > 0:
+        nprobes = [int(x) for x in args.ivf_nprobes.split(",") if x.strip()]
+        ivf_run(args.ivf_centroids, nprobes, None)
 
     print(json.dumps({"stage": "summary", "n": nv, "dim": args.dim,
                       "k": args.k, "results": results}))

@@ -40,11 +40,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def submit_cmd(args, ck: str, out: str) -> list[str]:
-    return [
+    cmd = [
         "spark-submit", "--master", f"local[{args.cores}]",
         "--driver-memory", args.driver_memory,
         "--conf", f"spark.sql.shuffle.partitions={2 * args.cores}",
         "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.local.dir={ck}_localdir",
         "--py-files", args.zip,
         os.path.join(REPO, "scripts", "run_pagerank.py"),
         "--graph", f"rmat:{args.scale}:16", "--algo", args.algo,
@@ -52,6 +53,9 @@ def submit_cmd(args, ck: str, out: str) -> list[str]:
         "--checkpoint-every", str(args.every), "--output", out,
         "--broadcast-max-vertices", "0",
     ]
+    if args.partition_stats:
+        cmd.append("--partition-stats")
+    return cmd
 
 
 def latest_iter(ck: str) -> int:
@@ -77,6 +81,14 @@ def main() -> None:
     ap.add_argument("--kill-timeout", type=float, default=600.0,
                     help="seconds to wait for the kill-after checkpoint "
                          "(raise for endurance scales)")
+    ap.add_argument("--partition-stats", action="store_true",
+                    help="record per-partition histograms + load "
+                         "imbalance in every durable manifest, and pin "
+                         "spark.local.dir so per-superstep shuffle bytes "
+                         "land in the run JSON (endurance evidence)")
+    ap.add_argument("--keep-manifests", default=None,
+                    help="copy every durable manifest.json into this dir "
+                         "before the work dir is deleted")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="resume_demo")
@@ -127,7 +139,7 @@ def main() -> None:
             JOIN read_parquet('{out_b}/*.parquet') c USING (id)"""
     ).fetchone()
 
-    print(json.dumps({
+    evidence = {
         "algo": args.algo,
         "scale": args.scale, "iters": args.iters, "every": args.every,
         "edges": ja["edges"],
@@ -137,7 +149,21 @@ def main() -> None:
         "vertices": diff[1], "rows_a": diff[2], "rows_c": diff[3],
         "max_abs_rank_diff": diff[0],
         "identical": diff[0] == 0.0 and diff[1] == diff[2] == diff[3],
-    }))
+        "run_a": {k: ja.get(k) for k in (
+            "build_s", "loop_s", "eps_per_superstep", "superstep_walls",
+            "median_superstep_s", "eps_median", "bytes_per_superstep")},
+        "run_c_resumed": {k: jc.get(k) for k in (
+            "loop_s", "superstep_walls", "median_superstep_s")},
+    }
+    if args.keep_manifests:
+        os.makedirs(args.keep_manifests, exist_ok=True)
+        for f in sorted(glob.glob(os.path.join(work, "ck_*", "iter_*",
+                                               "manifest.json"))):
+            parts = f.split(os.sep)
+            dst = f"{parts[-3]}__{parts[-2]}.json"
+            shutil.copyfile(f, os.path.join(args.keep_manifests, dst))
+        evidence["manifests_kept_at"] = args.keep_manifests
+    print(json.dumps(evidence))
     shutil.rmtree(work, ignore_errors=True)
 
 

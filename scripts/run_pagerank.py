@@ -64,6 +64,11 @@ def main() -> None:
         "--broadcast-max-vertices", type=int, default=8_000_000,
         help="0 forces the shuffle regime — the code path a 10^12-vertex "
              "run would take (rank vector too big to broadcast)")
+    p.add_argument(
+        "--partition-stats", action="store_true",
+        help="record the per-partition row histogram + load-imbalance "
+             "metric in every durable manifest (one extra count job per "
+             "checkpoint — the endurance-evidence mode)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -95,7 +100,7 @@ def main() -> None:
             spark, args.checkpoint_dir, args.algo,
             config={"graph": args.graph, "alpha": args.alpha, "algo": args.algo},
             every=args.checkpoint_every,
-            collect_partition_stats=False,
+            collect_partition_stats=args.partition_stats,
         )
 
     class _DuMetrics(list):

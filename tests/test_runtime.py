@@ -107,6 +107,32 @@ def test_load_imbalance_metric():
     assert load_imbalance([]) == 1.0 and load_imbalance([0, 0]) == 1.0
 
 
+def test_superstep_wall_bills_materialization(spark, tmp_path):
+    """The algorithm loop bodies are fully lazy — runner.step()'s
+    localCheckpoint / Parquet write is THE job that runs superstep N's
+    compute, so its cost must land in superstep N's recorded wall
+    (review r5: walls were sampled at step() entry, so a 15s RMAT-24
+    superstep manifested as the ~0.1s lazy plan build)."""
+
+    def slow(batches):
+        import time as _time
+        for pdf in batches:
+            _time.sleep(0.4)
+            yield pdf
+
+    r = SuperstepRunner(spark, str(tmp_path / "ck"), "slow", every=2)
+    state = spark.range(8).repartition(1).mapInPandas(slow, "id long")
+    # iteration 0: non-durable (localCheckpoint) path
+    state = r.step(0, state.selectExpr("id", "id * 2 as v"))
+    # iteration 1: durable (Parquet write) path
+    state = state.selectExpr("id", "v").mapInPandas(slow, "id long, v long")
+    r.step(1, state)
+    latest = json.load(open(os.path.join(str(tmp_path / "ck"), "latest.json")))
+    walls = latest["superstep_wall_s"]
+    assert len(walls) == 2
+    assert walls[0] >= 0.4 and walls[1] >= 0.4
+
+
 def test_sssp_resume_exact(spark, tmp_path):
     from combblas_spark.algorithms.sssp import sssp
 
