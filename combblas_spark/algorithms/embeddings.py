@@ -62,6 +62,7 @@ def fastrp(
     l2_normalized: bool = False,
     broadcast_max_vertices: int = 8_000_000,
     small_vector_threshold: int = 100_000,
+    overflow_check: str = "strict",
 ) -> DataFrame:
     """FastRP embeddings over IN-link adjacency powers.
 
@@ -98,15 +99,29 @@ def fastrp(
     # where DuckDB raises (the events_graph divergence class), so raise
     # BEFORE running when the bound can exceed int64. One cheap agg job
     # over the already-cached edge set.
-    max_deg = (e.groupBy("dst").agg(F.count(F.lit(1)).alias("c"))
-               .agg(F.max("c").alias("m")).collect()[0]["m"]) or 0
-    bound = sum((1 << (n_iter - 1 - it)) * (max_deg ** (it + 1))
-                for it in range(n_iter))
-    if bound >= (1 << 63):
+    # The bound is WORST-CASE (all projection signs aligned along every
+    # path); real signed sums concentrate near sqrt-of-path-count scale,
+    # so ``overflow_check="off"`` lets a caller who accepts the
+    # adversarial-alignment risk run hub-heavy graphs (review r5: a max
+    # in-degree of ~2.1M trips the strict D^3 bound at the default
+    # n_iter=3). The strict default stays: the guard protects oracle
+    # bit-exactness, and Spark wraps where DuckDB raises.
+    if overflow_check not in ("strict", "off"):
         raise ValueError(
-            f"fastrp: int64 overflow risk — max in-degree {max_deg} at "
-            f"n_iter={n_iter} bounds |e_j| by {bound} >= 2^63; lower "
-            "n_iter or pre-thin hub in-edges")
+            f"fastrp: overflow_check must be 'strict' or 'off', "
+            f"got {overflow_check!r}")
+    if overflow_check == "strict":
+        max_deg = (e.groupBy("dst").agg(F.count(F.lit(1)).alias("c"))
+                   .agg(F.max("c").alias("m")).collect()[0]["m"]) or 0
+        bound = sum((1 << (n_iter - 1 - it)) * (max_deg ** (it + 1))
+                    for it in range(n_iter))
+        if bound >= (1 << 63):
+            raise ValueError(
+                f"fastrp: int64 overflow risk — max in-degree {max_deg} at "
+                f"n_iter={n_iter} bounds |e_j| by {bound} >= 2^63; lower "
+                "n_iter, pre-thin hub in-edges, or pass "
+                "overflow_check='off' to accept the worst-case-alignment "
+                "risk (the actual signed sums are typically far smaller)")
     verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
     can_broadcast = n <= broadcast_max_vertices

@@ -107,6 +107,12 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024,
     "stub" = the deterministic fake (hex-keyed dims, oracle-stable),
     "auto" = "pil" when importable else "stub", resolved ONCE on the
     driver so every executor takes the same path.
+
+    Cluster note: the availability probe runs on the DRIVER; "pil"
+    additionally requires Pillow in the EXECUTOR images (a mismatched
+    cluster fails loud with per-task ImportError — intentional: a
+    driver-side decision can't silently split between decoders, and a
+    silent stub fallback on some executors would corrupt the corpus).
     """
     if decoder == "auto":
         decoder = "pil" if pil_available() else "stub"

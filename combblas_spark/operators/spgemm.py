@@ -67,9 +67,16 @@ def estimate_spgemm_flops(A: DataFrame, B: DataFrame) -> int:
     SpGEMM itself."""
     ac = A.groupBy("dst").agg(F.count(F.lit(1)).alias("_ca"))
     bc = B.groupBy("src").agg(F.count(F.lit(1)).alias("_cb"))
+    # sum in DOUBLE: a bigint sum wraps silently past 2^63 (one hub key
+    # with ~3.1e9 nnz overflows the per-row product alone), and this
+    # estimator exists precisely for that memory-constrained scale — a
+    # wrapped-negative count would yield phases=1 and an unphased OOM
+    # (review r5). Double loses exactness past 2^53, which is harmless
+    # for a phase-count ceiling.
     row = (
         ac.join(bc, ac["dst"] == bc["src"])
-        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("flops"))
+        .agg(F.sum(F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+             .alias("flops"))
         .collect()[0]["flops"]
     )
     return int(row or 0)

@@ -155,14 +155,18 @@ class SuperstepRunner:
             self.metrics.append({"iteration": iteration, **extra})
         return out
 
-    def _durable(self, iteration: int, state: DataFrame, extra: dict) -> DataFrame:
+    def _durable(self, iteration: int, state: DataFrame, extra: dict,
+                 bill: bool = True) -> DataFrame:
         it_dir = os.path.join(self.checkpoint_dir, f"iter_{iteration:06d}")
         state_path = os.path.join(it_dir, "state")
         state.write.mode("overwrite").parquet(state_path)
         # the write above ran superstep N's compute — bill it to N (the
         # count/manifest bookkeeping below is checkpoint overhead,
-        # excluded by the reset at the end of this method)
-        self._step_times.append(time.perf_counter() - self._t_last)
+        # excluded by the reset at the end of this method). finish()
+        # passes bill=False: its write re-persists already-materialized
+        # state and is not a superstep.
+        if bill:
+            self._step_times.append(time.perf_counter() - self._t_last)
         reread = self.spark.read.parquet(state_path)
 
         manifest: dict[str, Any] = {
@@ -203,4 +207,9 @@ class SuperstepRunner:
         steps ran (e.g. resumed an already-finished run)."""
         if self._last_step is None or self._last_step == self._last_durable:
             return
-        self._durable(self._last_step, state, {"final": True, **extra})
+        # bill=False: the state was already materialized by the last
+        # step() — this write is finalization I/O, not a superstep, so
+        # it must not append a wall entry (review r5: a final off-cadence
+        # _durable added a third wall for two supersteps run)
+        self._durable(self._last_step, state, {"final": True, **extra},
+                      bill=False)

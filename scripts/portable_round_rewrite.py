@@ -13,6 +13,13 @@ HALF_UP round everywhere except exact negative ties.
   - SQL sites:    round(<e>, <nd>)    ->  floor((<e>) * 1e<nd> + 0.5) / 1e<nd>
 
 Run once from the repo root; review with git diff.
+
+ALREADY APPLIED (round 5) — kept for the audit trail. Do NOT re-run
+blindly: the SQL-site regex matches bare ``round(`` anywhere in the
+entry file's SOURCE, not just inside SQL string literals, so a future
+Python-level ``round(x, 6)`` call would be rewritten into invalid
+Python. New code should call combblas_spark.portable.pround /
+pround_py / pround_sql directly instead.
 """
 import re
 import sys

@@ -3077,6 +3077,16 @@ def test_fastrp_l2_normalized_and_validation(spark):
         fastrp(edges, d=0)
     with pytest.raises(ValueError):
         fastrp(edges, n_iter=0)
+    # the int64 magnitude guard is WORST-CASE (ADVICE r4): even at max
+    # in-degree 1 the level mix bounds |e_j| by 2^K - 1, so n_iter=70
+    # trips 2^63 -> strict raises before running; overflow_check="off"
+    # is the documented escape hatch (review r5) and a bogus value is
+    # rejected
+    with pytest.raises(ValueError, match="overflow"):
+        fastrp(edges, n_iter=70)
+    with pytest.raises(ValueError, match="overflow_check"):
+        fastrp(edges, overflow_check="maybe")
+    assert fastrp(edges, d=2, n_iter=2, overflow_check="off").count() == 3
 
 
 def test_louvain_level1_equals_greedy_modularity(spark):

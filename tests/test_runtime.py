@@ -131,6 +131,15 @@ def test_superstep_wall_bills_materialization(spark, tmp_path):
     walls = latest["superstep_wall_s"]
     assert len(walls) == 2
     assert walls[0] >= 0.4 and walls[1] >= 0.4
+    # a further non-durable step + finish(): the finalization write is
+    # NOT a superstep, so the wall count must equal the steps run
+    # (review r5: finish()'s off-cadence _durable appended a spurious
+    # third wall entry for two supersteps)
+    state = r.step(2, state.selectExpr("id", "v"))
+    r.finish(state)
+    latest = json.load(open(os.path.join(str(tmp_path / "ck"), "latest.json")))
+    assert latest["iteration"] == 2 and latest.get("final") is True
+    assert len(latest["superstep_wall_s"]) == 1  # just iter 2's wall
 
 
 def test_sssp_resume_exact(spark, tmp_path):
