@@ -243,6 +243,16 @@ def lsh_topk(
     buckets' quadratic. A fixed cap cannot be right across scales —
     the old fixed default of 128 silently binds the MEAN bucket once
     n > 128 * 2^n_planes. Pass an int to pin it, None to uncap.
+
+    Validity bound (measured at 10M vectors, BENCH.md r5): on naturally
+    CLUSTERED embeddings the skewed buckets ARE the true neighbors, so
+    the cap must also stay >= the expected neighborhood/cluster size —
+    "auto" holds while 8n/2^n_planes >= cluster_size (10M/12 planes:
+    auto 19531 > ~9.8k cluster -> recall 0.98-0.9985) and fails when
+    raising n_planes pushes it below (10M/16 planes: auto 1220 < ~9.8k
+    -> recall 0.53; cap 12000 or None both -> 0.995). When you raise
+    n_planes to cut candidate cost, pin the cap at >= your expected
+    cluster size instead of trusting "auto".
     """
     if per_bucket_cap == "auto":
         n = vectors.count()
