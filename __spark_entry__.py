@@ -2308,7 +2308,9 @@ def _sweep_cut_sql(iters: int = None, alpha: float = None) -> str:
     thinned = f"SELECT * FROM ({EDGES}) WHERE {_THIN_PRED}"
     ctes = _pr_chain_ctes(iters, alpha, thinned, prefix="sw")
     ctes += [
-        f"swsc AS (SELECT id, floor((pr) * 1e6 + 0.5) / 1e6 AS s FROM swr{iters})",
+        # 12dp, matching sweep_cut's order key (review r5: 6dp zeroes
+        # typical PPR mass on large graphs and collapses the ACL order)
+        f"swsc AS (SELECT id, floor((pr) * 1e12 + 0.5) / 1e12 AS s FROM swr{iters})",
         "swund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
         "greatest(src, dst) AS v FROM swedges WHERE src <> dst)",
         "swdirs AS (SELECT u, v FROM swund UNION ALL SELECT v AS u, u AS v FROM swund)",
@@ -3345,21 +3347,25 @@ CROSS JOIN t"""
 def _eff_diameter_sql(max_hops: int = 8, q: float = 0.9, k: int = ANF_K,
                       r_bits: int = ANF_RBITS, seed: int = ANF_SEED) -> str:
     """Twin of algorithms.anf.effective_diameter: unroll the sketches to
-    max_hops with RAW estimates, find the first hop whose sum_lzb
-    repeats (the engine's break condition), take N(inf) there, and
-    interpolate the smallest h with N(h) >= q*N(inf) exactly as the
+    max_hops with RAW estimates, find the first hop whose total mask
+    POPCOUNT repeats (the engine's break condition — masks only gain
+    bits under OR, so equal popcount means the sketch fixpoint; sum_lzb
+    can stall while balls still grow, review r5), take N(inf) there,
+    and interpolate the smallest h with N(h) >= q*N(inf) exactly as the
     engine does (frac = 0 when the step is flat)."""
     ctes, lzb = _anf_ctes(max_hops, k, r_bits, seed)
+    pop = " + ".join(f"bit_count(m{j})" for j in range(k))
     summaries = " UNION ALL ".join(
         f"SELECT CAST({h} AS INT) AS h, CAST(sum(tot) AS BIGINT) AS sum_lzb, "
+        f"CAST(sum(ptot) AS BIGINT) AS sum_pop, "
         f"sum(pow(2.0, tot / {float(k)})) / 0.77351 AS est "
-        f"FROM (SELECT ({lzb}) AS tot FROM s{h})"
+        f"FROM (SELECT ({lzb}) AS tot, ({pop}) AS ptot FROM s{h})"
         for h in range(0, max_hops + 1)
     )
     ctes.append(f"summ AS MATERIALIZED ({summaries})")
     ctes.append(
         "stop AS (SELECT coalesce(min(a.h), %d) AS hs FROM summ a "
-        "JOIN summ b ON b.h = a.h - 1 AND b.sum_lzb = a.sum_lzb)" % max_hops)
+        "JOIN summ b ON b.h = a.h - 1 AND b.sum_pop = a.sum_pop)" % max_hops)
     ctes.append("ninf AS (SELECT est AS n_inf FROM summ, stop WHERE h = hs)")
     ctes.append(
         f"hit AS (SELECT min(h) AS hi FROM summ, ninf, stop "
@@ -4822,7 +4828,7 @@ def _local_cluster_sql(iters: int = PR_ITERS, alpha: float = ALPHA,
     with_block = "WITH " + ",\n".join(
         _ppr_ctes(iters, alpha, edges_sql=thinned, tele_case=tele))
     sweep = f""",
-swsc AS (SELECT id, floor((pr) * 1e6 + 0.5) / 1e6 AS s FROM r{iters}),
+swsc AS (SELECT id, floor((pr) * 1e12 + 0.5) / 1e12 AS s FROM r{iters}),
 swund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
   greatest(src, dst) AS v FROM edges WHERE src <> dst),
 swdirs AS (SELECT u, v FROM swund UNION ALL SELECT v AS u, u AS v FROM swund),
@@ -6664,8 +6670,12 @@ def _louvain_sql(levels: int = LOUVAIN_LEVELS,
                 f" FROM (SELECT ca AS id, CAST(sum(w) / 2 AS BIGINT) AS iw"
                 f"       FROM con{L} WHERE ca = cb GROUP BY ca) i"
                 f" FULL OUTER JOIN"
-                f" (SELECT l.c AS id, sum(p.lw) AS olw FROM lp{L} p"
-                f"  JOIN lab{L}_{rounds} l ON l.id = p.id GROUP BY l.c) o"
+                # LEFT + coalesce-to-own-id mirrors _contract_weighted
+                # (review r5: an all-internal community is absent from
+                # sym/labels; inner-joining would drop its self-loop)
+                f" (SELECT coalesce(l.c, p.id) AS id, sum(p.lw) AS olw"
+                f"  FROM lp{L} p LEFT JOIN lab{L}_{rounds} l ON l.id = p.id"
+                f"  GROUP BY coalesce(l.c, p.id)) o"
                 f" ON o.id = i.id)",
             ]
     # label composition: lift each vertex's level-1 label through the

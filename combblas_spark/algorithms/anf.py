@@ -81,17 +81,58 @@ def _lzb(col, r_bits: int):
 
 
 def _summary_aggs(k: int, r_bits: int):
-    """(sum_lzb, est) aggregate expressions over the sketch state.
+    """(sum_lzb, sum_pop, est) aggregate expressions over the sketch
+    state.
 
     sum_lzb is an exact integer (hash-stable anchor for the oracle);
+    sum_pop is the total popcount over all masks — the masks only gain
+    bits under OR, so sum_pop is STRICTLY increasing until the sketch
+    fixpoint, making it the correct convergence observable (sum_lzb can
+    stall while balls still grow — a delivered bit above a receiver's
+    lowest zero changes the mask but not its lzb; review r5);
     est is the FM neighborhood estimate sum_v 2^(avg lzb) / PHI_FM."""
     lzbs = [_lzb(F.col(f"m{j}"), r_bits) for j in range(k)]
     tot = lzbs[0]
     for e in lzbs[1:]:
         tot = tot + e
+    pops = [F.bit_count(F.col(f"m{j}")) for j in range(k)]
+    ptot = pops[0]
+    for p in pops[1:]:
+        ptot = ptot + p
     sum_lzb = F.sum(tot.cast("long")).alias("sum_lzb")
+    sum_pop = F.sum(ptot.cast("long")).alias("sum_pop")
     est = (F.sum(F.pow(F.lit(2.0), tot / F.lit(float(k)))) / F.lit(PHI_FM)).alias("est")
-    return sum_lzb, est
+    return sum_lzb, sum_pop, est
+
+
+def _or_hop(adj: DataFrame, state: DataFrame, mask_cols: list,
+            extra_cols: list, can_broadcast: bool,
+            small_vector: bool) -> DataFrame:
+    """ONE OR-semiring superstep shared by anf_sketches /
+    effective_diameter / hyperball_harmonic (review r5: the hop body
+    was hand-copied three times and had drifted — hyperball lacked both
+    regime gates): neighbor bit_or reduce against the dst-partitioned
+    cached adjacency + left-join mask merge. ``extra_cols`` pass
+    through untouched (hyperball's prev/acc accumulators)."""
+    mv = state.select(F.col("id").alias("src"), *mask_cols)
+    if can_broadcast:
+        mv = F.broadcast(mv)
+    # neighbor OR-reduce: HashPartitioning(dst) satisfies the agg
+    # clustering -> map-side combine then zero exchange
+    nbr = (
+        adj.join(mv, "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(*[F.bit_or(c).alias(f"_n{j}") for j, c in enumerate(mask_cols)])
+    )
+    stitched = F.broadcast(nbr) if small_vector else nbr
+    return state.join(stitched, "id", "left").select(
+        "id",
+        *extra_cols,
+        *[
+            (F.col(c).bitwiseOR(F.coalesce(F.col(f"_n{j}"), F.lit(0).cast("long")))).alias(c)
+            for j, c in enumerate(mask_cols)
+        ],
+    )
 
 
 def anf_sketches(
@@ -127,44 +168,28 @@ def anf_sketches(
     state = state.coalesce(1) if small_vector else state.repartition(shuffle_n, "id")
     if summaries is not None:
         obs0 = Observation()
-        sum_lzb, est = _summary_aggs(k, r_bits)
-        state = state.observe(obs0, sum_lzb, est)
+        state = state.observe(obs0, *_summary_aggs(k, r_bits))
     state = state.localCheckpoint(eager=True)
     if summaries is not None:
         got = obs0.get
-        summaries.append({"h": 0, "sum_lzb": int(got["sum_lzb"]), "est": float(got["est"])})
+        summaries.append({"h": 0, "sum_lzb": int(got["sum_lzb"]),
+                          "sum_pop": int(got["sum_pop"]),
+                          "est": float(got["est"])})
     verts.unpersist()
 
     mask_cols = [f"m{j}" for j in range(k)]
     for h in range(1, hops + 1):
-        mv = state.select(F.col("id").alias("src"), *mask_cols)
-        if can_broadcast:
-            mv = F.broadcast(mv)
-        # neighbor OR-reduce: HashPartitioning(dst) satisfies the agg
-        # clustering -> map-side combine then zero exchange
-        nbr = (
-            adj.join(mv, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(*[F.bit_or(c).alias(f"_n{j}") for j, c in enumerate(mask_cols)])
-        )
-        stitched = F.broadcast(nbr) if small_vector else nbr
-        new_state = state.join(stitched, "id", "left").select(
-            "id",
-            *[
-                (F.col(c).bitwiseOR(F.coalesce(F.col(f"_n{j}"), F.lit(0).cast("long")))).alias(c)
-                for j, c in enumerate(mask_cols)
-            ],
-        )
+        new_state = _or_hop(adj, state, mask_cols, [], can_broadcast, small_vector)
         obs = None
         if summaries is not None:
             obs = Observation()
-            sum_lzb, est = _summary_aggs(k, r_bits)
-            new_state = new_state.observe(obs, sum_lzb, est)
+            new_state = new_state.observe(obs, *_summary_aggs(k, r_bits))
         state = superstep_checkpoint(new_state, h)
         if obs is not None:
             got = obs.get
             summaries.append(
-                {"h": h, "sum_lzb": int(got["sum_lzb"]), "est": float(got["est"])}
+                {"h": h, "sum_lzb": int(got["sum_lzb"]),
+                 "sum_pop": int(got["sum_pop"]), "est": float(got["est"])}
             )
 
     adj.unpersist()
@@ -206,11 +231,16 @@ def effective_diameter(
     broadcast_max_vertices: int = 8_000_000,
 ) -> dict:
     """Smallest h with N(h) >= q * N(infinity), interpolated like the
-    WebGraph convention. Runs hops until the sketch sum stops changing
-    (sum_lzb is monotone non-decreasing and bounded, so this
-    terminates); each extra hop is one superstep."""
+    WebGraph convention. Runs hops until the sketches reach their
+    FIXPOINT, observed as total mask popcount (sum_pop) unchanged for a
+    hop — masks only gain bits under OR, so equal popcount means no
+    mask changed. (review r5: the old criterion, sum_lzb stable, is NOT
+    a fixpoint test — a delivered bit strictly above a receiver's
+    lowest zero changes the mask but not its lzb, so a hop could stall
+    sum_lzb while balls were still growing and truncate N(infinity).)
+    Each extra hop is one superstep."""
     summaries: list = []
-    # run incrementally: hop until sum_lzb stable two hops in a row
+    # run incrementally: hop until the mask popcount is stable
     spark = edges.sparkSession
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     adj = symmetrize_partitioned(edges, "dst", shuffle_n).select("src", "dst")
@@ -227,37 +257,22 @@ def effective_diameter(
     state = verts.select("id", *[_init_mask(j, seed, r_bits) for j in range(k)])
     state = state.coalesce(1) if small_vector else state.repartition(shuffle_n, "id")
     obs0 = Observation()
-    sum_lzb, est = _summary_aggs(k, r_bits)
-    state = state.observe(obs0, sum_lzb, est).localCheckpoint(eager=True)
+    state = state.observe(obs0, *_summary_aggs(k, r_bits)).localCheckpoint(eager=True)
     got = obs0.get
-    summaries.append({"h": 0, "sum_lzb": int(got["sum_lzb"]), "est": float(got["est"])})
+    summaries.append({"h": 0, "sum_lzb": int(got["sum_lzb"]),
+                      "sum_pop": int(got["sum_pop"]), "est": float(got["est"])})
     verts.unpersist()
 
     mask_cols = [f"m{j}" for j in range(k)]
     for h in range(1, max_hops + 1):
-        mv = state.select(F.col("id").alias("src"), *mask_cols)
-        if can_broadcast:
-            mv = F.broadcast(mv)
-        nbr = (
-            adj.join(mv, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(*[F.bit_or(c).alias(f"_n{j}") for j, c in enumerate(mask_cols)])
-        )
-        stitched = F.broadcast(nbr) if small_vector else nbr
-        new_state = state.join(stitched, "id", "left").select(
-            "id",
-            *[
-                (F.col(c).bitwiseOR(F.coalesce(F.col(f"_n{j}"), F.lit(0).cast("long")))).alias(c)
-                for j, c in enumerate(mask_cols)
-            ],
-        )
+        new_state = _or_hop(adj, state, mask_cols, [], can_broadcast, small_vector)
         obs = Observation()
-        sum_lzb, est = _summary_aggs(k, r_bits)
-        new_state = new_state.observe(obs, sum_lzb, est)
+        new_state = new_state.observe(obs, *_summary_aggs(k, r_bits))
         state = superstep_checkpoint(new_state, h)
         got = obs.get
-        summaries.append({"h": h, "sum_lzb": int(got["sum_lzb"]), "est": float(got["est"])})
-        if summaries[-1]["sum_lzb"] == summaries[-2]["sum_lzb"]:
+        summaries.append({"h": h, "sum_lzb": int(got["sum_lzb"]),
+                          "sum_pop": int(got["sum_pop"]), "est": float(got["est"])})
+        if summaries[-1]["sum_pop"] == summaries[-2]["sum_pop"]:
             break
     adj.unpersist()
 
@@ -330,29 +345,26 @@ def hyperball_harmonic(
             tot = tot + e
         return F.pow(F.lit(2.0), tot / F.lit(float(k))) / F.lit(PHI_FM)
 
+    verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+    # same regime gates as anf_sketches (review r5: this copy of the
+    # hop had drifted and paid a shuffle join even on broadcastable
+    # graphs)
+    can_broadcast = n <= 8_000_000
+    small_vector = n <= 100_000
+
     state = (
-        vertices(edges)
+        verts
         .select("id", *[_init_mask(j, seed, r_bits) for j in range(k)])
         .withColumn("prev", _est())
         .withColumn("acc", F.lit(0.0))
-        .repartition(shuffle_n, "id")
-        .localCheckpoint(eager=True)
     )
+    state = (state.coalesce(1) if small_vector
+             else state.repartition(shuffle_n, "id")).localCheckpoint(eager=True)
+    verts.unpersist()
     for h in range(1, hops + 1):
-        mv = state.select(F.col("id").alias("src"), *mask_cols)
-        nbr = (
-            adj.join(mv, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(*[F.bit_or(c).alias(f"_n{j}") for j, c in enumerate(mask_cols)])
-        )
-        merged = state.join(nbr, "id", "left").select(
-            "id", "prev", "acc",
-            *[
-                F.col(c).bitwiseOR(
-                    F.coalesce(F.col(f"_n{j}"), F.lit(0).cast("long"))).alias(c)
-                for j, c in enumerate(mask_cols)
-            ],
-        ).withColumn("_e", _est())
+        merged = _or_hop(adj, state, mask_cols, ["prev", "acc"],
+                         can_broadcast, small_vector).withColumn("_e", _est())
         new_state = merged.select(
             "id", *mask_cols,
             F.col("_e").alias("prev"),

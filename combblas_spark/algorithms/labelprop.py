@@ -442,9 +442,17 @@ def _contract_weighted(
         .agg((F.sum("w") / 2).cast("long").alias("_iw"))
     )
     if loops is not None:
+        # LEFT join + coalesce-to-own-id: a community whose edges are
+        # all internal appears in loops but not in sym (hence not in
+        # labels) — an inner join would silently drop its self-loop
+        # weight, breaking the contraction's 2m-preservation invariant
+        # (review r5; output-invisible today because such communities
+        # never re-enter sym, but any consumer recomputing m from the
+        # contracted pair would under-count)
         old = (
-            loops.join(labels, "id")
-            .groupBy(F.col("c").alias("id")).agg(F.sum("lw").alias("_olw"))
+            loops.join(labels, "id", "left")
+            .groupBy(F.coalesce(F.col("c"), F.col("id")).alias("id"))
+            .agg(F.sum("lw").alias("_olw"))
         )
         nloops = (
             internal.join(old, "id", "full_outer")

@@ -14,9 +14,14 @@ diagnostic for a webgraph neighborhood.
 
 Everything except the final division is INTEGER arithmetic:
 
-- the order is (round(score,6)/deg) — a single IEEE division of
+- the order is (round(score,12)/deg) — a single IEEE division of
   identical inputs in both engines, so the sort keys are bit-equal;
-  ties break on id (total order);
+  ties break on id (total order). 12dp, not the package's usual 6dp:
+  the rounding only exists to absorb cross-engine summation-order ULPs
+  (~1e-17 and below for probability-mass scores), and 6dp would ZERO
+  typical personalized-PageRank mass on large graphs (most nonzero
+  scores on a 10^7-vertex graph sit in 1e-7..1e-9), collapsing the ACL
+  sweep order to plain id order (review r5);
 - vol(t) is an inclusive prefix sum of integer degrees in that order;
 - cut(t) uses the classic difference-array identity: an edge with
   prefix ranks ru < rv crosses the boundary for exactly t in
@@ -45,7 +50,7 @@ def sweep_cut(
 ) -> DataFrame:
     """Returns (pos, id, deg, cut, vol, conductance): the sweep profile
     over the undirected simple graph underlying ``edges``, ordered by
-    round(score,6)/deg descending (id tie-break). Rows cover
+    round(score,12)/deg descending (id tie-break). Rows cover
     0 <= pos <= n-2 (the full-set prefix has no complement); vertices
     missing from ``scores`` sweep last with score 0.
     """
@@ -62,7 +67,7 @@ def sweep_cut(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = dirs.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).alias("deg"))
-    sc = scores.select("id", pround(F.col(score_col)).alias("_sc"))
+    sc = scores.select("id", pround(F.col(score_col), 12).alias("_sc"))
     keyed = (
         deg.join(sc, "id", "left")
         .select("id", "deg",

@@ -118,9 +118,14 @@ def node2vec_walks(
         range [cum-w, cum) (candidates ordered by dst) contains
         md5("start:walk:t:seed") % total_weight.
 
-    Defaults (1, 4, 2) encode p=4, q=2 scaled by 4 — a homophily-
-    leaning regime. Returns (start, walk, step, vertex), the same
-    corpus schema as random_walks, so skipgram_pairs/ppmi compose.
+    Defaults (1, 4, 2) encode p=4, q=2 scaled by 4 — q>1 keeps the
+    walk near the predecessor (BFS-leaning), which Grover & Leskovec
+    §3.1 associate with STRUCTURAL-EQUIVALENCE embeddings; for
+    homophily/community embeddings the paper uses q<1 (DFS-leaning),
+    e.g. w_return=2, w_common=2, w_far=4 for p=1, q=0.5 (review r5:
+    an earlier revision mislabeled the default as homophily-leaning).
+    Returns (start, walk, step, vertex), the same corpus schema as
+    random_walks, so skipgram_pairs/ppmi compose.
 
     Determinism: the pick is the same counter-hash family as
     random_walks/_pick — partitioning- and retry-invariant, and a

@@ -690,8 +690,13 @@ def winnow_fingerprints(
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
     window of ``w`` consecutive k-gram hashes, and select the minimum
-    hash of each window (rightmost position on ties, the paper's
-    robust-winnowing rule). Guarantees: every shared substring of
+    hash of each window, rightmost position on ties — the paper's BASE
+    winnowing algorithm (its "robust winnowing" variant instead
+    prefers re-selecting the previous window's pick on ties and would
+    select FEWER fingerprints on runs of equal hashes; review r5: an
+    earlier revision misattributed the tie rule — any twin implemented
+    from that description would diverge). Guarantees: every shared
+    substring of
     length >= k + w - 1 tokens yields at least one shared fingerprint
     (completeness), and selected density is ~2/(w+1) of all k-grams
     (sparsity). Returns distinct (id, pos, fp): the k-gram START token

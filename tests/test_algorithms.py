@@ -1686,6 +1686,30 @@ def test_effective_diameter_path_graph(spark):
     assert all(b >= a * 0.999 for a, b in zip(ests, ests[1:]))
 
 
+def test_effective_diameter_stops_at_true_fixpoint(spark):
+    """The early stop must be the SKETCH fixpoint, not an lzb stall
+    (review r5: sum_lzb can stay flat while masks — and est — still
+    grow, truncating N(infinity)). Property: at the stop hop, running
+    MORE hops changes nothing — the full fixed-hop curve's final est
+    equals the early-stopped est, for several seeds on a single-sketch
+    path graph (k=1 is the most stall-prone configuration)."""
+    from combblas_spark.algorithms.anf import (
+        effective_diameter, neighborhood_function)
+
+    edges = [(i, i + 1) for i in range(11)]  # P12, diameter 11
+    e = df_edges(spark, edges)
+    for seed in (7, 19, 42):
+        res = effective_diameter(e, q=0.9, k=1, max_hops=16, seed=seed)
+        pops = [s["sum_pop"] for s in res["nf"]]
+        assert pops == sorted(pops)  # popcount monotone under OR
+        full = neighborhood_function(e, hops=14, k=1, seed=seed) \
+            .orderBy("h").collect()
+        # est at the stop equals est after any further hops: the stop
+        # really was the fixpoint
+        from combblas_spark.portable import pround_py
+        assert pround_py(res["nf"][-1]["est"]) == full[-1]["est"], seed
+
+
 def test_host_link_graph_vs_reference(spark):
     """Host contraction equals the pure-Python reference extractor +
     host parse + Counter."""
